@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the TSDB-essential operator Spark lacks as a built-in
+  * (SURVEY.md §2.2 "Joins"). For each left row, attach the latest right row
+  * with `right.ts <= left.ts` within the same key.
+  *
+  * Spark-first design (preference order (a): composition of built-ins —
+  * see /opt guide §"Custom operator"): instead of a range join (O(n·m) or an
+  * interval-bucketed shuffle), we UNION the two sides with a tag column and
+  * run ONE partitioned window pass:
+  *
+  *   sort key = (ts, side, tiebreak) with right rows ordered BEFORE left rows
+  *   at an equal timestamp (inclusive `<=` semantics), then
+  *   `last(right_payload, ignoreNulls = true)` over rows UNBOUNDED PRECEDING.
+  *
+  * Cost at scale: one shuffle on the join key + one sort per partition —
+  * identical asymptotics to a sort-merge join, no skew-prone range
+  * explosion, no broadcast requirement. This is the classic log-structured
+  * merge formulation of as-of joins and scales linearly in rows per key.
+  */
+object AsOfJoin {
+
+  /** Generic as-of join on one key column and one ordered timestamp column.
+    *
+    * @param left      left (probe) side
+    * @param right     right (reference) side
+    * @param key       join key column name present on both sides
+    * @param ts        timestamp column name present on both sides
+    * @param rightPayload right-side columns to carry (renamed in output)
+    * @return left rows + for each, the payload of the latest right row at or
+    *         before its timestamp (nulls when no such row exists)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[(String, String)]): DataFrame = {
+
+    val leftCols = left.columns
+    // side: 0 = right (reference), 1 = left (probe) — right sorts first at
+    // equal ts so an exactly-simultaneous reference row IS matched (<=).
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .select(
+        col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
+          leftCols.map(c => col(c).as(s"__l_$c")) ++:
+          rightPayload.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
+    val taggedRight = right
+      .withColumn("__side", lit(0))
+      .select(
+        col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
+          rightPayload.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried: Seq[Column] = rightPayload.map { case (_, out) =>
+      last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out)
+    }
+
+    taggedLeft.unionByName(taggedRight)
+      .select(col("*") +: carried: _*)
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        rightPayload.map { case (_, out) => col(out) }: _*)
+  }
+}

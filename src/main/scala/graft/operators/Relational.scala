@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational extension surface (SURVEY.md §2.2): joins, aggregations,
+  * grouping sets, set ops, top-k, JSON extraction — all Catalyst built-ins
+  * so partial aggregation, join-strategy selection, predicate pushdown and
+  * column pruning come for free.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (customer/supplier/nation/region) are broadcast
+  *    explicitly — the fact-side scan never shuffles for those joins;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once; at
+  *    cluster scale the intended layout is bucketing both facts on orderkey
+  *    (see [[graft.operators.Ingest]]) which removes that shuffle too;
+  *  - aggregations are partial+final hash aggregates (map-side combine);
+  *  - top-k is TakeOrderedAndProject (per-partition heap, no global sort).
+  */
+object Relational {
+
+  /** Exact order-independent double aggregation (engine-parity safe). */
+  def exactSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary over lineitem: multi-aggregate hash
+    * aggregation with partial aggregation pushdown. */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast-join enrich: orders ⋈ customer (dim side broadcast — no
+    * shuffle of the fact table), revenue per market segment. */
+  def segmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        exactSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q5-style star join: lineitem ⋈ orders shuffles once on orderkey;
+    * customer/supplier/nation/region are broadcast. Revenue per nation for
+    * one region. */
+  def regionNationRevenue(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === lit(regionName))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
+  /** Left-semi join (EXISTS): customers that placed at least one order,
+    * counted per market segment. */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders in the given
+    * status (filter pushed below the join → smaller build side). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+      status: String): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === lit(status)),
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical grouping sets. */
+  def rollupQty(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** CUBE over (orderstatus, orderpriority): full grouping sets. */
+  def cubeOrders(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(exactSum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
+
+  /** Set difference: custkeys present in customer but absent from orders of
+    * the given status. */
+  def exceptCustkeys(customer: DataFrame, orders: DataFrame,
+      status: String): DataFrame =
+    customer.select(col("c_custkey").as("custkey"))
+      .except(orders.filter(col("o_orderstatus") === lit(status))
+        .select(col("o_custkey").as("custkey")))
+
+  /** Set intersection: custkeys present in both customer and orders. */
+  def intersectCustkeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("custkey"))
+      .intersect(orders.select(col("o_custkey").as("custkey")))
+
+  /** Top-k orders by total price (TakeOrderedAndProject; orderkey tiebreak). */
+  def topkOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** JSON extraction from the events `props` column (`{"k": <int>}`):
+    * get_json_object is codegen'd; grouped to a compact distribution. */
+  def jsonKeyDistribution(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+}
