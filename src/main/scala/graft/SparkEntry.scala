@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Relational, TimeSeries}
+import graft.functions.TextAnalysis
+import graft.operators.{AsOfJoin, Dedup, Relational, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,6 +27,18 @@ object SparkEntry {
   private val RangeEnd   = "2024-01-12 00:00:00"
   private val LimitCap   = 500
   private val ShipBefore = "2000-01-01 00:00:00"
+  private val NgramN        = 3
+  private val MinJaccard    = 0.3
+  private val CosineMinSim  = 0.3
+  private val TopKSim       = 10
+  private val QueryVecId    = 0L
+
+  /** documents with every row duplicated under a shifted doc_id — the dedup
+    * queries' input, so exact-dedup actually collapses something. */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -88,7 +101,95 @@ object SparkEntry {
           unix_micros(col("err_ts")).as("err_ts_us"),
           col("err_value"))
     }),
+
+    // --- training-data pipeline surface: text analysis ---
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(Tables.documents(s, dir))),
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // --- training-data pipeline surface: dedup ---
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(doubledDocs(s, dir))),
+    "q_dedup_keep_first" -> ((s, dir) =>
+      Dedup.exactKeepFirst(doubledDocs(s, dir))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+
+    // --- training-data pipeline surface: similarity search ---
+    "q_similarity_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), QueryVecId, TopKSim)),
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), "label", CosineMinSim)),
+    // approximate ANN path — no SQL oracle (rows-only check): LSH bucketing
+    // is validated against brute force in the ScalaTest suite instead.
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), QueryVecId, 4, TopKSim)),
   )
+
+  // --- SQL fragment builders shared by several oracles (mirror the Scala
+  // constants exactly; P is TextAnalysis.P) ---
+  private val P = TextAnalysis.P
+
+  /** Sequential left-fold dot product — same evaluation order as
+    * [[Similarity.dot]], so doubles match bit-for-bit. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$a[i]*$b[i] for i in generate_series(1, len($a))]), (acc,x) -> acc+x)"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** 60-bit md5-prefix token hash — mirror of [[TextAnalysis.tokHash]]. */
+  private def sqlTokHash(t: String): String =
+    s"('0x' || substr(md5($t), 1, 15))::BIGINT"
+
+  private val sqlDocs2 =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+
+  /** Shared shingle/pair CTE prefix for the Jaccard oracles. */
+  private val sqlShingleCtes =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') s FROM documents),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(s) >= $NgramN
+       |              THEN list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |                                  for i in generate_series(1, len(s) - ${NgramN - 1})])
+       |              ELSE [] END gs FROM tok),
+       |ex AS (SELECT doc_id, unnest(gs) g FROM sh),
+       |sizes AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
+       |pairs AS (SELECT a.doc_id doc_id_1, b.doc_id doc_id_2, count(*) n_common
+       |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
+  private val sqlMinhashSig = {
+    val mins = (0 until Dedup.MinHashK)
+      .map(i => s"min((${Dedup.aCoef(i)}*h + ${Dedup.bCoef(i)}) % $P) AS mh$i")
+      .mkString(",\n       ")
+    val bands = (0 until Dedup.MinHashK / 2)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b}*$P + mh${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""hh AS (SELECT doc_id, ${sqlTokHash("g")} % $P h FROM ex),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |       FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id doc_id_1, b.doc_id doc_id_2
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB oracle SQL, one per [[queries]] key; column names/aliases match
     * the Spark output exactly (driver compare sorts columns by name). */
@@ -213,5 +314,100 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       length(text) AS n_chars_calc,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+        |       len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |       len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+        |       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |            WHEN es_hits >= fr_hits THEN 'es'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM (SELECT doc_id, lang,
+        |             len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en_hits,
+        |             len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de_hits,
+        |             len(regexp_extract_all(text, '\b(el|los|las|y)\b')) AS es_hits,
+        |             len(regexp_extract_all(text, '\b(le|les|et|une)\b')) AS fr_hits
+        |      FROM documents)""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE) / length(text) AS tokens_per_char,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS distinct_ratio,
+        |       CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS stopword_ratio,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |               / len(string_split(text, ' ')) * 0.5
+        |             + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |             + least(CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+        |                       / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2, 6) AS quality
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(text, ' '), t -> ${sqlTokHash("t")} % $P)),
+         |         (acc, x) -> (acc*31 + x) % $P) AS fingerprint
+         |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      s"""WITH docs2 AS ($sqlDocs2)
+         |SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+         |FROM docs2 GROUP BY 1""".stripMargin,
+    "q_dedup_keep_first" ->
+      s"""WITH docs2 AS ($sqlDocs2)
+         |SELECT doc_id, text_hash FROM (
+         |  SELECT doc_id, md5(text) AS text_hash,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM docs2)
+         |WHERE rn = 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $sqlShingleCtes
+         |SELECT doc_id_1, doc_id_2, n_common,
+         |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+         |FROM pairs JOIN sizes s1 ON doc_id_1 = s1.doc_id JOIN sizes s2 ON doc_id_2 = s2.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH $sqlShingleCtes,
+         |$sqlMinhashSig
+         |SELECT p.doc_id_1, p.doc_id_2,
+         |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+         |FROM pairs p
+         |JOIN cand c ON p.doc_id_1 = c.doc_id_1 AND p.doc_id_2 = c.doc_id_2
+         |JOIN sizes s1 ON p.doc_id_1 = s1.doc_id
+         |JOIN sizes s2 ON p.doc_id_2 = s2.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |h AS (SELECT doc_id, ${sqlTokHash("tok")} h FROM t),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j) jj
+         |      GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY 1""".stripMargin,
+    "q_similarity_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+         |SELECT vec_id, label, ${sqlCosine("v", "qv")} AS sim
+         |FROM e, q
+         |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id vec_id_1, b.vec_id vec_id_2, a.label AS bucket,
+         |         ${sqlCosine("a.v", "b.v")} AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE sim > $CosineMinSim""".stripMargin,
   )
 }

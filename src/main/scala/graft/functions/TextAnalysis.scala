@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting) over the `documents` table.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions` —
+  * no UDFs — so whole-stage codegen spans the full pipeline and the work
+  * distributes embarrassingly (per-row, no shuffle until an aggregate).
+  *
+  * Cross-engine determinism: token hashing uses the first 15 hex chars of
+  * md5 (a 60-bit integer both Spark's `conv` and DuckDB's hex cast produce
+  * identically); all ratios are single divisions of exact integers.
+  */
+object TextAnalysis {
+
+  /** Large prime modulus for rolling/minhash arithmetic (fits products in
+    * 64-bit: acc,x < P ≈ 2^30 → acc*31+x < 2^35). */
+  val P: Long = 1000000007L
+
+  /** 60-bit deterministic token hash: md5 hex prefix → bigint. Identical in
+    * DuckDB as `('0x' || substr(md5(t), 1, 15))::BIGINT`. */
+  def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (keeps empty tokens on repeated/trailing separators —
+    * same as DuckDB's string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document surface statistics: char/token counts, distinct tokens,
+    * average token length. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      (aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double") /
+        size(t)).as("avg_token_len"))
+  }
+
+  /** BPE-ish token counting via a class regex: alphabetic runs, digit runs,
+    * and single non-alnum symbols — the shape of a byte-pair pretokenizer. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_sym"))
+
+  /** Stopword-count language-ID heuristic: per-language function-word hit
+    * counts; prediction = argmax with a fixed preference order on ties. */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(pat: String): Column = regexp_count(col("text"), lit(pat))
+    val en = hits("\\b(the|a|of|and)\\b")
+    val de = hits("\\b(der|die|das|und)\\b")
+    val es = hits("\\b(el|los|las|y)\\b")
+    val fr = hits("\\b(le|les|et|une)\\b")
+    docs.select(
+      col("doc_id"), col("lang"),
+      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      when(en >= de && en >= es && en >= fr, lit("en"))
+        .when(de >= es && de >= fr, lit("de"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr")).as("lang_pred"))
+  }
+
+  /** Composite quality score from length/diversity/stopword ratios. All
+    * arithmetic is a fixed-order chain of double ops → engine-identical. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") / size(t)
+    val stopHits = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double")
+    docs.select(
+      col("doc_id"),
+      (nTok / nChars).as("tokens_per_char"),
+      distinctRatio.as("distinct_ratio"),
+      (stopHits / size(t)).as("stopword_ratio"),
+      round(distinctRatio * lit(0.5) +
+        least(nChars / lit(500.0), lit(1.0)) * lit(0.3) +
+        least(stopHits / size(t) * lit(5.0), lit(1.0)) * lit(0.2), 6).as("quality"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
+    * Order-sensitive by construction (it is a sequence fingerprint). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        transform(tokens(col("text")), t => tokHash(t) % lit(P)),
+        lit(0L),
+        (acc, x) => (acc * lit(31L) + x) % lit(P)).as("fingerprint"))
+}

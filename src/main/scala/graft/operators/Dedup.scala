@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis.{tokHash, P}
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash aggregation on a 128-bit content hash —
+  *    partial aggregation collapses duplicates map-side before the shuffle;
+  *  - n-gram Jaccard joins on individual shingles; frequent shingles are
+  *    skew keys — AQE skew-join splitting handles moderate skew, and the
+  *    MinHash+LSH path below is the intended plan at full scale (it shuffles
+  *    16 signature values per doc instead of every shingle);
+  *  - MinHash+LSH: shingle→60-bit hash→k min-hashes→bands→bucket join.
+  *    Candidate generation touches only (band, bucket) keys, so the
+  *    pairwise-comparison explosion never materializes;
+  *  - SimHash: one explode + two hash aggregations, all integer math.
+  */
+object Dedup {
+
+  /** 128-bit content hash (hex md5 — identical in DuckDB). */
+  def contentHash(c: Column): Column = md5(c)
+
+  /** Exact-duplicate groups: one row per distinct content, with copy count
+    * and the kept (minimum) doc_id. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(contentHash(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Keep-first exact dedup: the surviving rows themselves
+    * (row_number()==1 per content hash, ordered by doc_id). */
+  def exactKeepFirst(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    docs
+      .withColumn("text_hash", contentHash(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text_hash"))
+  }
+
+  /** Distinct n-token shingles per document (empty array when the document
+    * has fewer than n tokens — matching the SQL guard exactly). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o + 1))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (doc_id, shingle) with per-doc set sizes attached. */
+  private def shingleSets(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val ex = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    (ex, sizes)
+  }
+
+  private def jaccardOf(pairs: DataFrame, sizes: DataFrame): DataFrame =
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+        .withColumnRenamed("n_shingles", "n1"), Seq("doc_id_1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+        .withColumnRenamed("n_shingles", "n2"), Seq("doc_id_2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+
+  /** All document pairs with n-gram Jaccard ≥ minJaccard. Pairs are found by
+    * joining on shared shingles (each co-occurrence counted once per shingle),
+    * then scored exactly. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val (ex, sizes) = shingleSets(docs, n)
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    jaccardOf(pairs, sizes)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash parameters: k universal hash functions (a_i·h + b_i) mod P over
+    * 60-bit shingle hashes reduced mod P. Constants are LCG-derived and
+    * mirrored verbatim into the oracle SQL. */
+  val MinHashK = 16
+  def aCoef(i: Int): Long = (1664525L * i + 1013904223L) % P
+  def bCoef(i: Int): Long = (22695477L * i + 12345L) % P
+
+  /** MinHash signatures: one row per doc, `sig` = array of k min-hash values. */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val (ex, _) = shingleSets(docs, n)
+    val h = ex.select(col("doc_id"), (tokHash(col("g")) % lit(P)).as("h"))
+    val mins: Seq[Column] = (0 until MinHashK).map(i =>
+      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % lit(P)).as(s"mh$i"))
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinHashK).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the k-wide signature into bands of 2 rows,
+    * bucket-join on (band, bucket_key), emit distinct doc pairs. Only
+    * same-bucket docs ever meet — the join key space is tiny vs all pairs. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bands = signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until MinHashK / 2).map(b =>
+        col("sig")(2 * b) * lit(P) + col("sig")(2 * b + 1)): _*)))
+      .toDF("doc_id", "band", "bucket")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets, then
+    * exact Jaccard verification on the candidates only. */
+  def minhashLshPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val candidates = lshCandidates(minhashSignatures(docs, n))
+    val (ex, sizes) = shingleSets(docs, n)
+    val common = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(candidates, Seq("doc_id_1", "doc_id_2"), "left_semi")
+    jaccardOf(common, sizes)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash fingerprint: per token-occurrence 60-bit hash, per bit
+    * the sign of Σ(±1), assembled back into one bigint. Pure integer math —
+    * engine-identical. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokenHashes = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val bitSums = tokenHashes
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      // expr: the Scala shiftright() wrapper only takes a literal shift
+      .agg(sum(when(expr("shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT)") === 1L, 1L)
+        .otherwise(-1L)).as("s"))
+    bitSums
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+}

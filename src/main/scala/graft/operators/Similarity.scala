@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Design (builder brief "similarity search"):
+  *  - brute-force cosine top-k against one query vector is the exact
+  *    baseline: broadcast the single query row, one narrow map over the
+  *    corpus, TakeOrderedAndProject for the top-k — no shuffle of the
+  *    corpus at any scale;
+  *  - near-dup pair search is pre-bucketed (here by `label`; the general
+  *    scale path is LSH bucketing, see [[randomHyperplaneBuckets]]) so the
+  *    quadratic pair space only materializes within buckets;
+  *  - all dot products fold left-to-right in double precision
+  *    (`aggregate` over `zip_with`), which DuckDB's `list_reduce` mirrors
+  *    exactly → bit-identical similarity values, so even threshold/top-k
+  *    selections agree across engines.
+  */
+object Similarity {
+
+  /** Sequential left-to-right dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** cos(a,b) = dot/(√dot(a,a)·√dot(b,b)), all in fixed evaluation order. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force cosine top-k of the corpus against the embedding of
+    * `queryVecId` (the query row itself scores 1.0 and is included). */
+  def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        cosine(asDouble(col("embedding")), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Near-duplicate pairs within a bucket column (exact cosine > threshold,
+    * pairs only formed inside buckets → quadratic blowup is bounded by the
+    * largest bucket, not the corpus). */
+  def nearDupPairs(embeddings: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col(bucketCol).as("bucket"), asDouble(col("embedding")).as("v"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        col("a.bucket").as("bucket"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
+  /** Random-hyperplane LSH bucket id (the ANN scale path): `planes` sign
+    * bits of deterministic pseudo-random hyperplanes, packed into a long.
+    * Plane weights derive from md5(plane,dim) → integer in [-1000, 1000],
+    * so bucket assignment is reproducible everywhere. */
+  def randomHyperplaneBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val bucketBits: Seq[Column] = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          v,
+          transform(sequence(lit(0), size(v) - 1), d =>
+            (conv(substring(md5(concat_ws("_", lit(p), d)), 1, 15), 16, 10).cast("long")
+              % lit(2001L) - lit(1000L)).cast("double")),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    embeddings.select(
+      col("vec_id"), col("label"),
+      bucketBits.reduce(_ + _).as("ann_bucket"))
+  }
+
+  /** Approximate top-k: restrict the exact cosine scan to the query's LSH
+    * bucket. Trades recall for touching only ~corpus/2^planes rows. */
+  def annTopK(embeddings: DataFrame, queryVecId: Long, planes: Int, k: Int): DataFrame = {
+    val bucketed = randomHyperplaneBuckets(embeddings, planes)
+      .join(embeddings, Seq("vec_id", "label"))
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("ann_bucket").as("q_bucket"), asDouble(col("embedding")).as("qv"))
+    bucketed
+      .crossJoin(broadcast(q))
+      .filter(col("ann_bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        cosine(asDouble(col("embedding")), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}
