@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Relational, Similarity, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -135,6 +135,16 @@ object SparkEntry {
     // is validated against brute force in the ScalaTest suite instead.
     "q_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), QueryVecId, 4, TopKSim)),
+
+    // --- multimodal column plumbing (decode is a deterministic stub) ---
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Multimodal.mediaFromDocs(Tables.documents(s, dir)))),
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocs(Tables.documents(s, dir)), 4, 16)),
   )
 
   // --- SQL fragment builders shared by several oracles (mirror the Scala
@@ -190,6 +200,14 @@ object SparkEntry {
        |         FROM bands a JOIN bands b
        |         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** media CTE mirror of [[Multimodal.mediaFromDocs]] (text domain; the
+    * document corpus is ASCII so char and byte offsets coincide). */
+  private val sqlMedia =
+    """media AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind, text FROM documents)""".stripMargin
 
   /** DuckDB oracle SQL, one per [[queries]] key; column names/aliases match
     * the Spark output exactly (driver compare sorts columns by name). */
@@ -409,5 +427,26 @@ object SparkEntry {
          |         ${sqlCosine("a.v", "b.v")} AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim > $CosineMinSim""".stripMargin,
+    "q_multimodal_meta" ->
+      s"""WITH $sqlMedia
+         |SELECT media_id, kind,
+         |       octet_length(encode(text)) AS n_bytes,
+         |       md5(text) AS content_md5,
+         |       hex(encode(substr(text, 1, 8))) AS head_hex
+         |FROM media""".stripMargin,
+    "q_media_features" ->
+      s"""WITH $sqlMedia
+         |SELECT media_id, kind,
+         |       octet_length(encode(text)) AS n_bytes,
+         |       octet_length(encode(text)) % 640 AS width,
+         |       octet_length(encode(text)) % 480 AS height,
+         |       md5(text) AS checksum
+         |FROM media""".stripMargin,
+    "q_frame_sample" ->
+      s"""WITH $sqlMedia
+         |SELECT media_id, frame_idx,
+         |       encode(substr(text, frame_idx * (length(text) // 4) + 1, 16)) AS frame
+         |FROM media, (SELECT unnest(generate_series(0, 3)) frame_idx) f
+         |WHERE octet_length(encode(substr(text, frame_idx * (length(text) // 4) + 1, 16))) > 0""".stripMargin,
   )
 }

@@ -36,9 +36,9 @@ object TextAnalysis {
     val t = tokens(col("text"))
     docs.select(
       col("doc_id"),
-      length(col("text")).as("n_chars_calc"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
       (aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double") /
         size(t)).as("avg_token_len"))
   }
@@ -48,9 +48,9 @@ object TextAnalysis {
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
-      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
-      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_sym"))
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_sym"))
 
   /** Stopword-count language-ID heuristic: per-language function-word hit
     * counts; prediction = argmax with a fixed preference order on ties. */
@@ -62,7 +62,8 @@ object TextAnalysis {
     val fr = hits("\\b(le|les|et|une)\\b")
     docs.select(
       col("doc_id"), col("lang"),
-      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      en.cast("long").as("en_hits"), de.cast("long").as("de_hits"),
+      es.cast("long").as("es_hits"), fr.cast("long").as("fr_hits"),
       when(en >= de && en >= es && en >= fr, lit("en"))
         .when(de >= es && de >= fr, lit("de"))
         .when(es >= fr, lit("es"))

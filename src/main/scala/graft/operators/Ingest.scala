@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DataPoint, ShardDurationMs}
+
+/** Ingest/storage lifecycle — SURVEY.md §2.1 O1 (point ingest) + O2 (shard
+  * routing), re-expressed as hour-partitioned Parquet.
+  *
+  * Reference semantics being reproduced (see /root/reference):
+  *  - every point belongs to the hour shard `ts_ms / 3_600_000`
+  *    (engine/insight.cpp:6,9-14) → here a `shard_hour` partition column,
+  *    so Catalyst partition-prunes range queries to the touched hours
+  *    exactly like the reference's shard loop (insight.cpp:26-38);
+  *  - appends create new files (no codec-state replay — the reference's
+  *    O(n)-per-point bottleneck, shard.cpp:79-105, disappears by design);
+  *  - compression goal (~8.2 B/pt Gorilla, README.md:99) is met by Parquet
+  *    encodings (delta-binary-packed int64 + zstd), audited in Bench.
+  *
+  * Scale: the write is `partitionBy("shard_hour")` — each executor writes
+  * its own hour files; no shuffle unless the caller asks for file
+  * consolidation. Reads prune partitions first, then parquet row-group
+  * stats prune within the hour.
+  */
+object Ingest {
+
+  /** Batch ingest: append a typed set of points into the hour-partitioned
+    * store (the reference's proposed batch API, README.md:102). */
+  def ingestBatch(points: Dataset[DataPoint], path: String): Unit =
+    points.toDF()
+      .withColumn("shard_hour", floor(col("timestamp") / lit(ShardDurationMs)).cast("long"))
+      // sort within partitions so parquet min/max stats are tight per file
+      .sortWithinPartitions(col("shard_hour"), col("timestamp"))
+      .write.mode(SaveMode.Append).partitionBy("shard_hour").parquet(path)
+
+  /** Full-store scan (schema: timestamp, value, metric, shard_hour). */
+  def readPoints(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The reference's core read path (O3-O6): inclusive range scan with an
+    * ordered cap. The shard_hour predicate triggers partition pruning (the
+    * shard loop); the timestamp predicate is pushed to row-group stats;
+    * the cap is TakeOrderedAndProject (deterministic, unlike the
+    * reference's scan-order truncation — SURVEY.md §7). */
+  def queryRange(spark: SparkSession, path: String,
+      startMs: Long, endMs: Long, cap: Int = 10000): DataFrame =
+    readPoints(spark, path)
+      .filter(col("shard_hour").between(startMs / ShardDurationMs, endMs / ShardDurationMs))
+      .filter(col("timestamp").between(startMs, endMs))
+      .select(col("timestamp"), col("value"), col("metric"))
+      .orderBy(col("timestamp"), col("value"))
+      .limit(cap)
+}

