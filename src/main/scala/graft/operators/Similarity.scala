@@ -31,15 +31,20 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact brute-force cosine top-k of the corpus against the embedding of
-    * `queryVecId` (the query row itself scores 1.0 and is included). */
+    * `queryVecId` (the query row itself scores 1.0 and is included). The
+    * query norm is computed once on the broadcast side, not per corpus row;
+    * the value is bit-identical (same fold over the same vector). */
   def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     embeddings
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"), col("label"),
-        cosine(asDouble(col("embedding")), col("qv")).as("sim"))
+        (dot(asDouble(col("embedding")), col("qv")) /
+          (sqrt(dot(asDouble(col("embedding")), asDouble(col("embedding")))) * col("qn")))
+          .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -48,8 +53,12 @@ object Similarity {
     * pairs only formed inside buckets → quadratic blowup is bounded by the
     * largest bucket, not the corpus). */
   def nearDupPairs(embeddings: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
+    // norms once per vector (before the pair join), not once per pair —
+    // same double value (identical fold), 3× less arithmetic in the O(pairs)
+    // stage and the join payload carries a precomputed scalar
     val e = embeddings.select(
       col("vec_id"), col(bucketCol).as("bucket"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -57,7 +66,7 @@ object Similarity {
         col("a.vec_id").as("vec_id_1"),
         col("b.vec_id").as("vec_id_2"),
         col("a.bucket").as("bucket"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") > threshold)
   }
 
@@ -65,17 +74,21 @@ object Similarity {
     * bits of deterministic pseudo-random hyperplanes, packed into a long.
     * Plane weights derive from md5(plane,dim) → integer in [-1000, 1000],
     * so bucket assignment is reproducible everywhere. */
-  def randomHyperplaneBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
+  /** Deterministic pseudo-random plane weight: md5 of "plane_dim" → 60-bit
+    * int → [-1000, 1000]. Computed ONCE in Scala and shipped as literals —
+    * the per-row hot path is a plain dot product, no hashing. */
+  def planeWeight(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble
+  }
+
+  def randomHyperplaneBuckets(embeddings: DataFrame, planes: Int, dims: Int = 64): DataFrame = {
     val v = asDouble(col("embedding"))
     val bucketBits: Seq[Column] = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(
-          v,
-          transform(sequence(lit(0), size(v) - 1), d =>
-            (conv(substring(md5(concat_ws("_", lit(p), d)), 1, 15), 16, 10).cast("long")
-              % lit(2001L) - lit(1000L)).cast("double")),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val proj = aggregate(zip_with(v, w, (x, wi) => x * wi), lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     embeddings.select(
