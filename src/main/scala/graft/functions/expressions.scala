@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is semantically right but the
+  * lambda bodies of higher-order functions are INTERPRETED per element.
+  * This expression participates in whole-stage codegen (`doGenCode` emits a
+  * tight primitive loop), with the exact same left-to-right summation order,
+  * so results are bit-identical to the fold (and to the DuckDB oracle's
+  * `list_reduce`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double> (callers cast); no ExpectsInputTypes
+  // because AbstractDataType is private[sql]
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the graft-native expressions. */
+object GraftFunctions {
+  /** Codegen'd sequential dot product of two `array<double>` columns. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** SparkSessionExtensions registration — makes `graft_dot` callable from
+  * SQL: `SELECT graft_dot(a, b)`. Wire with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

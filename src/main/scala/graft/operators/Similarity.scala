@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-to-right dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-to-right dot product of two double-array columns —
+    * a native codegen'd expression ([[graft.functions.DotProduct]]); same
+    * fold order as `aggregate(zip_with(...))` and DuckDB's `list_reduce`,
+    * so values are bit-identical, just compiled instead of interpreted. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot_product(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -88,7 +90,7 @@ object Similarity {
     val v = asDouble(col("embedding"))
     val bucketBits: Seq[Column] = (0 until planes).map { p =>
       val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
-      val proj = aggregate(zip_with(v, w, (x, wi) => x * wi), lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, w)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     embeddings.select(

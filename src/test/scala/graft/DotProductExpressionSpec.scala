@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DotProduct, GraftFunctions}
+import graft.sources.Tables
+
+/** The native codegen'd DotProduct must be bit-identical to the
+  * interpreted higher-order-function fold, from Scala and from SQL. */
+class DotProductExpressionSpec extends AnyFunSuite with SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("native dot product equals the aggregate/zip_with fold bit-for-bit") {
+    val both = emb.select(
+      GraftFunctions.dot_product(col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("folded"))
+    assert(both.filter(col("native") =!= col("folded")).count() == 0)
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    emb.createOrReplaceTempView("emb_view")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(v, v) AS d FROM emb_view ORDER BY vec_id")
+    val viaCol = emb.select(col("vec_id"),
+      GraftFunctions.dot_product(col("v"), col("v")).as("d")).orderBy("vec_id")
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+    assert(viaSql.count() == emb.count())
+  }
+
+  test("extension class registers the function identifier") {
+    assert(new graft.functions.GraftExtensions() != null)
+  }
+}
