@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Similarity, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -145,6 +145,33 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.mediaFromDocs(Tables.documents(s, dir)), 4, 16)),
+
+    // --- extended relational / scalar-function surface ---
+    "q_distinct_users" -> ((s, dir) =>
+      Relational.distinctUsers(Tables.events(s, dir))),
+    "q_stats_agg" -> ((s, dir) =>
+      Relational.statsAgg(Tables.events(s, dir))),
+    "q_date_parts" -> ((s, dir) =>
+      Relational.datePartsAgg(Tables.events(s, dir))),
+    "q_string_funcs" -> ((s, dir) =>
+      Relational.stringFuncs(Tables.documents(s, dir))),
+    "q_union_tagged" -> ((s, dir) =>
+      Relational.unionTagged(Tables.events(s, dir))),
+    "q_pivot" -> ((s, dir) =>
+      Relational.pivotCounts(Tables.events(s, dir))),
+    "q_histogram" -> ((s, dir) =>
+      Relational.histogram(Tables.events(s, dir), 50.0)),
+    "q_range_join" -> ((s, dir) => {
+      val err = Tables.events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id"),
+          unix_micros(col("ts")).as("err_ts_us"))
+      val pur = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purch_ts_us"))
+      RangeJoin.intervalJoin(err, pur, "user_id", "err_ts_us", "purch_ts_us", 3600000000L)
+        .select(col("err_event_id"), col("purch_event_id"),
+          (col("purch_ts_us") - col("err_ts_us")).as("gap_us"))
+    }),
   )
 
   // --- SQL fragment builders shared by several oracles (mirror the Scala
@@ -448,5 +475,55 @@ object SparkEntry {
          |       encode(substr(text, frame_idx * (length(text) // 4) + 1, 16)) AS frame
          |FROM media, (SELECT unnest(generate_series(0, 3)) frame_idx) f
          |WHERE octet_length(encode(substr(text, frame_idx * (length(text) // 4) + 1, 16))) > 0""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT event_type, n,
+        |       sum_v / n AS mean_v,
+        |       (sum_vv - sum_v * sum_v / n) / (n - 1) AS var_v
+        |FROM (SELECT event_type, count(*) AS n,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_vv
+        |      FROM events GROUP BY event_type)""".stripMargin,
+    "q_date_parts" ->
+      """SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 12)) AS head_upper,
+        |       length(replace(text, ' ', '')) AS n_nonspace,
+        |       CAST(levenshtein(lang, source) AS BIGINT) AS lev_lang_source,
+        |       string_split(text, ' ')[1] AS first_token,
+        |       reverse(string_split(text, ' ')[-1]) AS last_token_rev
+        |FROM documents""".stripMargin,
+    "q_union_tagged" ->
+      """SELECT tag, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT 'high' AS tag, value FROM events WHERE value >= 100.0
+        |      UNION ALL
+        |      SELECT 'low' AS tag, value FROM events WHERE value < 100.0)
+        |GROUP BY tag""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_id AS err_event_id, p.event_id AS purch_event_id,
+        |       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = e.user_id
+        | AND epoch_us(p.ts) >= epoch_us(e.ts)
+        | AND epoch_us(p.ts) <= epoch_us(e.ts) + 3600000000""".stripMargin,
   )
 }

@@ -126,4 +126,75 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy((col("k") % lit(10L)).as("k_mod"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Distinct aggregation: exact distinct-user count per event type
+    * (two-phase distinct aggregate; the HLL `approx_count_distinct` variant
+    * is exercised in tests, not oracled — sketch internals differ across
+    * engines by construction). */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Moment statistics with exact DECIMAL accumulation: mean and sample
+    * variance from (Σx, Σx²) — fixed-order double arithmetic at the end, so
+    * engine-identical (built-in stddev uses Welford and is not). */
+  def statsAgg(events: DataFrame): DataFrame = {
+    val dec = col("value").cast("decimal(18,2)")
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("sum_v"),
+        sum(dec * dec).cast("double").as("sum_vv"))
+      .select(
+        col("event_type"), col("n"),
+        (col("sum_v") / col("n")).as("mean_v"),
+        ((col("sum_vv") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1))
+          .as("var_v"))
+  }
+
+  /** Calendar bucketing: events per (ISO-ish day-of-week, hour-of-day). */
+  def datePartsAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** String scalar-function surface over documents: case/substring/replace/
+    * edit distance — all codegen'd built-ins with cross-engine semantics. */
+  def stringFuncs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head_upper"),
+      // SQL replace(): replaces ALL occurrences in both engines (DuckDB's
+      // regexp_replace only does the first match without 'g' — avoided)
+      length(expr("replace(text, ' ', '')")).cast("long").as("n_nonspace"),
+      levenshtein(col("lang"), col("source")).cast("long").as("lev_lang_source"),
+      element_at(split(col("text"), " "), 1).as("first_token"),
+      reverse(element_at(split(col("text"), " "), -1)).as("last_token_rev"))
+
+  /** UNION ALL + re-aggregation across two filtered subsets. */
+  def unionTagged(events: DataFrame): DataFrame = {
+    val hi = events.filter(col("value") >= 100.0)
+      .select(lit("high").as("tag"), col("value"))
+    val lo = events.filter(col("value") < 100.0)
+      .select(lit("low").as("tag"), col("value"))
+    hi.unionByName(lo)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Pivot: per-user event-type counts as columns (explicit value list →
+    * stable schema; equivalent to conditional aggregation). */
+  def pivotCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
+  /** Fixed-width histogram of `value` (bucket = floor(value / width)). */
+  def histogram(events: DataFrame, width: Double): DataFrame =
+    events.groupBy(floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
 }
