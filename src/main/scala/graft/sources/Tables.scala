@@ -28,12 +28,16 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    val ts = raw.schema("ts").dataType match {
-      // integer `div`, not `/`: nanos ~1.7e18 exceeds double's 2^53 exactness
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts").cast(TimestampType)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // keep the raw nanos column: predicates on the PHYSICAL column push
+        // down to parquet row-group stats, predicates on the derived
+        // timestamp expression do not (see TimeSeries.rangeScan)
+        raw.select(col("*"), col("ts").as("ts_ns"))
+          // integer `div`, not `/`: nanos ~1.7e18 exceeds double's 2^53 exactness
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
-    raw.withColumn("ts", ts)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
