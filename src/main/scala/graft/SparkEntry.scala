@@ -62,6 +62,8 @@ object SparkEntry {
       TimeSeries.movingAvg(Tables.events(s, dir))),
     "q_topk_hours" -> ((s, dir) =>
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
+    "q_sessionize" -> ((s, dir) =>
+      TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
 
     // --- relational extension surface (SURVEY §2.2) ---
     "q_tpch_pricing" -> ((s, dir) =>
@@ -280,6 +282,21 @@ object SparkEntry {
         |       count(*) AS n_points
         |FROM events GROUP BY 1
         |ORDER BY avg_value DESC, bucket_us LIMIT 5""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

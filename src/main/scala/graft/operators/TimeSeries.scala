@@ -122,6 +122,27 @@ object TimeSeries {
         count(lit(1)).over(w)).as("moving_avg"))
   }
 
+  /** Gap-based sessionization (the batch twin of the streaming
+    * `flatMapGroupsWithState` sessionizer): a session breaks when the gap to
+    * the previous event of the same user exceeds `gapUs`. Two window passes
+    * over ONE partitioning (user_id) — a single shuffle; session ids are a
+    * running sum of break markers, so the whole thing is integer math. */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+  }
+
   /** Top-k hour buckets by average value (TakeOrderedAndProject; deterministic
     * tiebreak on the bucket itself). */
   def topkHours(events: DataFrame, k: Int): DataFrame =

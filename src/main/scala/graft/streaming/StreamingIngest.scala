@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.ShardDurationMs
@@ -46,4 +46,43 @@ object StreamingIngest {
       .select(
         unix_micros(col("window.start")).as("bucket_us"),
         col("n_points"), col("sum_value"), col("min_value"), col("max_value"))
+
+  // --- stateful sessionization (flatMapGroupsWithState) ---
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  /** Open session carried across micro-batches. */
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Per-user gap-based sessionizer over a streaming Dataset: each
+    * micro-batch folds its (sorted) events into the open session from state,
+    * emits every session CLOSED by a gap, and parks the still-open session
+    * back in state for the next batch — the custom-state operator the
+    * reference's synchronous API could never express (SURVEY.md §2.2). */
+  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = rows.map(_.ts_us).toSeq.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { ts =>
+            open match {
+              case Some(s) if ts - s.last_us <= gapUs =>
+                open = Some(s.copy(last_us = ts, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
+                open = Some(OpenSession(ts, ts, 1))
+              case None =>
+                open = Some(OpenSession(ts, ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

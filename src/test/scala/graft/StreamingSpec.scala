@@ -62,4 +62,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("stateful streaming sessionizer emits exactly the batch-closed sessions") {
+    import graft.streaming.StreamingIngest.SessionEvent
+    val src = Files.createTempDirectory("graft_sess_src_").toString
+    // events for the stream: reuse the generated points as (user, ts) pairs
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    ev.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val gapUs = 1800000000L
+
+    val streamed = graft.streaming.StreamingIngest.sessionizeStream(
+      spark.readStream.schema(schema).parquet(src).as[SessionEvent], gapUs)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_out")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+
+    // batch sessions, minus each user's final (still-open in the stream) one
+    val batch = graft.operators.TimeSeries.sessionize(
+      graft.sources.Tables.events(spark, sf0001), gapUs)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max(col("session_start_us")).as("session_start_us"))
+    val wantClosed = batch.join(lastPerUser, Seq("user_id", "session_start_us"), "left_anti")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+
+    assert(got.exceptAll(wantClosed).count() == 0 && wantClosed.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
 }
