@@ -77,4 +77,24 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     val sh = SparkEntry.queries("q_simhash")(spark, sf0001)
     assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
   }
+
+  test("HLL sketch (approx_count_distinct) lands within 10% of the exact distinct count") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.10, s"exact=$exact approx=$approx")
+  }
+
+  test("range join pairs respect the window and key equality") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf0001)
+    assert(df.filter(col("gap_us") < 0 || col("gap_us") > 3600000000L).count() == 0)
+  }
+
+  test("sessionize: session bounds are consistent and gaps within sessions <= threshold") {
+    val s = SparkEntry.queries("q_sessionize")(spark, sf0001)
+    assert(s.filter(col("session_end_us") < col("session_start_us")).count() == 0)
+    assert(s.filter(col("n_events") <= 0).count() == 0)
+  }
 }
