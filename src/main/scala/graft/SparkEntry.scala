@@ -163,6 +163,16 @@ object SparkEntry {
       Relational.pivotCounts(Tables.events(s, dir))),
     "q_histogram" -> ((s, dir) =>
       Relational.histogram(Tables.events(s, dir), 50.0)),
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsQty(Tables.lineitem(s, dir))),
+    "q_median_by_type" -> ((s, dir) =>
+      Relational.medianByType(Tables.events(s, dir))),
+    "q_order_ranks" -> ((s, dir) =>
+      Relational.orderRanks(Tables.orders(s, dir), 100)),
+    "q_first_last_window" -> ((s, dir) =>
+      Relational.firstLastWindow(Tables.events(s, dir))),
+    "q_salted_agg" -> ((s, dir) =>
+      Relational.saltedSumByType(Tables.events(s, dir), 8)),
     "q_range_join" -> ((s, dir) => {
       val err = Tables.events(s, dir).filter(col("event_type") === "error")
         .select(col("event_id").as("err_event_id"), col("user_id"),
@@ -534,6 +544,47 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q_median_by_type" ->
+      """SELECT event_type, value AS median_value, n AS n_rows
+        |FROM (SELECT event_type, value, event_id,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM events)
+        |WHERE rn = (n + 1) // 2""".stripMargin,
+    "q_order_ranks" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rnk <= 100""".stripMargin,
+    "q_first_last_window" ->
+      """SELECT event_type,
+        |       max(first_id) AS first_id, max(last_id) AS last_id,
+        |       max(third_value) AS third_value
+        |FROM (SELECT event_type,
+        |             first_value(event_id) OVER w AS first_id,
+        |             last_value(event_id) OVER w AS last_id,
+        |             nth_value(value, 3) OVER w AS third_value
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |GROUP BY event_type""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_range_join" ->
       """SELECT e.event_id AS err_event_id, p.event_id AS purch_event_id,
         |       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us

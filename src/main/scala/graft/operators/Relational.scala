@@ -197,4 +197,75 @@ object Relational {
   def histogram(events: DataFrame, width: Double): DataFrame =
     events.groupBy(floor(col("value") / lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** Explicit GROUPING SETS ((returnflag, linestatus), (returnflag), ()) with
+    * grouping_id — the general form behind rollup/cube. */
+  def groupingSetsQty(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        exactSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Exact positional median (no interpolation — engine-portable): the value
+    * at row ⌈n/2⌉ under a TOTAL order (value, event_id) per group. */
+  def medianByType(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      // `/` is double division in Spark — truncate back to ⌈n/2⌉ (floor of
+      // (n+1)/2), matching the oracle's integer `//`
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
+  }
+
+  /** Ranking-function window surface: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over a deterministic total order. */
+  def orderRanks(orders: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
+  /** Analytic window values: first/last/nth event per type under a total
+    * order, evaluated with an unbounded frame. */
+  def firstLastWindow(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("first_id", first(col("event_id")).over(w))
+      .withColumn("last_id", last(col("event_id")).over(w))
+      .withColumn("third_value", nth_value(col("value"), 3).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("first_id")).as("first_id"), max(col("last_id")).as("last_id"),
+        max(col("third_value")).as("third_value"))
+  }
+
+  /** Skew-safe two-phase aggregation (salting pattern): spray hot keys over
+    * `salt` sub-keys for the partial phase, then merge. Results identical to
+    * the direct aggregation — exercised as the at-scale plan for skewed
+    * group-bys (a handful of event types over billions of rows). */
+  def saltedSumByType(events: DataFrame, salt: Int): DataFrame =
+    events
+      .withColumn("__salt", pmod(col("event_id"), lit(salt.toLong)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("partial_sum")).cast("double").as("sum_value"),
+        sum(col("partial_n")).as("n"))
 }
