@@ -40,6 +40,20 @@ object Ingest {
   def readPoints(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed write (hash-bucket co-location): both sides of a recurring
+    * fact-fact join written with the SAME bucket count on the join key join
+    * WITHOUT a shuffle — each task reads matching bucket files from both
+    * tables. This is the intended 100 TB layout for lineitem⋈orders-shaped
+    * joins; `sortBy` additionally removes the in-task sort for sort-merge.
+    * (Bucketed tables go through the session catalog; `path` makes them
+    * external so no warehouse directory is involved.) */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** The reference's core read path (O3-O6): inclusive range scan with an
     * ordered cap. The shard_hour predicate triggers partition pruning (the
     * shard loop); the timestamp predicate is pushed to row-group stats;
