@@ -64,6 +64,23 @@ object SparkEntry {
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
+    "q_sliding_window" -> ((s, dir) =>
+      TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      val tolUs = 7200000000L // only match errors at most 2h old
+      val base = AsOfJoin.asOf(purchases, errors, "user_id", "ts",
+        Seq("ts" -> "err_ts", "value" -> "err_value"))
+      val inTol = unix_micros(col("err_ts")) >= unix_micros(col("ts")) - tolUs
+      base.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(inTol, unix_micros(col("err_ts"))).as("err_ts_us"),
+        when(inTol, col("err_value")).as("err_value"))
+    }),
 
     // --- relational extension surface (SURVEY §2.2) ---
     "q_tpch_pricing" -> ((s, dir) =>
@@ -307,6 +324,22 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT window_start_us, count(*) AS n_points,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT (epoch_us(ts) // 300000000) * 300000000 - k * 300000000 AS window_start_us,
+        |             value
+        |      FROM events, (SELECT unnest(generate_series(0, 2)) k) kk)
+        |GROUP BY 1""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       CASE WHEN epoch_us(e.ts) >= epoch_us(p.ts) - 7200000000
+        |            THEN epoch_us(e.ts) END AS err_ts_us,
+        |       CASE WHEN epoch_us(e.ts) >= epoch_us(p.ts) - 7200000000
+        |            THEN e.value END AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -122,6 +122,19 @@ object TimeSeries {
         count(lit(1)).over(w)).as("moving_avg"))
   }
 
+  /** Sliding-window aggregate via the built-in `window()` generator: each
+    * event lands in size/slide overlapping windows (Spark explodes them);
+    * partial aggregation then collapses per (window, …) before the shuffle.
+    * Output keyed by the window start in epoch micros. */
+  def slidingWindowAgg(events: DataFrame, size: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_points"), col("sum_value"))
+
   /** Gap-based sessionization (the batch twin of the streaming
     * `flatMapGroupsWithState` sessionizer): a session breaks when the gap to
     * the previous event of the same user exceeds `gapUs`. Two window passes
