@@ -66,6 +66,12 @@ object SparkEntry {
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
     "q_sliding_window" -> ((s, dir) =>
       TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
+    // Gorilla-codec byte footprint of each hour shard (reference
+    // shard.cpp:107-126 semantics) — needs raw double bit patterns, which
+    // SQL can't express → rows-only check + golden ScalaTest vs a direct
+    // codec transcription (GorillaFootprintSpec).
+    "q_gorilla_footprint" -> ((s, dir) =>
+      TimeSeries.gorillaFootprint(Tables.events(s, dir))),
     "q_asof_tolerance" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

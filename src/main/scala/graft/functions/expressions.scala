@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for the embedding hot path.
@@ -55,12 +55,34 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw IEEE-754 bit pattern of a double as a long
+  * (`Double.doubleToRawLongBits`) — the primitive the reference's XOR value
+  * codec operates on (shard.cpp:121-123 memcpy). Not expressible with Spark
+  * built-ins; trivially codegen'd. */
+case class DoubleBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToRawLongBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBits =
+    copy(child = newChild)
+}
+
 /** Column-level API for the graft-native expressions. */
 object GraftFunctions {
   /** Codegen'd sequential dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Raw bit pattern of a double column as a long. */
+  def double_bits(c: Column): Column =
+    GraftColumnBridge.column(DoubleBits(GraftColumnBridge.expression(c)))
 }
 
 /** SparkSessionExtensions registration — makes `graft_dot` callable from
@@ -73,5 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_double_bits"),
+      new ExpressionInfo(classOf[DoubleBits].getName, "graft_double_bits"),
+      (exprs: Seq[Expression]) => DoubleBits(exprs.head)))
   }
 }

@@ -122,6 +122,52 @@ object TimeSeries {
         count(lit(1)).over(w)).as("moving_avg"))
   }
 
+  /** LEB128 varint byte count of an unsigned 64-bit value carried in a
+    * (signed) long: 1 byte per started 7-bit group; top-bit-set values
+    * (negative as signed) always need the full 10 bytes. */
+  private def varintBytes(x: Column): Column =
+    when(x < 0, 10L)
+      .otherwise(
+        // fold from 8 down to 1 so the SMALLEST threshold is the outermost
+        // when; any nonnegative value ≥ 2^56 needs 9 bytes (2^63 is not a
+        // representable long threshold — top-bit values took the 10 branch)
+        (8 to 1 by -1).foldLeft(lit(9L)) { (acc, bytes) =>
+          when(x < lit(1L << (7 * bytes)), bytes.toLong).otherwise(acc)
+        })
+
+  /** Exact storage-size oracle for the reference's Gorilla-style codec
+    * (shard.cpp:107-126), computed RELATIONALLY: per hour shard and stream
+    * position, the encoded size is
+    *   first point:  varint(raw ts_ms) + varint(bits(value) XOR 0)
+    *   later points: varint(zigzag(delta-of-delta)) + varint(bits XOR prev)
+    * with zigzag(n) = (n<<1)^(n>>63) (shard.cpp:115) and value bits from the
+    * native [[graft.functions.DoubleBits]] expression (shard.cpp:121-123).
+    * Streams are ordered by (ts, event_id) — the sorted-stream footprint.
+    * Answers "what would the reference's shard files weigh for this data"
+    * as one window pass + one aggregation. */
+  def gorillaFootprint(events: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.double_bits
+    val w = Window.partitionBy(col("shard_hour")).orderBy(col("ts_ms"), col("event_id"))
+    val staged = events
+      .select(col("event_id"), col("value"),
+        (unix_micros(col("ts")) / lit(1000L)).cast("long").as("ts_ms"))
+      .withColumn("shard_hour", floor(col("ts_ms") / lit(ShardDurationMs)).cast("long"))
+      .withColumn("delta", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .withColumn("dod", col("delta") - coalesce(lag(col("delta"), 1).over(w), lit(0L)))
+      .withColumn("vbits", double_bits(col("value")))
+      .withColumn("vxor",
+        col("vbits").bitwiseXOR(coalesce(lag(col("vbits"), 1).over(w), lit(0L))))
+    val zigzag = shiftleft(col("dod"), 1).bitwiseXOR(shiftright(col("dod"), 63))
+    val tsBytes = when(col("delta").isNull, varintBytes(col("ts_ms")))
+      .otherwise(varintBytes(zigzag))
+    staged
+      .withColumn("point_bytes", tsBytes + varintBytes(col("vxor")))
+      .groupBy(col("shard_hour"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("point_bytes")).as("gorilla_bytes"))
+  }
+
   /** Sliding-window aggregate via the built-in `window()` generator: each
     * event lands in size/slide overlapping windows (Spark explodes them);
     * partial aggregation then collapses per (window, …) before the shuffle.
