@@ -54,12 +54,34 @@ object Bench {
       walk(new java.io.File(store))
     }
 
+    // hot/cold range-query latency on the ingested store (reference:
+    // benchmark.py:92-124 — 1h window in the newest 10% vs 24h in the oldest
+    // 50%; our numbers carry Spark's per-job scheduling floor, see
+    // BASELINE.md comparability notes)
+    val t0 = 1664632800000L
+    val tN = t0 + (nPoints - 1) * 1000L
+    val openStore = Ingest.readPoints(spark, store) // file index opened once
+    def medianMs(runs: Int)(start: Long, end: Long): Double = {
+      val times = (0 until runs).map { _ =>
+        val q0 = System.nanoTime()
+        // collect the capped rows — the reference's buffer-fill semantics
+        Ingest.queryRange(openStore, start, end, 10000).collect()
+        (System.nanoTime() - q0) / 1e6
+      }.sorted
+      times(runs / 2)
+    }
+    val hotStart = tN - (nPoints / 10) * 1000L // newest 10%
+    val hotMs = medianMs(21)(hotStart, hotStart + 3600000L)
+    val coldMs = medianMs(21)(t0, t0 + 24L * 3600000L)
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
+      s""""hot_query_ms":${"%.1f".format(hotMs)},""" +
+      s""""cold_query_ms":${"%.1f".format(coldMs)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

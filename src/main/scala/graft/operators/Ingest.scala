@@ -65,7 +65,14 @@ object Ingest {
     * reference's scan-order truncation — SURVEY.md §7). */
   def queryRange(spark: SparkSession, path: String,
       startMs: Long, endMs: Long, cap: Int = 10000): DataFrame =
-    readPoints(spark, path)
+    queryRange(readPoints(spark, path), startMs, endMs, cap)
+
+  /** Overload over an already-opened store: the DataFrame carries its file
+    * index, so repeated (hot) queries skip re-listing the store — the moral
+    * equivalent of the reference keeping shard files open. */
+  def queryRange(points: DataFrame,
+      startMs: Long, endMs: Long, cap: Int): DataFrame =
+    points
       .filter(col("shard_hour").between(startMs / ShardDurationMs, endMs / ShardDurationMs))
       .filter(col("timestamp").between(startMs, endMs))
       .select(col("timestamp"), col("value"), col("metric"))
