@@ -113,6 +113,8 @@ object SparkEntry {
       Relational.topkOrders(Tables.orders(s, dir), 10)),
     "q_json_extract" -> ((s, dir) =>
       Relational.jsonKeyDistribution(Tables.events(s, dir))),
+    "q_json_struct" -> ((s, dir) =>
+      Relational.jsonStructStats(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -419,6 +421,13 @@ object SparkEntry {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "q_json_struct" ->
+      """SELECT event_type,
+        |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |       epoch_us(e.ts) AS err_ts_us, e.value AS err_value

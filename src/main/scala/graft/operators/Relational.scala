@@ -127,6 +127,18 @@ object Relational {
       .groupBy((col("k") % lit(10L)).as("k_mod"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Typed JSON parsing (`from_json` with an explicit schema — the planned
+    * path for ingesting the events `props` payload as real columns). */
+  def jsonStructStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+
   /** Distinct aggregation: exact distinct-user count per event type
     * (two-phase distinct aggregate; the HLL `approx_count_distinct` variant
     * is exercised in tests, not oracled — sketch internals differ across

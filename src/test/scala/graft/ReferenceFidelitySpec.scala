@@ -69,6 +69,19 @@ class ReferenceFidelitySpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(1000L, 2000L, 2500L))
   }
 
+  test("CSV source/sink round-trip preserves the point stream") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    val pts = a1.toDS().toDF()
+    pts.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("timestamp", LongType), StructField("value", DoubleType),
+      StructField("metric", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == a1.size)
+    assert(back.exceptAll(pts).count() == 0 && pts.exceptAll(back).count() == 0)
+  }
+
   test("limit cap truncates deterministically in timestamp order") {
     val pts = (0 until 200).map(i => DataPoint(i * 1000L, i.toDouble))
     val store = freshStore(pts)
