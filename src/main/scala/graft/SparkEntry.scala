@@ -129,6 +129,23 @@ object SparkEntry {
           col("err_value"))
     }),
 
+    // same semantics as q_asof_join, through the NATIVE custom operator
+    // (AsOfJoinPlan + AsOfJoinStrategy + AsOfJoinExec) — same DuckDB oracle
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("r_user_id"), col("ts").as("err_ts"),
+          col("value").as("err_value"))
+      graft.plans.AsOfJoinNative
+        .asOf(purchases, errors, "user_id", "r_user_id", "ts", "err_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+    }),
+
     // --- training-data pipeline surface: text analysis ---
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(Tables.documents(s, dir))),
@@ -421,6 +438,12 @@ object SparkEntry {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "q_asof_native" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       epoch_us(e.ts) AS err_ts_us, e.value AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
     "q_json_struct" ->
       """SELECT event_type,
         |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

@@ -99,5 +99,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_double_bits"),
       new ExpressionInfo(classOf[DoubleBits].getName, "graft_double_bits"),
       (exprs: Seq[Expression]) => DoubleBits(exprs.head)))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

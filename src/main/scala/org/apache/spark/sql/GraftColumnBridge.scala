@@ -8,4 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a (possibly custom) logical plan. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register an extra planner strategy on a live session. */
+  def addStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
 }
