@@ -1,0 +1,114 @@
+package graft.sources.gorilla
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader for the reference engine's on-disk format: a
+  * directory of `<shard_start_ms>-<shard_end_ms>.bin` Gorilla-compressed
+  * shard files (/root/reference/engine/insight.cpp:9-14, shard.cpp). A user
+  * of the reference can point this engine DIRECTLY at their existing `data/`
+  * directory:
+  *
+  * {{{ spark.read.format("graft.sources.gorilla.GorillaShardSource").load("data/") }}}
+  *
+  * Scan design: one InputPartition per shard file (the reference's own unit
+  * of parallelism-by-time); timestamp range predicates are pushed into the
+  * scan and prune whole shard files by the [start, end] encoded in their
+  * names — the reference's shard-skip loop (insight.cpp:31-35) reproduced as
+  * DSv2 `SupportsPushDownFilters`. Filters are also left in the plan as
+  * residuals, so row-level semantics never depend on the pruning.
+  */
+class GorillaShardSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GorillaShardSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GorillaShardTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GorillaShardSource {
+  val schema: StructType = StructType(Seq(
+    StructField("timestamp", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+class GorillaShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"gorilla_shards($path)"
+  override def schema(): StructType = GorillaShardSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GorillaScanBuilder(path)
+}
+
+class GorillaScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var tsLo = Long.MinValue
+  private var tsHi = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.flatMap {
+      case f @ GreaterThanOrEqual("timestamp", v: Long) => tsLo = tsLo.max(v); Some(f)
+      case f @ GreaterThan("timestamp", v: Long) => tsLo = tsLo.max(v + 1); Some(f)
+      case f @ LessThanOrEqual("timestamp", v: Long) => tsHi = tsHi.min(v); Some(f)
+      case f @ LessThan("timestamp", v: Long) => tsHi = tsHi.min(v - 1); Some(f)
+      case _ => None
+    }
+    filters // everything stays as a residual: pruning is an optimization only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GorillaScan(path, tsLo, tsHi)
+}
+
+case class GorillaFilePartition(file: String) extends InputPartition
+
+class GorillaScan(path: String, tsLo: Long, tsHi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = GorillaShardSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi])"
+
+  /** File-level pruning from the `<start>-<end>.bin` naming convention. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ShardName = """(\d+)-(\d+)\.bin""".r
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    files.toSeq.sortBy(_.getName).flatMap { f =>
+      f.getName match {
+        case ShardName(s, e) if s.toLong <= tsHi && e.toLong >= tsLo =>
+          Some(GorillaFilePartition(f.getAbsolutePath): InputPartition)
+        case _ => None
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GorillaReaderFactory
+}
+
+object GorillaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GorillaFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val points =
+        GorillaCodec.decode(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file))).iterator
+      private var current: (Long, Double) = _
+      override def next(): Boolean = {
+        if (points.hasNext) { current = points.next(); true } else false
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](current._1, current._2))
+      override def close(): Unit = ()
+    }
+  }
+}

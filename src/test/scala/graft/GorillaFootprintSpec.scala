@@ -60,6 +60,21 @@ class GorillaFootprintSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("relational footprint equals the ACTUAL encoded byte length per shard") {
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_id"), (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val encoded = rows.groupBy(_._2 / 3600000L).map { case (shard, pts) =>
+      val stream = pts.sortBy(p => (p._2, p._1)).map(p => (p._2, p._3)).toSeq
+      shard -> graft.sources.gorilla.GorillaCodec.encode(stream).length.toLong
+    }
+    val got = TimeSeries.gorillaFootprint(Tables.events(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == encoded)
+  }
+
   test("bytes/point on the reference's workload is in the Gorilla ballpark") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
