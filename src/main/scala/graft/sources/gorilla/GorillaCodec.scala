@@ -95,3 +95,28 @@ object GorillaCodec {
     points.toSeq
   }
 }
+
+/** Reverse-migration writer: dump a point Dataset INTO the reference's
+  * shard-file layout (one `<start>-<end>.bin` per hour shard, points in
+  * (ts, value) order). Each shard is encoded by the executor that owns its
+  * group; `dir` must be a filesystem all executors can reach (trivially true
+  * on local[N]; a shared mount on a cluster). */
+object GorillaShardWriter {
+  def writeShards(points: org.apache.spark.sql.Dataset[graft.model.DataPoint],
+      dir: String): Unit = {
+    import points.sparkSession.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    points
+      .groupByKey(_.timestamp / graft.model.ShardDurationMs)
+      .mapGroups { (shard, pts) =>
+        val stream = pts.toSeq.sortBy(p => (p.timestamp, p.value))
+          .map(p => (p.timestamp, p.value))
+        val start = shard * graft.model.ShardDurationMs
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$start-${start + graft.model.ShardDurationMs}.bin"),
+          GorillaCodec.encode(stream))
+        shard
+      }
+      .collect()
+  }
+}

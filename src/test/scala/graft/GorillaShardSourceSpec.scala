@@ -54,6 +54,20 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
       Seq(2000L, 3600000L))
   }
 
+  test("round-trip migration: Dataset -> reference shard files -> spark.read") {
+    import spark.implicits._
+    import graft.model.DataPoint
+    val dir = Files.createTempDirectory("gorilla_rt_").toString
+    val pts = (0 until 10000).map(i =>
+      DataPoint(i * 2500L, math.sin(i / 30.0) * 100))
+    graft.sources.gorilla.GorillaShardWriter.writeShards(pts.toDS(), dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.count() == pts.size)
+    val got = back.orderBy("timestamp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == pts.map(p => (p.timestamp, p.value)))
+  }
+
   test("timestamp predicates prune whole shard files by filename") {
     val dir = writeA1Store()
     // a shard entirely outside the predicate, filled with bytes that decode
