@@ -31,6 +31,7 @@ object model {
     StructField("value", DoubleType, nullable = false),
     StructField("metric", StringType, nullable = false)))
 
-  /** Shard (hour bucket) owning a timestamp (insight.cpp:9-14). */
-  def shardHourOf(tsMs: Long): Long = tsMs / ShardDurationMs
+  /** Shard (hour bucket) owning a timestamp (insight.cpp:9-14).
+    * floorDiv, matching the DataFrame paths' `floor()` on pre-1970 values. */
+  def shardHourOf(tsMs: Long): Long = Math.floorDiv(tsMs, ShardDurationMs)
 }

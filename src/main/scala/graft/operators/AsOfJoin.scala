@@ -42,33 +42,37 @@ object AsOfJoin {
       rightPayload: Seq[(String, String)]): DataFrame = {
 
     val leftCols = left.columns
+    // The whole right payload travels as ONE struct: `last(ignoreNulls)`
+    // then skips only left-side placeholder rows (whole struct null), never
+    // a matched right row whose individual payload VALUE is null — and all
+    // payload fields are guaranteed to come from the SAME right row.
+    val payloadStruct =
+      struct(rightPayload.map { case (in, out) => col(in).as(out) }: _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+
     // side: 0 = right (reference), 1 = left (probe) — right sorts first at
     // equal ts so an exactly-simultaneous reference row IS matched (<=).
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(
         col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
-          leftCols.map(c => col(c).as(s"__l_$c")) ++:
-          rightPayload.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
+          leftCols.map(c => col(c).as(s"__l_$c")) :+
+          lit(null).cast(payloadType).as("__r"): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select(
         col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
-          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
-          rightPayload.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+          payloadStruct.as("__r"): _*)
 
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried: Seq[Column] = rightPayload.map { case (_, out) =>
-      last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out)
-    }
-
     taggedLeft.unionByName(taggedRight)
-      .select(col("*") +: carried: _*)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        rightPayload.map { case (_, out) => col(out) }: _*)
+        rightPayload.map { case (_, out) => col("__carried").getField(out).as(out) }: _*)
   }
 }

@@ -138,8 +138,16 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val ex = shingleEx(docs, n)
     val candidates = lshCandidates(minhashSignaturesFromEx(ex))
-    val common = ex.as("a")
-      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // restrict the exploded shingles to docs that appear in ANY candidate
+    // pair BEFORE the pair self-join — the (doc_id_1, doc_id_2) semi-join
+    // alone cannot be pushed below it, so without this the full
+    // shared-shingle pair space would still materialize
+    val candDocs = candidates.select(col("doc_id_1").as("doc_id"))
+      .unionByName(candidates.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    val common = exC.as("a")
+      .join(exC.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .join(candidates, Seq("doc_id_1", "doc_id_2"), "left_semi")
       .groupBy(col("doc_id_1"), col("doc_id_2"))

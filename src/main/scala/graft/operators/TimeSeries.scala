@@ -38,26 +38,26 @@ object TimeSeries {
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Epoch micros of a UTC wall-clock string (engine-side constant). */
-  private def epochUs(ts: String): Long =
-    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-
   /** O3+O4: inclusive time-range scan. `filter` + parquet pushdown replaces
     * the reference's manual shard loop + post-decode filter (insight.cpp:26-46).
     *
     * When the source kept its raw nanos column (`ts_ns`), the predicate is
     * ALSO applied there: a filter on the physical column reaches parquet
     * row-group stats, while the equivalent predicate on the derived
-    * `timestamp_micros(...)` expression cannot be pushed. Micros range
-    * [s, e] ⇔ nanos range [s·1000, e·1000 + 999] (truncating division). */
+    * `timestamp_micros(...)` expression cannot be pushed. The nanos bounds
+    * are derived from the SAME session-TZ timestamp cast as the main filter
+    * (constant-folded to literals, so pushdown still applies) — no separate
+    * parse that could disagree on time zone or format. Micros range [s, e]
+    * ⇔ nanos range [s·1000, e·1000 + 999] (truncating division). */
   def rangeScan(events: DataFrame, startTs: String, endTs: String): DataFrame = {
-    val base = events
-      .filter(col("ts").between(lit(startTs).cast("timestamp"), lit(endTs).cast("timestamp")))
+    val startC = lit(startTs).cast("timestamp")
+    val endC = lit(endTs).cast("timestamp")
+    val base = events.filter(col("ts").between(startC, endC))
     val pruned =
       if (events.columns.contains("ts_ns"))
         base.filter(col("ts_ns").between(
-          lit(epochUs(startTs) * 1000L), lit(epochUs(endTs) * 1000L + 999L)))
+          unix_micros(startC) * lit(1000L),
+          unix_micros(endC) * lit(1000L) + lit(999L)))
       else base
     pruned.select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("value"))
   }

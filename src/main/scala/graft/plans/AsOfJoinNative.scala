@@ -86,19 +86,30 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val lrow = lIter.next()
-          val k = lk.eval(lrow).asInstanceOf[Long]
-          val ts = lt.eval(lrow).asInstanceOf[Long]
+          val kAny = lk.eval(lrow)
+          val tsAny = lt.eval(lrow)
+          // null key or ts: never matches (sorted NULLS FIRST, so no right
+          // rows are consumed out of order either)
+          if (kAny == null || tsAny == null) return proj(joined(lrow, nullRight))
+          val k = kAny.asInstanceOf[Long]
+          val ts = tsAny.asInstanceOf[Long]
           var done = false
           while (!done) {
             if (rHead == null) {
               if (rIter.hasNext) rHead = rIter.next() else done = true
             }
             if (rHead != null) {
-              val rkv = rk.eval(rHead).asInstanceOf[Long]
-              if (rkv < k || (rkv == k && rt.eval(rHead).asInstanceOf[Long] <= ts)) {
-                if (rkv == k) { lastMatch = rHead.copy(); lastMatchKey = rkv }
-                rHead = null // consumed (older key or candidate match)
-              } else done = true
+              val rkAny = rk.eval(rHead)
+              val rtAny = rt.eval(rHead)
+              if (rkAny == null || rtAny == null) {
+                rHead = null // null-keyed right rows match nothing; skip
+              } else {
+                val rkv = rkAny.asInstanceOf[Long]
+                if (rkv < k || (rkv == k && rtAny.asInstanceOf[Long] <= ts)) {
+                  if (rkv == k) { lastMatch = rHead.copy(); lastMatchKey = rkv }
+                  rHead = null // consumed (older key or candidate match)
+                } else done = true
+              }
             }
           }
           val m = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
@@ -126,8 +137,17 @@ object AsOfJoinNative {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n)
         .getOrElse(throw new IllegalArgumentException(s"column $n not found"))
+    val (lk, rk, lts, rts) =
+      (attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs))
+    // the merge evaluates keys/timestamps as primitive longs; reject other
+    // types up front instead of failing mid-query (null keys/timestamps are
+    // handled in the exec: such rows never match)
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    Seq(lk, rk, lts, rts).foreach { a =>
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of native requires bigint/timestamp columns; ${a.name} is ${a.dataType}")
+    }
     GraftColumnBridge.ofRows(spark,
-      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTs), attr(rp, rightTs)))
+      AsOfJoinPlan(lp, rp, lk, rk, lts, rts))
   }
 }

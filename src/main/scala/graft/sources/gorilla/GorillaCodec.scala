@@ -107,7 +107,7 @@ object GorillaShardWriter {
     import points.sparkSession.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     points
-      .groupByKey(_.timestamp / graft.model.ShardDurationMs)
+      .groupByKey(p => graft.model.shardHourOf(p.timestamp))
       .mapGroups { (shard, pts) =>
         val stream = pts.toSeq.sortBy(p => (p.timestamp, p.value))
           .map(p => (p.timestamp, p.value))

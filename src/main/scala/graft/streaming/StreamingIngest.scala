@@ -73,7 +73,11 @@ object StreamingIngest {
           sorted.foreach { ts =>
             open match {
               case Some(s) if ts - s.last_us <= gapUs =>
-                open = Some(s.copy(last_us = ts, n = s.n + 1))
+                // max: a LATE event (ts < last_us from a prior batch) joins
+                // the open session without rewinding its end
+                open = Some(s.copy(
+                  start_us = math.min(s.start_us, ts),
+                  last_us = math.max(s.last_us, ts), n = s.n + 1))
               case Some(s) =>
                 closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
                 open = Some(OpenSession(ts, ts, 1))
