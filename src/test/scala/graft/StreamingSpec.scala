@@ -93,4 +93,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(wantClosed).count() == 0 && wantClosed.exceptAll(got).count() == 0)
     assert(got.count() > 0)
   }
+
+  test("late event in a later micro-batch joins the open session without rewinding it") {
+    import graft.streaming.StreamingIngest.SessionEvent
+    val src = Files.createTempDirectory("graft_late_src_").toString
+    val gapUs = 10000L
+    // batch 1: events at 0 and 5000 (one open session)
+    Seq(SessionEvent(1L, 0L), SessionEvent(1L, 5000L)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // ONE long-lived query; each processAllAvailable drains a micro-batch
+    val q = graft.streaming.StreamingIngest.sessionizeStream(
+      spark.readStream.schema(schema).parquet(src).as[SessionEvent], gapUs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sessions")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event (1000, inside the open session) and 12000
+      // (12000 - 5000 <= 10000 → still the SAME session; the late event
+      // must not rewind last_us and force a false split)
+      Seq(SessionEvent(1L, 1000L), SessionEvent(1L, 12000L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("late_sessions")
+    assert(closed.count() == 0,
+      s"no session should have closed: ${closed.collect().mkString(",")}")
+  }
 }
