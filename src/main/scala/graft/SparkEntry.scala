@@ -66,6 +66,8 @@ object SparkEntry {
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
     "q_sliding_window" -> ((s, dir) =>
       TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
+    "q_ewma" -> ((s, dir) =>
+      TimeSeries.ewma(Tables.events(s, dir), 0.1, 0.9)),
     // Gorilla-codec byte footprint of each hour shard (reference
     // shard.cpp:107-126 semantics) — needs raw double bit patterns, which
     // SQL can't express → rows-only check + golden ScalaTest vs a direct
@@ -169,6 +171,8 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4)),
 
     // --- training-data pipeline surface: similarity search ---
     "q_similarity_topk" -> ((s, dir) =>
@@ -356,6 +360,13 @@ object SparkEntry {
         |             value
         |      FROM events, (SELECT unnest(generate_series(0, 2)) k) kk)
         |GROUP BY 1""".stripMargin,
+    "q_ewma" ->
+      """SELECT event_type, CAST(len(vals) AS BIGINT) AS n,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+        |                   (acc, x) -> 0.1*x + 0.9*acc) AS ewma
+        |FROM (SELECT event_type,
+        |             list(value ORDER BY epoch_us(ts), event_id) AS vals
+        |      FROM events GROUP BY event_type)""".stripMargin,
     "q_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |       CASE WHEN epoch_us(e.ts) >= epoch_us(p.ts) - 7200000000
@@ -539,6 +550,19 @@ object SparkEntry {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM b GROUP BY 1""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |h AS (SELECT doc_id, ${sqlTokHash("tok")} h FROM t),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j) jj
+         |      GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM b GROUP BY 1)
+         |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
     "q_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

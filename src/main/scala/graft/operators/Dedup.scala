@@ -157,6 +157,22 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs: all doc pairs within `maxHamming` bits of each
+    * other. The pair space is corpus² over a 1-column table of longs —
+    * trivial at this SF; the at-scale plan buckets on simhash prefixes
+    * first (same shape as LSH banding). */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val s = simhash(docs)
+    s.as("a")
+      .join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 60-bit SimHash fingerprint: per token-occurrence 60-bit hash, per bit
     * the sign of Σ(±1), assembled back into one bigint. Pure integer math —
     * engine-identical. */

@@ -168,6 +168,29 @@ object TimeSeries {
         sum(col("point_bytes")).as("gorilla_bytes"))
   }
 
+  /** Exponentially weighted moving average per series — the order-sensitive
+    * recursive fold `y_i = α·x_i + decay·y_{i-1}` (seed 0). The series is
+    * assembled as a sorted array per group and folded left-to-right, which
+    * DuckDB mirrors with `list_reduce` over `list(... ORDER BY ...)` →
+    * bit-exact. Pass α and decay as source literals (`0.1`, `0.9`), not
+    * computed values: `1.0 - 0.1` rounds differently than parsing `0.9`.
+    * Per-group memory is O(group size) — for unbounded series use the
+    * streaming sessionizer pattern instead. */
+  def ewma(events: DataFrame, alpha: Double, decay: Double): DataFrame = {
+    val sorted = sort_array(collect_list(struct(
+      tsUs(col("ts")).as("ts_us"), col("event_id"), col("value"))))
+    events
+      .groupBy(col("event_type"))
+      .agg(sorted.as("pts"))
+      .select(
+        col("event_type"),
+        size(col("pts")).cast("long").as("n"),
+        aggregate(
+          transform(col("pts"), p => p.getField("value")),
+          lit(0.0),
+          (acc, x) => lit(alpha) * x + lit(decay) * acc).as("ewma"))
+  }
+
   /** Sliding-window aggregate via the built-in `window()` generator: each
     * event lands in size/slide overlapping windows (Spark explodes them);
     * partial aggregation then collapses per (window, …) before the shuffle.
