@@ -199,6 +199,8 @@ object SparkEntry {
       Relational.distinctUsers(Tables.events(s, dir))),
     "q_stats_agg" -> ((s, dir) =>
       Relational.statsAgg(Tables.events(s, dir))),
+    "q_correlation" -> ((s, dir) =>
+      Relational.corrStats(Tables.lineitem(s, dir))),
     "q_date_parts" -> ((s, dir) =>
       Relational.datePartsAgg(Tables.events(s, dir))),
     "q_string_funcs" -> ((s, dir) =>
@@ -608,6 +610,18 @@ object SparkEntry {
         |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_vv
         |      FROM events GROUP BY event_type)""".stripMargin,
+    "q_correlation" ->
+      """SELECT l_returnflag, n,
+        |       (sxy - sx * sy / n) / (n - 1) AS cov_samp,
+        |       (n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+        |FROM (SELECT l_returnflag, count(*) AS n,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     "q_date_parts" ->
       """SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hod,
         |       count(*) AS n,

@@ -164,6 +164,29 @@ object Relational {
           .as("var_v"))
   }
 
+  /** Exact sample covariance and Pearson correlation from DECIMAL moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) — the built-ins (corr/covar_samp) stream
+    * in row order and drift across engines; this formulation is a fixed
+    * chain of double ops over exact sums → engine-identical. */
+  def corrStats(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("cov_samp"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+  }
+
   /** Calendar bucketing: events per (ISO-ish day-of-week, hour-of-day). */
   def datePartsAgg(events: DataFrame): DataFrame =
     events.groupBy(
