@@ -65,8 +65,11 @@ object AsOfJoin {
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
           payloadStruct.as("__r"): _*)
 
+    // __r as the final sort key: with duplicate right-side (key, ts) rows
+    // carrying DIFFERENT payloads, `last` must not depend on partition
+    // order — struct ordering makes the carried row the deterministic max.
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)

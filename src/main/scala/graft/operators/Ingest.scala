@@ -73,7 +73,8 @@ object Ingest {
   def queryRange(points: DataFrame,
       startMs: Long, endMs: Long, cap: Int): DataFrame =
     points
-      .filter(col("shard_hour").between(startMs / ShardDurationMs, endMs / ShardDurationMs))
+      .filter(col("shard_hour").between(
+        Math.floorDiv(startMs, ShardDurationMs), Math.floorDiv(endMs, ShardDurationMs)))
       .filter(col("timestamp").between(startMs, endMs))
       .select(col("timestamp"), col("value"), col("metric"))
       .orderBy(col("timestamp"), col("value"))

@@ -147,6 +147,12 @@ object AsOfJoinNative {
       require(a.dataType == LongType || a.dataType == TimestampType,
         s"as-of native requires bigint/timestamp columns; ${a.name} is ${a.dataType}")
     }
+    // bigint-vs-timestamp must agree ACROSS sides too: a millisecond bigint
+    // merged against a microsecond timestamp would silently mismatch
+    require(lts.dataType == rts.dataType,
+      s"timestamp types differ: ${lts.name} is ${lts.dataType}, ${rts.name} is ${rts.dataType}")
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.name} is ${lk.dataType}, ${rk.name} is ${rk.dataType}")
     GraftColumnBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp, lk, rk, lts, rts))
   }

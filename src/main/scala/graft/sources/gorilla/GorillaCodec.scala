@@ -6,12 +6,14 @@ import scala.collection.mutable.ArrayBuffer
   * (/root/reference/engine/shard.cpp):
   *
   *  - LEB128 unsigned varints (shard.cpp:6-24);
-  *  - first point: raw timestamp varint (shard.cpp:111-112);
-  *  - later points: varint(zigzag(delta-of-delta)) (shard.cpp:113-119);
+  *  - raw timestamp varint whenever prev_timestamp == 0 — i.e. for the first
+  *    point AND after any ts==0 point (shard.cpp:111-112, 35-37);
+  *  - otherwise: varint(zigzag(delta-of-delta)) (shard.cpp:113-119);
   *  - every point: varint(bits(value) XOR bits(prev value)) with prev=0 for
   *    the first point (shard.cpp:121-125);
-  *  - decode drops a trailing phantom ts==0 point at EOF exactly like the
-  *    reader's guard (shard.cpp:52-54).
+  *  - decode drops a LEADING ts==0 point (but still folds its value into the
+  *    XOR chain) exactly like the reader's guard (shard.cpp:52-54:
+  *    `if (point.timestamp != 0 || !points.empty())`).
   *
   * The encoder exists so tests (and migrations in reverse) can produce
   * reference-format files; the decoder backs the DSv2 scan.
@@ -36,9 +38,11 @@ object GorillaCodec {
     var prevTs = 0L
     var prevDelta = 0L
     var prevBits = 0L
-    var first = true
     points.foreach { case (ts, v) =>
-      if (first) { writeVarint(out, ts); first = false }
+      // the reference keys raw-vs-DoD off prev_timestamp == 0, NOT a
+      // first-point flag (shard.cpp:111): after a ts==0 point the next
+      // timestamp is raw-encoded again and prevDelta is left untouched
+      if (prevTs == 0L) writeVarint(out, ts)
       else {
         val delta = ts - prevTs
         writeVarint(out, zigzag(delta - prevDelta))
@@ -72,25 +76,21 @@ object GorillaCodec {
     var prevTs = 0L
     var prevDelta = 0L
     var prevBits = 0L
-    var first = true
     while (!atEnd) {
       val ts =
-        if (first) { first = false; readVarint() }
+        if (prevTs == 0L) readVarint() // shard.cpp:35-37 — raw while prev==0
         else {
           val delta = prevDelta + unzigzag(readVarint())
           prevDelta = delta
           prevTs + delta
         }
-      // the reference reader's EOF guard: a decoded ts of 0 past the first
-      // point is the phantom produced by read_varint returning 0 at EOF
-      if (ts == 0L && points.nonEmpty && atEnd) {
-        // drop phantom
-      } else {
-        prevTs = ts
-        val bits = prevBits ^ readVarint()
-        prevBits = bits
+      prevTs = ts
+      val bits = prevBits ^ readVarint()
+      prevBits = bits
+      // shard.cpp:52-54: drop a leading ts==0 point (e.g. the phantom from
+      // read_varint returning 0 at EOF) but keep every later one
+      if (ts != 0L || points.nonEmpty)
         points += ((ts, java.lang.Double.longBitsToDouble(bits)))
-      }
     }
     points.toSeq
   }
@@ -112,8 +112,12 @@ object GorillaShardWriter {
         val stream = pts.toSeq.sortBy(p => (p.timestamp, p.value))
           .map(p => (p.timestamp, p.value))
         val start = shard * graft.model.ShardDurationMs
+        // end-INCLUSIVE filename, matching get_shard_path (insight.cpp:11):
+        // the reference reconstructs exact paths in query_range, so anything
+        // else is silently invisible to it
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"$start-${start + graft.model.ShardDurationMs}.bin"),
+          java.nio.file.Paths.get(dir,
+            s"$start-${start + graft.model.ShardDurationMs - 1}.bin"),
           GorillaCodec.encode(stream))
         shard
       }

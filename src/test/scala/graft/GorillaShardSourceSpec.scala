@@ -24,7 +24,8 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
   }
 
   /** The reference's A1 fixture laid out exactly as its engine would:
-    * one file per hour shard, named <start>-<end>.bin. */
+    * one file per hour shard, named end-INCLUSIVE <start>-<start+3599999>.bin
+    * (insight.cpp:11). */
   private def writeA1Store(): String = {
     val dir = Files.createTempDirectory("gorilla_store_").toString
     val shards = Map(
@@ -33,10 +34,23 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
       2L -> Seq((8000000L, 50.0)))
     shards.foreach { case (h, pts) =>
       val start = h * 3600000L
-      Files.write(Paths.get(dir, s"$start-${start + 3600000L}.bin"),
+      Files.write(Paths.get(dir, s"$start-${start + 3599999L}.bin"),
         GorillaCodec.encode(pts))
     }
     dir
+  }
+
+  test("ts==0 semantics match the reference reader/writer exactly") {
+    // shard.cpp:35 keys raw-vs-DoD encoding off prev_timestamp==0, and
+    // shard.cpp:52-54 drops a LEADING ts==0 point while still folding its
+    // value into the XOR chain — the reference cannot store a ts==0 point.
+    val withLeadingZero = Seq((0L, 42.0), (1000L, 10.0), (2000L, 20.0))
+    assert(GorillaCodec.decode(GorillaCodec.encode(withLeadingZero)) ==
+      Seq((1000L, 10.0), (2000L, 20.0)))
+    // a mid-stream ts==0 point survives and resets the next point to raw
+    // encoding (prev_timestamp==0 again), exactly like ShardWriter::append
+    val withMidZero = Seq((5000L, 1.0), (0L, 2.0), (7000L, 3.0))
+    assert(GorillaCodec.decode(GorillaCodec.encode(withMidZero)) == withMidZero)
   }
 
   test("spark.read over reference-format shard files returns all points") {
@@ -58,7 +72,9 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     import graft.model.DataPoint
     val dir = Files.createTempDirectory("gorilla_rt_").toString
-    val pts = (0 until 10000).map(i =>
+    // start at ts=2500, not 0: the reference format cannot represent a
+    // leading ts==0 point (its reader drops it — see the ts==0 test above)
+    val pts = (1 until 10001).map(i =>
       DataPoint(i * 2500L, math.sin(i / 30.0) * 100))
     graft.sources.gorilla.GorillaShardWriter.writeShards(pts.toDS(), dir)
     val back = spark.read.format(fmt).load(dir)
@@ -72,7 +88,7 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     val dir = writeA1Store()
     // a shard entirely outside the predicate, filled with bytes that decode
     // to garbage values — if the scan read it, the count would change
-    Files.write(Paths.get(dir, s"${36000000000L}-${36003600000L}.bin"),
+    Files.write(Paths.get(dir, s"${36000000000L}-${36003599999L}.bin"),
       GorillaCodec.encode(Seq((36000000001L, 1.0), (36000000002L, 2.0))))
     val pruned = spark.read.format(fmt).load(dir)
       .filter(col("timestamp") <= 9000000L)
