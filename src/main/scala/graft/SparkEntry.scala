@@ -32,6 +32,8 @@ object SparkEntry {
   private val CosineMinSim  = 0.3
   private val TopKSim       = 10
   private val QueryVecId    = 0L
+  private val IvfCentroids  = 8
+  private val IvfProbe      = 2
 
   /** documents with every row duplicated under a shifted doc_id — the dedup
     * queries' input, so exact-dedup actually collapses something. */
@@ -179,10 +181,14 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), QueryVecId, TopKSim)),
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "label", CosineMinSim)),
-    // approximate ANN path — no SQL oracle (rows-only check): LSH bucketing
-    // is validated against brute force in the ScalaTest suite instead.
+    // approximate ANN path — the hyperplanes are md5-derived, so even this
+    // "approximate" query is deterministic and has a full DuckDB oracle.
     "q_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), QueryVecId, 4, TopKSim)),
+    // IVF ANN path: deterministic seed centroids, nProbe-cluster search
+    "q_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfAnnTopK(Tables.embeddings(s, dir), QueryVecId,
+        IvfCentroids, IvfProbe, TopKSim)),
 
     // --- multimodal column plumbing (decode is a deterministic stub) ---
     "q_multimodal_meta" -> ((s, dir) =>
@@ -190,9 +196,13 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
         Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()),
+    // frames leave the engine hex-encoded: the driver's pandas compare
+    // can't sort/hash raw binary cells (round-1 oracle error)
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(
-        Multimodal.mediaFromDocs(Tables.documents(s, dir)), 4, 16)),
+        Multimodal.mediaFromDocs(Tables.documents(s, dir)), 4, 16)
+        .select(col("media_id"), col("frame_idx"),
+          hex(col("frame")).as("frame_hex"))),
 
     // --- extended relational / scalar-function surface ---
     "q_distinct_users" -> ((s, dir) =>
@@ -571,6 +581,48 @@ object SparkEntry {
          |SELECT vec_id, label, ${sqlCosine("v", "qv")} AS sim
          |FROM e, q
          |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    // mirror of Similarity.annTopK: identical md5-derived hyperplane
+    // weights ([[Similarity.planeWeight]]), same left-fold dots, so the
+    // bucket assignment and the top-k agree exactly
+    "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |planes AS (
+         |  SELECT p, [ (('0x' || substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 15))::BIGINT
+         |               % 2001 - 1000)::DOUBLE
+         |              for d in generate_series(1, 64) ] AS w
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+         |b AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN ${sqlDot("e.v", "planes.w")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ann_bucket
+         |  FROM e, planes GROUP BY 1),
+         |q AS (SELECT b.ann_bucket AS q_bucket, e.v AS qv
+         |      FROM b JOIN e USING (vec_id) WHERE vec_id = $QueryVecId)
+         |SELECT e.vec_id, e.label, ${sqlCosine("e.v", "qv")} AS sim
+         |FROM e JOIN b USING (vec_id), q
+         |WHERE b.ann_bucket = q.q_bucket
+         |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    // mirror of Similarity.ivfAnnTopK: seed centroids = embeddings of the
+    // IvfCentroids smallest vec_ids; assignment ties break to the smaller
+    // centroid id on both engines (first-position argmax = ORDER BY cid)
+    "q_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS w FROM e WHERE vec_id < $IvfCentroids),
+         |sims AS (SELECT e.vec_id, e.label, e.v, c.cid,
+         |                ${sqlCosine("e.v", "c.w")} AS csim
+         |         FROM e, c),
+         |asg AS (SELECT vec_id, label, v, cid,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY csim DESC, cid) AS rn
+         |        FROM sims),
+         |a AS (SELECT vec_id, label, v, cid AS ivf_cluster FROM asg WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+         |probe AS (SELECT cid FROM sims WHERE vec_id = $QueryVecId
+         |          ORDER BY csim DESC, cid LIMIT $IvfProbe)
+         |SELECT a.vec_id, a.label, a.ivf_cluster, ${sqlCosine("a.v", "qv")} AS sim
+         |FROM a, q
+         |WHERE a.ivf_cluster IN (SELECT cid FROM probe)
+         |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
          |SELECT * FROM (
@@ -593,12 +645,15 @@ object SparkEntry {
          |       octet_length(encode(text)) % 480 AS height,
          |       md5(text) AS checksum
          |FROM media""".stripMargin,
+    // byte-based slicing mirrored via hex-string arithmetic (DuckDB has no
+    // BLOB substring): byte offset b -> hex offset 2b+1, 16 bytes -> 32 chars
     "q_frame_sample" ->
-      s"""WITH $sqlMedia
+      s"""WITH $sqlMedia,
+         |hx AS (SELECT media_id, hex(encode(text)) AS h FROM media)
          |SELECT media_id, frame_idx,
-         |       encode(substr(text, frame_idx * (length(text) // 4) + 1, 16)) AS frame
-         |FROM media, (SELECT unnest(generate_series(0, 3)) frame_idx) f
-         |WHERE octet_length(encode(substr(text, frame_idx * (length(text) // 4) + 1, 16))) > 0""".stripMargin,
+         |       substr(h, frame_idx * ((length(h) // 2) // 4) * 2 + 1, 32) AS frame_hex
+         |FROM hx, (SELECT unnest(generate_series(0, 3)) frame_idx) f
+         |WHERE length(substr(h, frame_idx * ((length(h) // 2) // 4) * 2 + 1, 32)) > 0""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,

@@ -80,13 +80,23 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
 
-  /** All document pairs with n-gram Jaccard ≥ minJaccard. Pairs are found by
-    * joining on shared shingle hashes, then scored exactly. */
+  /** All document pairs with n-gram Jaccard ≥ minJaccard — exact.
+    *
+    * Pair discovery groups the exploded shingles by hash ONCE and emits the
+    * in-bucket pair combinations from the collected doc list, instead of
+    * self-joining the exploded table (which shuffles it twice and resorts
+    * both sides). The pair count is identical — it's the same pair space —
+    * but only |distinct shingles| rows carry it through the shuffle. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val ex = shingleEx(docs, n)
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    val pairs = ex
+      .groupBy(col("h"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_id_1"), y.as("doc_id_2")))))).as("p"))
+      .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
       .agg(count(lit(1)).as("n_common"))
     jaccardOf(pairs, sizesOf(ex))
       .filter(col("jaccard") >= minJaccard)
@@ -138,58 +148,91 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val ex = shingleEx(docs, n)
     val candidates = lshCandidates(minhashSignaturesFromEx(ex))
-    // restrict the exploded shingles to docs that appear in ANY candidate
-    // pair BEFORE the pair self-join — the (doc_id_1, doc_id_2) semi-join
-    // alone cannot be pushed below it, so without this the full
-    // shared-shingle pair space would still materialize
+    // exact verification touches CANDIDATE DOCS ONLY: gather each candidate
+    // doc's (distinct) shingle-hash set into a sorted array once, attach the
+    // two arrays to each candidate pair, and score the intersection in a
+    // projection. Unlike a shingle-level self-join, nothing about the
+    // frequent-shingle skew space ever enters a shuffle — the verification
+    // cost is |candidate pairs| × shingle-set size, the LSH-promised bound.
     val candDocs = candidates.select(col("doc_id_1").as("doc_id"))
       .unionByName(candidates.select(col("doc_id_2").as("doc_id")))
       .distinct()
-    val exC = ex.join(candDocs, Seq("doc_id"), "left_semi")
-    val common = exC.as("a")
-      .join(exC.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .join(candidates, Seq("doc_id_1", "doc_id_2"), "left_semi")
-      .groupBy(col("doc_id_1"), col("doc_id_2"))
-      .agg(count(lit(1)).as("n_common"))
-    jaccardOf(common, sizesOf(ex))
+    val sets = ex.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_id_1"), col("hs").as("hs1")), Seq("doc_id_1"))
+      .join(sets.select(col("doc_id").as("doc_id_2"), col("hs").as("hs2")), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_common"),
+        size(col("hs1")).cast("long").as("n1"), size(col("hs2")).cast("long").as("n2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: all doc pairs within `maxHamming` bits of each
-    * other. The pair space is corpus² over a 1-column table of longs —
-    * trivial at this SF; the at-scale plan buckets on simhash prefixes
-    * first (same shape as LSH banding). */
+    * other — EXACT, but never materializing the corpus² pair space.
+    *
+    * Pigeonhole bucketing: split the 60-bit fingerprint into maxHamming+1
+    * equal chunks. Two fingerprints within `maxHamming` differing bits must
+    * agree EXACTLY on at least one chunk (pigeonhole), so an equi-join on
+    * (chunk_index, chunk_value) has 100% recall; candidates are then
+    * verified with the true bit_count. At scale this is the same shape as
+    * LSH banding but lossless: the join key is a ~(60/(k+1))-bit value, so
+    * only near-identical fingerprints ever meet in the shuffle. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val s = simhash(docs)
-    s.as("a")
-      .join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val nChunks = maxHamming + 1
+    val bits = 60
+    val base = bits / nChunks
+    val rem = bits % nChunks // first `rem` chunks get one extra bit
+    def chunkOf(i: Int): Column = {
+      val lo = i * base + math.min(i, rem)
+      val w = base + (if (i < rem) 1 else 0)
+      expr(s"shiftright(simhash, $lo)").bitwiseAND(lit((1L << w) - 1L))
+    }
+    val chunks = s.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nChunks).map(chunkOf): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk_val")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"),
         col("b.doc_id").as("doc_id_2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can share several chunks
   }
 
   /** 60-bit SimHash fingerprint: per token-occurrence 60-bit hash, per bit
     * the sign of Σ(±1), assembled back into one bigint. Pure integer math —
-    * engine-identical. */
+    * engine-identical.
+    *
+    * ONE hash aggregation with 60 conditional-sum columns (all codegen'd):
+    * partial aggregation collapses token rows to one 60-long vector per doc
+    * map-side, so the only shuffle moves |docs| rows. (The naive bit-explode
+    * formulation shuffles 60× the token count twice — measured ~3× slower
+    * at sf0.1, and the gap widens with corpus size.) */
   def simhash(docs: DataFrame): DataFrame = {
     val tokenHashes = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), tokHash(col("tok")).as("h"))
-    val bitSums = tokenHashes
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      // expr: the Scala shiftright() wrapper only takes a literal shift
-      .agg(sum(when(expr("shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT)") === 1L, 1L)
-        .otherwise(-1L)).as("s"))
-    bitSums
+    val bitSums: Seq[Column] = (0 until 60).map(j =>
+      sum(when(expr(s"shiftright(h, $j)").bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    tokenHashes
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 }

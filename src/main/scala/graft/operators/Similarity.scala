@@ -98,6 +98,69 @@ object Similarity {
       bucketBits.reduce(_ + _).as("ann_bucket"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH bucketing.
+    *
+    * Index: every vector is assigned to its most-cosine-similar centroid.
+    * Centroids here are deterministic seed vectors (the embeddings of the
+    * `nCentroids` smallest vec_ids — medoid-style init); at 100 TB they'd be
+    * trained offline with k-means|| and broadcast the same way. The
+    * centroids are collected once (nCentroids × dims doubles — trivially
+    * driver-sized) and inlined as LITERAL arrays, so assignment is a pure
+    * whole-stage-codegen projection with ZERO shuffle: the only exchange in
+    * the whole query is the final top-k (TakeOrderedAndProject).
+    *
+    * Search: score the query against the centroids (same left-fold
+    * arithmetic, driver-side), keep the `nProbe` best clusters, and run the
+    * exact cosine top-k over only those clusters' vectors — recall is traded
+    * against touching ~nProbe/nCentroids of the corpus.
+    *
+    * Ties everywhere break toward the smaller centroid id (strictly-greater
+    * comparison / first-position argmax), mirrored in the DuckDB oracle. */
+  def ivfAnnTopK(embeddings: DataFrame, queryVecId: Long,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+    // identical sequential left fold as the engine's DotProduct expression —
+    // same IEEE op sequence, so driver-side scores match engine-side ones
+    def dotl(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosl(a: Array[Double], b: Array[Double]): Double =
+      dotl(a, b) / (math.sqrt(dotl(a, a)) * math.sqrt(dotl(b, b)))
+
+    val qv: Array[Double] = embeddings.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).collect().head.getSeq[Double](0).toArray
+    val probed: Seq[Long] = cents
+      .map { case (cid, w) => (cid, cosl(qv, w)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+    val v = asDouble(col("embedding"))
+    // centroid-side norms are literal subtrees — Catalyst constant-folds
+    // them, and subexpression elimination shares sqrt(dot(v,v)) across the
+    // nCentroids similarity slots
+    val simArr = array(cents.map { case (_, w) =>
+      cosine(v, typedLit(w.toSeq))
+    }: _*)
+    embeddings
+      .withColumn("__sims", simArr)
+      // first-position argmax = smallest centroid id on ties (1-based)
+      .withColumn("ivf_cluster",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("long"))
+      .filter(col("ivf_cluster").isin(probed: _*))
+      .select(col("vec_id"), col("label"), col("ivf_cluster"),
+        cosine(v, typedLit(qv.toSeq)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: restrict the exact cosine scan to the query's LSH
     * bucket. Trades recall for touching only ~corpus/2^planes rows. */
   def annTopK(embeddings: DataFrame, queryVecId: Long, planes: Int, k: Int): DataFrame = {

@@ -89,4 +89,19 @@ object StreamingIngest {
           closed.result().iterator
       }
   }
+
+  /** Streaming exact dedup — the streaming half of
+    * [[graft.operators.Dedup.exactKeepFirst]]: keep the first row per
+    * content hash, dropping any duplicate that arrives within the watermark
+    * horizon. State is one (hash → expiry) entry per distinct content and is
+    * evicted once the event-time watermark passes it, so state size is
+    * bounded by the dedup horizon, not the stream length — the property that
+    * makes this runnable forever on a 100 TB/day feed (a global-forever
+    * dedup would instead checkpoint against the batch store). `docs` needs
+    * an event-time column `ts` and a `text` column. */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -121,4 +121,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(closed.count() == 0,
       s"no session should have closed: ${closed.collect().mkString(",")}")
   }
+
+  test("streaming dedup keeps exactly the batch keep-first survivors") {
+    val src = Files.createTempDirectory("graft_dedup_src_").toString
+    // 300 docs over 100 distinct texts: every text appears 3× within the
+    // watermark horizon, at distinct timestamps
+    val docs = (0 until 300).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), s"text ${i % 100}"))
+    docs.toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.dedupStream(
+      spark.readStream.schema(schema).parquet(src))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out")
+    assert(got.count() == 100)
+    // exactly one surviving row per distinct text, none of them twice
+    assert(got.select("text_hash").distinct().count() == 100)
+  }
 }
