@@ -97,4 +97,37 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(s.filter(col("session_end_us") < col("session_start_us")).count() == 0)
     assert(s.filter(col("n_events") <= 0).count() == 0)
   }
+
+  test("IVF top-k: cluster assignment is shuffle-free (only the top-k exchanges)") {
+    val df = SparkEntry.queries("q_ivf_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // literal-centroid assignment + probe filter happen in the scan stage;
+    // the only allowed exchange shape is the final TakeOrderedAndProject
+    // (which needs no shuffle on local partitions) — no Exchange at all
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // and it finds the query vector itself
+    assert(df.collect().map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("IVF top-k agrees with brute force on vectors inside the probed clusters") {
+    val ivf = SparkEntry.queries("q_ivf_topk")(spark, sf0001).collect()
+    val sims = ivf.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sortBy(-_), "IVF top-k not sorted descending")
+    val brute = SparkEntry.queries("q_similarity_topk")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    // every IVF hit that brute force also ranked must carry the SAME sim
+    ivf.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id")).foreach { bs =>
+        assert(bs == r.getAs[Double]("sim"), "sim mismatch vs brute force")
+      }
+    }
+  }
+
+  test("simhash near-dup pigeonhole bucketing is not a cartesian product") {
+    val df = SparkEntry.queries("q_simhash_neardup")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
