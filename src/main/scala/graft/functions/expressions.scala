@@ -25,6 +25,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Expression.foldable defaults to FALSE — without this override,
+  // ConstantFolding leaves literal-literal dots (IVF centroid norms, query
+  // self-norms) to be re-evaluated on every row
+  override def foldable: Boolean = left.foldable && right.foldable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -62,6 +67,7 @@ case class DotProduct(left: Expression, right: Expression)
 case class DoubleBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_double_bits"
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(v: Any): Any =
     java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])

@@ -88,17 +88,23 @@ object Dedup {
     * both sides). The pair count is identical — it's the same pair space —
     * but only |distinct shingles| rows carry it through the shuffle. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val ex = shingleEx(docs, n)
-    val pairs = ex
+    val byH = shingleEx(docs, n)
       .groupBy(col("h"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+    // sizes derive from the SAME aggregate subtree as the pairs, so the
+    // shingle explode + hash + shuffle runs once and the second consumer is
+    // a ReusedExchange (the naive `ex.groupBy(doc_id)` sizing re-reads and
+    // re-hashes the whole corpus under a different partitioning)
+    val sizes = byH.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = byH
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
           y => struct(x.as("doc_id_1"), y.as("doc_id_2")))))).as("p"))
       .groupBy(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardOf(pairs, sizesOf(ex))
+    jaccardOf(pairs, sizes)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
   }

@@ -36,4 +36,15 @@ class DotProductExpressionSpec extends AnyFunSuite with SparkSpec {
   test("extension class registers the function identifier") {
     assert(new graft.functions.GraftExtensions() != null)
   }
+
+  test("literal-literal dots constant-fold out of the per-row plan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val l = GraftFunctions.dot_product(
+      typedLit(Seq(1.0, 2.0)), typedLit(Seq(3.0, 4.0)))
+    val folded = emb.select(l.as("d")).queryExecution.optimizedPlan
+      .expressions.flatMap(_.collect { case lit: Literal => lit })
+    // after ConstantFolding the projection carries the literal 11.0, not a
+    // DotProduct call
+    assert(folded.exists(_.value == 11.0), folded.mkString(","))
+  }
 }
