@@ -119,6 +119,8 @@ object SparkEntry {
       Relational.jsonKeyDistribution(Tables.events(s, dir))),
     "q_json_struct" -> ((s, dir) =>
       Relational.jsonStructStats(Tables.events(s, dir))),
+    "q_map_funcs" -> ((s, dir) =>
+      TextAnalysis.mapClassCounts(Tables.documents(s, dir))),
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -494,6 +496,17 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[0-9]+')) AS n_num,
         |       len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym
         |FROM documents""".stripMargin,
+    // map construction + explode ≡ the UNION-ALL unpivot of the class counts
+    "q_map_funcs" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+        |         len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym
+        |  FROM documents)
+        |SELECT doc_id, 'alpha' AS token_class, n_alpha AS n FROM tc
+        |UNION ALL SELECT doc_id, 'num', n_num FROM tc
+        |UNION ALL SELECT doc_id, 'sym', n_sym FROM tc""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
         |       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'

@@ -52,6 +52,21 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
       size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_sym"))
 
+  /** MapType surface over the token-class counts: build a `map<string,long>`
+    * per document, then explode it back to (key, value) rows — the
+    * map-functions category of the scalar checklist (construction, explode;
+    * `map_keys`/`element_at` are the same machinery). Relationally the
+    * output is the UNION-ALL unpivot of [[tokenCount]], which is what the
+    * DuckDB oracle mirrors. */
+  def mapClassCounts(docs: DataFrame): DataFrame =
+    tokenCount(docs)
+      .select(col("doc_id"),
+        explode(map(
+          lit("alpha"), col("n_alpha"),
+          lit("num"), col("n_num"),
+          lit("sym"), col("n_sym"))))
+      .toDF("doc_id", "token_class", "n")
+
   /** Stopword-count language-ID heuristic: per-language function-word hit
     * counts; prediction = argmax with a fixed preference order on ties. */
   def langId(docs: DataFrame): DataFrame = {

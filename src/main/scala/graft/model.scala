@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, pmod}
 import org.apache.spark.sql.types._
 
 /** Core data model of the engine.
@@ -34,4 +36,15 @@ object model {
   /** Shard (hour bucket) owning a timestamp (insight.cpp:9-14).
     * floorDiv, matching the DataFrame paths' `floor()` on pre-1970 values. */
   def shardHourOf(tsMs: Long): Long = Math.floorDiv(tsMs, ShardDurationMs)
+
+  /** Column-level `Math.floorDiv(ts, w)` in EXACT integer arithmetic.
+    * `floor(col / lit)` divides in double — near 2^53 (micro/nanosecond
+    * epochs) a boundary value can round into the adjacent bucket.
+    * Subtracting `pmod` first makes the quotient integral, so the division
+    * is exact for any sign and magnitude. */
+  def floorDivCol(ts: Column, w: Long): Column =
+    ((ts - pmod(ts, lit(w))) / lit(w)).cast("long")
+
+  /** Hour-shard bucket of an epoch-millis column. */
+  def shardHourCol(tsMs: Column): Column = floorDivCol(tsMs, ShardDurationMs)
 }

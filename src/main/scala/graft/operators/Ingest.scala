@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{DataPoint, ShardDurationMs}
+import graft.model.{shardHourCol, DataPoint, ShardDurationMs}
 
 /** Ingest/storage lifecycle — SURVEY.md §2.1 O1 (point ingest) + O2 (shard
   * routing), re-expressed as hour-partitioned Parquet.
@@ -29,7 +29,7 @@ object Ingest {
     * store (the reference's proposed batch API, README.md:102). */
   def ingestBatch(points: Dataset[DataPoint], path: String): Unit =
     points.toDF()
-      .withColumn("shard_hour", floor(col("timestamp") / lit(ShardDurationMs)).cast("long"))
+      .withColumn("shard_hour", shardHourCol(col("timestamp")))
       // sort within partitions so parquet min/max stats are tight per file
       .sortWithinPartitions(col("shard_hour"), col("timestamp"))
       // parquet v2 pages (DELTA_BINARY_PACKED on the 1s-spaced timestamps)

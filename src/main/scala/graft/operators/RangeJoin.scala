@@ -23,14 +23,22 @@ object RangeJoin {
     * @param rightTs  right timestamp column (epoch micros)
     * @param windowUs window width in microseconds
     */
+  /** Exact floor-division bucket: `floor(ts / w)` via integer arithmetic.
+    * `floor(col/lit)` would divide in DOUBLE — near 2^53 a boundary row can
+    * round into the wrong bucket and silently lose its pairs; subtracting
+    * `pmod` first makes the quotient integral, so the division is exact for
+    * any sign and magnitude. */
+  private def bucketOf(ts: String, windowUs: Long) =
+    ((col(ts) - pmod(col(ts), lit(windowUs))) / lit(windowUs)).cast("long")
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
     val lb = left
-      .withColumn("__b0", floor(col(leftTs) / lit(windowUs)).cast("long"))
+      .withColumn("__b0", bucketOf(leftTs, windowUs))
       .withColumn("__bucket", explode(array(col("__b0"), col("__b0") + 1)))
       .drop("__b0")
     val rb = right
-      .withColumn("__bucket", floor(col(rightTs) / lit(windowUs)).cast("long"))
+      .withColumn("__bucket", bucketOf(rightTs, windowUs))
     lb.join(rb,
         lb("__bucket") === rb("__bucket") && lb(key) === rb(key) &&
           rb(rightTs) >= lb(leftTs) && rb(rightTs) <= lb(leftTs) + lit(windowUs))

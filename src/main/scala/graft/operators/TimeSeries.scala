@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.ShardDurationMs
+import graft.model.{floorDivCol, shardHourCol, ShardDurationMs}
 
 /** Reference-fidelity time-series operators over an events table
   * (`event_id, ts: timestamp, user_id, event_type, value, props`).
@@ -29,8 +29,7 @@ object TimeSeries {
 
   /** Hour bucket owning `ts` (insight.cpp:6,9-14): floor(epoch_ms / 3_600_000).
     * `unix_millis` floor-divides micros→ms exactly like DuckDB's `epoch_ms`. */
-  def shardHour(c: Column): Column =
-    floor(unix_millis(c) / lit(ShardDurationMs)).cast("long")
+  def shardHour(c: Column): Column = shardHourCol(unix_millis(c))
 
   /** Exact-sum helper: double → decimal(18,2) (the testdata values are
     * 2-decimal), summed exactly (order-independent), then back to double so
@@ -150,8 +149,8 @@ object TimeSeries {
     val w = Window.partitionBy(col("shard_hour")).orderBy(col("ts_ms"), col("event_id"))
     val staged = events
       .select(col("event_id"), col("value"),
-        (unix_micros(col("ts")) / lit(1000L)).cast("long").as("ts_ms"))
-      .withColumn("shard_hour", floor(col("ts_ms") / lit(ShardDurationMs)).cast("long"))
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("shard_hour", shardHourCol(col("ts_ms")))
       .withColumn("delta", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
       .withColumn("dod", col("delta") - coalesce(lag(col("delta"), 1).over(w), lit(0L)))
       .withColumn("vbits", double_bits(col("value")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.model.ShardDurationMs
+import graft.model.{shardHourCol, ShardDurationMs}
 
 /** Structured-Streaming ingest — the durable write path the reference's
   * README *claims* (WAL + memtable, README.md:17-23) but never implements
@@ -21,7 +21,7 @@ object StreamingIngest {
   def ingestStream(spark: SparkSession, sourceDir: String, schema: StructType,
       storePath: String, checkpoint: String): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("shard_hour", floor(col("timestamp") / lit(ShardDurationMs)).cast("long"))
+      .withColumn("shard_hour", shardHourCol(col("timestamp")))
       .writeStream
       .partitionBy("shard_hour")
       .format("parquet")
