@@ -90,6 +90,27 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream interval join: each left row joins the right rows with
+    * `r.ts ∈ [l.ts, l.ts + windowSecs]` on the same key — the streaming form
+    * of [[graft.operators.RangeJoin.intervalJoin]]. BOTH sides carry
+    * watermarks and the join predicate carries an explicit event-time bound,
+    * which is exactly what lets Spark expire right-side state once the
+    * watermark passes `ts + windowSecs` (without the bound the state store
+    * grows with the stream). Columns are prefixed so the output schema is
+    * sink-safe. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      windowSecs: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"l_$c")): _*)
+      .withWatermark("l_ts", watermark)
+    val r = right.select(
+      right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"l_$key = r_$key AND r_ts >= l_ts AND " +
+        s"r_ts <= l_ts + interval $windowSecs seconds"))
+  }
+
   /** Streaming exact dedup — the streaming half of
     * [[graft.operators.Dedup.exactKeepFirst]]: keep the first row per
     * content hash, dropping any duplicate that arrives within the watermark

@@ -122,6 +122,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"no session should have closed: ${closed.collect().mkString(",")}")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val src1 = Files.createTempDirectory("graft_ssj_l_").toString
+    val src2 = Files.createTempDirectory("graft_ssj_r_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("value"))
+    purchases.write.mode("overwrite").parquet(src1)
+    errors.write.mode("overwrite").parquet(src2)
+    val (s1, s2) = (spark.read.parquet(src1).schema, spark.read.parquet(src2).schema)
+
+    val joined = graft.streaming.StreamingIngest.intervalJoinStream(
+      spark.readStream.schema(s1).parquet(src1),
+      spark.readStream.schema(s2).parquet(src2),
+      "user_id", windowSecs = 3600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+      .select("l_event_id", "r_ts", "r_value")
+
+    val want = purchases.as("l").join(errors.as("r"),
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        "r.ts <= l.ts + interval 3600 seconds"))
+      .select(col("l.event_id").as("l_event_id"),
+        col("r.ts").as("r_ts"), col("r.value").as("r_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming dedup keeps exactly the batch keep-first survivors") {
     val src = Files.createTempDirectory("graft_dedup_src_").toString
     // 300 docs over 100 distinct texts: every text appears 3× within the
