@@ -52,10 +52,12 @@ class GorillaShardTable(path: String) extends Table with SupportsRead {
     new GorillaScanBuilder(path)
 }
 
-class GorillaScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+class GorillaScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var tsLo = Long.MinValue
   private var tsHi = Long.MaxValue
   private var pushed = Array.empty[Filter]
+  private var required: StructType = GorillaShardSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.flatMap {
@@ -68,16 +70,24 @@ class GorillaScanBuilder(path: String) extends ScanBuilder with SupportsPushDown
     filters // everything stays as a residual: pruning is an optimization only
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GorillaScan(path, tsLo, tsHi)
+
+  // column pruning: the codec must still decode both streams (they are
+  // interleaved per point), but pruned scans emit narrow rows so projections
+  // like count(*) or ts-only reads don't carry the value column upward
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required)
 }
 
 case class GorillaFilePartition(file: String) extends InputPartition
 
-class GorillaScan(path: String, tsLo: Long, tsHi: Long) extends Scan with Batch {
-  override def readSchema(): StructType = GorillaShardSource.schema
+class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi])"
+    s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi], cols=${required.fieldNames.mkString(",")})"
 
   /** File-level pruning from the `<start>-<end>.bin` naming convention. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -92,10 +102,11 @@ class GorillaScan(path: String, tsLo: Long, tsHi: Long) extends Scan with Batch 
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = GorillaReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    GorillaReaderFactory(required.fieldNames)
 }
 
-object GorillaReaderFactory extends PartitionReaderFactory {
+case class GorillaReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GorillaFilePartition].file
     new PartitionReader[InternalRow] {
@@ -107,7 +118,10 @@ object GorillaReaderFactory extends PartitionReaderFactory {
         if (points.hasNext) { current = points.next(); true } else false
       }
       override def get(): InternalRow =
-        new GenericInternalRow(Array[Any](current._1, current._2))
+        new GenericInternalRow(fields.map {
+          case "timestamp" => current._1: Any
+          case "value" => current._2: Any
+        })
       override def close(): Unit = ()
     }
   }

@@ -84,6 +84,18 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     assert(got == pts.map(p => (p.timestamp, p.value)))
   }
 
+  test("column pruning reaches the scan (ts-only projection reads narrow rows)") {
+    val df = spark.read.format(fmt).load(writeA1Store()).select("timestamp")
+    assert(df.orderBy("timestamp").collect().map(_.getLong(0)).toSeq ==
+      Seq(1000L, 2000L, 3600000L, 4000000L, 8000000L))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=timestamp"), scan)
+    // and a value-only projection still decodes correctly
+    val vals = spark.read.format(fmt).load(writeA1Store()).select("value")
+    assert(vals.collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
   test("timestamp predicates prune whole shard files by filename") {
     val dir = writeA1Store()
     // a shard entirely outside the predicate, filled with bytes that decode

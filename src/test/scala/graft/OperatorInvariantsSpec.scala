@@ -78,6 +78,20 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
   }
 
+  test("quantile sketch (approx_percentile) lands within 1% of the exact positional median") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val sketch = ev.groupBy("event_type")
+      .agg(approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx_med"))
+    val exact = SparkEntry.queries("q_median_by_type")(spark, sf0001)
+      .select(col("event_type"), col("median_value"))
+    val joined = sketch.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a, e) = (r.getAs[Double]("approx_med"), r.getAs[Double]("median_value"))
+      assert(math.abs(a - e) <= math.abs(e) * 0.01 + 1e-9, s"approx=$a exact=$e")
+    }
+  }
+
   test("HLL sketch (approx_count_distinct) lands within 10% of the exact distinct count") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val row = ev.agg(
