@@ -101,6 +101,8 @@ object SparkEntry {
       Relational.regionNationRevenue(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir), "ASIA")),
+    "q_theta_band" -> ((s, dir) =>
+      Relational.thetaBandCounts(Tables.customer(s, dir), Tables.region(s, dir))),
     "q_semi_join" -> ((s, dir) =>
       Relational.customersWithOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_anti_join" -> ((s, dir) =>
@@ -422,6 +424,15 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q_theta_band" ->
+      """WITH bands AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS band,
+        |         r_regionkey * 2000.0 AS lo, (r_regionkey + 1) * 2000.0 AS hi
+        |  FROM region)
+        |SELECT band, count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY band""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

@@ -39,6 +39,26 @@ object Relational {
 
   /** Broadcast-join enrich: orders ⋈ customer (dim side broadcast — no
     * shuffle of the fact table), revenue per market segment. */
+  /** Theta (non-equi, keyless) join: customers banded by account balance
+    * against a derived 2000-wide band table. No equi key exists, so the only
+    * correct plan is a nested-loop join — made scale-safe by BROADCASTING
+    * the tiny band side (BroadcastNestedLoopJoin: the big side streams once,
+    * never shuffles). The band table derives from region (5 rows) to stay a
+    * real table scan rather than a literal VALUES. */
+  def thetaBandCounts(customer: DataFrame, region: DataFrame): DataFrame = {
+    val bands = region.select(
+      col("r_regionkey").cast("long").as("band"),
+      (col("r_regionkey") * lit(2000.0)).as("lo"),
+      ((col("r_regionkey") + 1) * lit(2000.0)).as("hi"))
+    customer
+      .join(broadcast(bands),
+        col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"),
+        "inner")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        exactSum(col("c_acctbal")).as("sum_bal"))
+  }
+
   def segmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
       .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))

@@ -78,6 +78,13 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
   }
 
+  test("theta band join plans as BroadcastNestedLoopJoin (big side never shuffles)") {
+    val df = SparkEntry.queries("q_theta_band")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() > 0)
+  }
+
   test("quantile sketch (approx_percentile) lands within 1% of the exact positional median") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val sketch = ev.groupBy("event_type")
