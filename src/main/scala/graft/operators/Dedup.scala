@@ -152,8 +152,7 @@ object Dedup {
     * candidate filter into the pair aggregation) — the full pairwise space
     * never materializes beyond bucket-mates. */
   def minhashLshPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val ex = shingleEx(docs, n)
-    val candidates = lshCandidates(minhashSignaturesFromEx(ex))
+    val candidates = lshCandidates(minhashSignatures(docs, n))
     // exact verification touches CANDIDATE DOCS ONLY: gather each candidate
     // doc's (distinct) shingle-hash set into a sorted array once, attach the
     // two arrays to each candidate pair, and score the intersection in a
@@ -163,7 +162,11 @@ object Dedup {
     val candDocs = candidates.select(col("doc_id_1").as("doc_id"))
       .unionByName(candidates.select(col("doc_id_2").as("doc_id")))
       .distinct()
-    val sets = ex.join(candDocs, Seq("doc_id"), "left_semi")
+    // semi-join BEFORE the shingle explode: the corpus is re-shingled and
+    // re-hashed only for candidate docs, so this second pass costs
+    // O(candidates), not a second O(corpus) — the signature pass is the
+    // only full-corpus scan
+    val sets = shingleEx(docs.join(candDocs, Seq("doc_id"), "left_semi"), n)
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("h"))).as("hs"))
     candidates
