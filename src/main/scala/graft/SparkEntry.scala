@@ -179,6 +179,16 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, dir))),
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4)),
+    // transitive closure of the near-dup relation → dedup groups
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4))),
+    // deterministic 10% sample + split counts (reproducible across engines)
+    "q_hash_sample" -> ((s, dir) =>
+      operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 10)
+        .select(col("doc_id"), col("lang"))),
+    "q_hash_split" -> ((s, dir) =>
+      operators.Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 80, 10)
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
 
     // --- training-data pipeline surface: similarity search ---
     "q_similarity_topk" -> ((s, dir) =>
@@ -599,6 +609,37 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
+    // connected components as a recursive CTE: reach = labels flowing along
+    // symmetric edges; min reachable doc_id ≡ the Spark fixpoint labels
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |h AS (SELECT doc_id, ${sqlTokHash("tok")} h FROM t),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j) jj
+         |      GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM b GROUP BY 1),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2, d1 FROM p),
+         |reach AS (
+         |  SELECT DISTINCT a AS doc_id, a AS lab FROM e
+         |  UNION
+         |  SELECT e.b AS doc_id, r.lab FROM reach r JOIN e ON e.a = r.doc_id)
+         |SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+    "q_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "q_hash_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs
+         |FROM (SELECT ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |      FROM documents)
+         |GROUP BY 1""".stripMargin,
     "q_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

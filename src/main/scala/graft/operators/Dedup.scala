@@ -220,6 +220,41 @@ object Dedup {
       .distinct() // a pair can share several chunks
   }
 
+  /** Transitive dedup clusters: connected components over a near-dup pair
+    * table; each doc's cluster id is the MIN doc_id reachable through
+    * pairs. Iterative min-label propagation: every round joins the current
+    * labels to the symmetric edge list and lowers each vertex's label to
+    * the min over itself and its neighbors, until a fixpoint. The fixpoint
+    * (min doc_id per component) is unique and schedule-independent, so the
+    * result is deterministic and matches the oracle's recursive-CTE
+    * formulation exactly. Rounds ≈ component diameter (near-dup clusters
+    * are shallow); each round is one shuffled join + aggregate; lineage is
+    * truncated per round (`localCheckpoint` — on a durable cluster,
+    * `checkpoint` to reliable storage instead). */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("b"), col("lab").as("nlab")), Seq("b"))
+        .groupBy(col("a"))
+        .agg(min(col("nlab")).as("min_neigh"))
+        .withColumnRenamed("a", "doc_id")
+      val stepped = labels
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lab"),
+          least(col("lab"), coalesce(col("min_neigh"), col("lab"))).as("lab2"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("lab2") < col("lab")).count()
+      labels = stepped.select(col("doc_id"), col("lab2").as("lab"))
+    }
+    labels.select(col("doc_id"), col("lab").as("cluster_id"))
+  }
+
   /** 60-bit SimHash fingerprint: per token-occurrence 60-bit hash, per bit
     * the sign of Σ(±1), assembled back into one bigint. Pure integer math —
     * engine-identical.
