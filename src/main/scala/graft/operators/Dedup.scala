@@ -231,9 +231,23 @@ object Dedup {
     * are shallow); each round is one shuffled join + aggregate; lineage is
     * truncated per round (`localCheckpoint` — on a durable cluster,
     * `checkpoint` to reliable storage instead). */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-      .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+  /** Edge-count threshold below which [[dedupClusters]] solves the
+    * components on the driver (union-find over the collected pair list)
+    * instead of the iterative join loop: a few million 16-byte edges are
+    * driver-trivial, and near-dup graphs are SPARSE — even a 100 TB corpus
+    * usually yields a pair list far below its row count. The distributed
+    * loop remains the fallback for genuinely huge pair graphs. */
+  val DriverCcMaxEdges = 2000000L
+
+  def dedupClusters(pairs: DataFrame,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+    // materialize the (usually expensive) pair computation ONCE, BEFORE the
+    // symmetric union — otherwise the upstream near-dup pipeline runs twice
+    // (once per union branch), and again every loop round
+    val p = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .localCheckpoint(true)
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    if (edges.count() <= driverMaxEdges) return driverSideCc(edges)
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
       .localCheckpoint(true)
@@ -244,15 +258,49 @@ object Dedup {
         .groupBy(col("a"))
         .agg(min(col("nlab")).as("min_neigh"))
         .withColumnRenamed("a", "doc_id")
+      // pointer jumping: also adopt the label OF my label — contracts label
+      // chains so convergence is O(log diameter) rounds, not O(diameter)
+      val parent = labels.select(col("doc_id").as("lab"), col("lab").as("plab"))
       val stepped = labels
         .join(neigh, Seq("doc_id"), "left")
+        .join(parent, Seq("lab"), "left")
         .select(col("doc_id"), col("lab"),
-          least(col("lab"), coalesce(col("min_neigh"), col("lab"))).as("lab2"))
+          least(col("lab"),
+            coalesce(col("min_neigh"), col("lab")),
+            coalesce(col("plab"), col("lab"))).as("lab2"))
         .localCheckpoint(true)
       changed = stepped.filter(col("lab2") < col("lab")).count()
       labels = stepped.select(col("doc_id"), col("lab2").as("lab"))
     }
     labels.select(col("doc_id"), col("lab").as("cluster_id"))
+  }
+
+  /** Driver-side union-find (path-halving; roots keyed to the MIN doc_id
+    * of the component — identical fixpoint to the distributed loop). */
+  private def driverSideCc(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.select(col("a"), col("b")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the root
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.sorted
+      .map(v => (v, find(v)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** 60-bit SimHash fingerprint: per token-occurrence 60-bit hash, per bit

@@ -78,6 +78,20 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
   }
 
+  test("dedup clusters: driver union-find and distributed label loop agree exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(docs, 4)
+    val viaDriver = graft.operators.Dedup.dedupClusters(pairs)
+    val viaLoop = graft.operators.Dedup.dedupClusters(pairs, driverMaxEdges = -1L)
+    assert(viaDriver.exceptAll(viaLoop).count() == 0 &&
+      viaLoop.exceptAll(viaDriver).count() == 0)
+    // every cluster id is the min doc_id of its member set
+    val bad = viaDriver.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("min_doc"))
+      .filter(col("cluster_id") =!= col("min_doc"))
+    assert(bad.count() == 0)
+  }
+
   test("theta band join plans as BroadcastNestedLoopJoin (big side never shuffles)") {
     val df = SparkEntry.queries("q_theta_band")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
