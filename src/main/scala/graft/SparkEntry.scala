@@ -58,6 +58,8 @@ object SparkEntry {
       TimeSeries.shardPrune(Tables.events(s, dir))),
     "q_downsample_1h" -> ((s, dir) =>
       TimeSeries.downsample1h(Tables.events(s, dir))),
+    "q_gap_fill" -> ((s, dir) =>
+      TimeSeries.gapFill(Tables.events(s, dir))),
     "q_window_delta" -> ((s, dir) =>
       TimeSeries.windowDelta(Tables.events(s, dir))),
     "q_moving_avg" -> ((s, dir) =>
@@ -345,6 +347,23 @@ object SparkEntry {
         |       min(value) AS min_value,
         |       max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         count(*) AS n_points,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |           FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |                 unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |          FROM bounds)
+        |SELECT s.event_type, s.bucket_us,
+        |       coalesce(h.n_points, 0) AS n_points,
+        |       last_value(h.sum_value IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.bucket_us
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |FROM spine s LEFT JOIN hourly h USING (event_type, bucket_us)""".stripMargin,
     "q_window_delta" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
         |       value - lag(value, 1) OVER w AS delta,

@@ -208,6 +208,33 @@ object TimeSeries {
     * the previous event of the same user exceeds `gapUs`. Two window passes
     * over ONE partitioning (user_id) — a single shuffle; session ids are a
     * running sum of break markers, so the whole thing is integer math. */
+  /** Hourly resample with GAP FILLING — the classic TSDB operation the
+    * reference leaves to clients: per event_type, an hourly spine from its
+    * first to its last populated hour; empty hours appear with n_points=0
+    * and a FORWARD-FILLED running value (last observed hourly sum at or
+    * before the hour). The spine is `sequence`+`explode` per group (no
+    * driver loop, no cross join against a global calendar) and the fill is
+    * one partitioned window — both scale on the number of series, and the
+    * spine's row count is bounded by time span, not data volume. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n_points"), exactSum(col("value")).as("sum_value"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("bucket_us"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, Seq("event_type", "bucket_us"), "left")
+      .select(col("event_type"), col("bucket_us"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
   def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val marked = events
