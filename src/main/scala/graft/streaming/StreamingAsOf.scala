@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of enrichment — the streaming form of
+  * [[graft.operators.AsOfJoin]]: every probe (left) row is emitted with the
+  * payload of the latest reference (right) row at or before its timestamp,
+  * per key.
+  *
+  * Structured Streaming has no built-in stream-stream AS-OF join, so this is
+  * a custom stateful operator (`flatMapGroupsWithState` over the union-
+  * tagged stream — the same union-tag trick as the batch operator, but the
+  * "window" is carried in keyed state):
+  *
+  *  - state per key = the reference rows seen so far, kept sorted by ts;
+  *  - each micro-batch folds its rows in (ts, side) order — reference rows
+  *    BEFORE probe rows at an equal ts (inclusive `<=` semantics, matching
+  *    the batch operator and DuckDB ASOF);
+  *  - probe rows look up the latest at-or-before entry in the buffer, so a
+  *    probe with an EARLIER ts than the newest reference row still matches
+  *    correctly (a keep-only-latest state would silently mismatch late
+  *    probes);
+  *  - at production scale the buffer is pruned to the watermark horizon
+  *    (rows older than the oldest possible probe); here it is kept whole —
+  *    the plumbing point is the operator shape, the cap is one `dropWhile`.
+  *
+  * Emission is deterministic for in-order arrival (equal to the batch as-of
+  * join row-for-row — asserted in `StreamingSpec`); a reference row that
+  * arrives AFTER a probe row already emitted is not retracted — the defined
+  * at-most-once-enrichment policy (the batch operator is the replayable
+  * source of truth, SURVEY.md §1.4's late-data stance).
+  */
+object StreamingAsOf {
+
+  final case class AsOfEvent(
+      user_id: Long, ts_us: Long, side: Int, event_id: Long, value: Double)
+  final case class RefRow(ts_us: Long, value: Double)
+  final case class AsOfState(refs: Vector[RefRow])
+  final case class Enriched(
+      event_id: Long, user_id: Long, ts_us: Long,
+      err_ts_us: Option[Long], err_value: Option[Double])
+
+  val SideRef = 0
+  val SideProbe = 1
+
+  /** Tag helper: build the union stream from typed probe/reference rows. */
+  def tagProbe(userId: Long, tsUs: Long, eventId: Long): AsOfEvent =
+    AsOfEvent(userId, tsUs, SideProbe, eventId, 0.0)
+  def tagRef(userId: Long, tsUs: Long, value: Double): AsOfEvent =
+    AsOfEvent(userId, tsUs, SideRef, 0L, value)
+
+  def asOfStream(tagged: Dataset[AsOfEvent]): Dataset[Enriched] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          var refs = state.getOption.map(_.refs).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[Enriched]
+          // (ts, side, value): reference rows sort before probes at equal
+          // ts; among duplicate (key, ts) references the LARGEST payload is
+          // inserted last and therefore matched — the same deterministic
+          // tiebreak as the batch operator's payload-struct window order
+          rows.toSeq.sortBy(e => (e.ts_us, e.side, e.value)).foreach { e =>
+            if (e.side == SideRef) {
+              // insert keeping the buffer sorted (appends are O(1) for the
+              // common in-order case)
+              val at = refs.lastIndexWhere(_.ts_us <= e.ts_us) + 1
+              refs = (refs.take(at) :+ RefRow(e.ts_us, e.value)) ++ refs.drop(at)
+            } else {
+              // latest reference at or before the probe ts (scan from the
+              // newest end — probes usually trail the freshest reference)
+              val i = refs.lastIndexWhere(_.ts_us <= e.ts_us)
+              val m = if (i >= 0) Some(refs(i)) else None
+              out += Enriched(e.event_id, userId, e.ts_us,
+                m.map(_.ts_us), m.map(_.value))
+            }
+          }
+          state.update(AsOfState(refs))
+          out.result().iterator
+      }
+  }
+}

@@ -122,6 +122,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"no session should have closed: ${closed.collect().mkString(",")}")
   }
 
+  test("streaming as-of enrichment equals the batch as-of join") {
+    import graft.streaming.StreamingAsOf
+    val src = Files.createTempDirectory("graft_asof_stream_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val tagged = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(StreamingAsOf.SideProbe).as("side"), col("event_id"),
+        lit(0.0).as("value"))
+      .unionByName(ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          lit(StreamingAsOf.SideRef).as("side"), lit(0L).as("event_id"),
+          col("value")))
+    tagged.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val enriched = StreamingAsOf.asOfStream(
+      spark.readStream.schema(schema).parquet(src).as[StreamingAsOf.AsOfEvent])
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_stream_out")
+      .select("event_id", "user_id", "ts_us", "err_ts_us", "err_value")
+
+    // the batch operator on the same inputs (the q_asof_join shape)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val want = graft.operators.AsOfJoin.asOf(purchases, errors, "user_id", "ts_us",
+        Seq("ts_us" -> "err_ts_us", "value" -> "err_value"))
+      .select("event_id", "user_id", "ts_us", "err_ts_us", "err_value")
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val src1 = Files.createTempDirectory("graft_ssj_l_").toString
     val src2 = Files.createTempDirectory("graft_ssj_r_").toString
