@@ -60,6 +60,8 @@ object SparkEntry {
       TimeSeries.downsample1h(Tables.events(s, dir))),
     "q_gap_fill" -> ((s, dir) =>
       TimeSeries.gapFill(Tables.events(s, dir))),
+    "q_gap_interp" -> ((s, dir) =>
+      TimeSeries.gapFillInterp(Tables.events(s, dir))),
     "q_window_delta" -> ((s, dir) =>
       TimeSeries.windowDelta(Tables.events(s, dir))),
     "q_moving_avg" -> ((s, dir) =>
@@ -105,6 +107,8 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir), "ASIA")),
     "q_theta_band" -> ((s, dir) =>
       Relational.thetaBandCounts(Tables.customer(s, dir), Tables.region(s, dir))),
+    "q_topk_per_group" -> ((s, dir) =>
+      Relational.topKPerSegment(Tables.orders(s, dir), Tables.customer(s, dir), 3)),
     "q_semi_join" -> ((s, dir) =>
       Relational.customersWithOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_anti_join" -> ((s, dir) =>
@@ -364,6 +368,38 @@ object SparkEntry {
         |         PARTITION BY s.event_type ORDER BY s.bucket_us
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
         |FROM spine s LEFT JOIN hourly h USING (event_type, bucket_us)""".stripMargin,
+    // linear interpolation: prev + (next-prev) * dt/span, same op order
+    "q_gap_interp" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         count(*) AS n_points,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |           FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |                 unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |          FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.bucket_us, h.n_points, h.sum_value,
+        |         last_value(h.sum_value IGNORE NULLS) OVER wb AS pv,
+        |         last_value(CASE WHEN h.n_points > 0 THEN s.bucket_us END IGNORE NULLS) OVER wb AS pt,
+        |         first_value(h.sum_value IGNORE NULLS) OVER wf AS nv,
+        |         first_value(CASE WHEN h.n_points > 0 THEN s.bucket_us END IGNORE NULLS) OVER wf AS nt
+        |  FROM spine s LEFT JOIN hourly h USING (event_type, bucket_us)
+        |  WINDOW
+        |    wb AS (PARTITION BY s.event_type ORDER BY s.bucket_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY s.event_type ORDER BY s.bucket_us
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket_us,
+        |       coalesce(n_points, 0) AS n_points,
+        |       CASE WHEN n_points > 0 THEN sum_value
+        |            WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+        |              pv + (nv - pv) * (CAST(bucket_us - pt AS DOUBLE) /
+        |                                CAST(nt - pt AS DOUBLE))
+        |            ELSE NULL END AS interp_sum
+        |FROM j""".stripMargin,
     "q_window_delta" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
         |       value - lag(value, 1) OVER w AS delta,
@@ -462,6 +498,13 @@ object SparkEntry {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

@@ -39,6 +39,23 @@ object Relational {
 
   /** Broadcast-join enrich: orders ⋈ customer (dim side broadcast — no
     * shuffle of the fact table), revenue per market segment. */
+  /** Groupwise top-k: the k highest-price orders per market segment — a
+    * partitioned ranking window + filter. Unlike a global ORDER BY LIMIT,
+    * this shuffles once on the group key and each partition keeps only its
+    * own top rows; the deterministic (price, orderkey) total order makes the
+    * selection engine-portable. */
+  def topKPerSegment(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** Theta (non-equi, keyless) join: customers banded by account balance
     * against a derived 2000-wide band table. No equi key exists, so the only
     * correct plan is a nested-loop join — made scale-safe by BROADCASTING

@@ -235,6 +235,43 @@ object TimeSeries {
         last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** Gap fill by LINEAR INTERPOLATION: like [[gapFill]] but empty hours get
+    * the straight-line value between the surrounding observed hours
+    * (`prev + (next−prev) · Δt/span`); hours before the first or after the
+    * last observation stay null. Two symmetric windows (carry-forward +
+    * carry-backward) — still one shuffle on the series key. The arithmetic
+    * is a fixed-order chain of double ops, mirrored verbatim in the oracle. */
+  def gapFillInterp(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n_points"), exactSum(col("value")).as("sum_value"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("bucket_us"))
+    val wBack = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("n_points") > 0, col("bucket_us"))
+    spine
+      .join(hourly, Seq("event_type", "bucket_us"), "left")
+      .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(wBack))
+      .withColumn("pt", last(obsTs, ignoreNulls = true).over(wBack))
+      .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wFwd))
+      .withColumn("nt", first(obsTs, ignoreNulls = true).over(wFwd))
+      .select(col("event_type"), col("bucket_us"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        when(col("n_points") > 0, col("sum_value"))
+          .when(col("pt").isNotNull && col("nt").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("bucket_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+          .otherwise(lit(null).cast("double")).as("interp_sum"))
+  }
+
   def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val marked = events
