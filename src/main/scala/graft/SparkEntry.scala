@@ -216,6 +216,9 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
         Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()),
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(
+        Multimodal.mediaFromDocs(Tables.documents(s, dir)), 32)),
     // frames leave the engine hex-encoded: the driver's pandas compare
     // can't sort/hash raw binary cells (round-1 oracle error)
     "q_frame_sample" -> ((s, dir) =>
@@ -772,6 +775,17 @@ object SparkEntry {
          |       octet_length(encode(text)) % 480 AS height,
          |       md5(text) AS checksum
          |FROM media""".stripMargin,
+    "q_media_resize" ->
+      s"""WITH $sqlMedia,
+         |hx AS (SELECT media_id, hex(encode(text)) AS h,
+         |              octet_length(encode(text)) AS nb FROM media)
+         |SELECT media_id, CAST(nb AS BIGINT) AS n_bytes,
+         |       CASE WHEN nb = 0 THEN ''
+         |            ELSE array_to_string(
+         |              list_transform(range(32),
+         |                i -> substr(h, CAST((i * nb // 32) AS BIGINT) * 2 + 1, 2)), '')
+         |       END AS resized_hex
+         |FROM hx""".stripMargin,
     // byte-based slicing mirrored via hex-string arithmetic (DuckDB has no
     // BLOB substring): byte offset b -> hex offset 2b+1, 16 bytes -> 32 chars
     "q_frame_sample" ->

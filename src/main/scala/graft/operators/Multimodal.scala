@@ -66,6 +66,28 @@ object Multimodal {
       md5(col("bytes")).as("content_md5"),
       hex(substring(col("bytes"), 1, 8)).as("head_hex"))
 
+  /** Resize STUB: downsample each payload to `target` evenly spaced bytes
+    * (byte i of the output is input byte ⌊i·len/target⌋) — the plumbing
+    * shape of image resizing (nearest-neighbor over a byte grid); a real
+    * codec swaps into the same columnar slot. Payloads shorter than
+    * `target` repeat bytes, empty payloads yield an empty sample. Output is
+    * hex so the result is oracle-comparable. Pure per-row projection work:
+    * scales embarrassingly, never shuffles. */
+  def resizeStub(media: DataFrame, target: Int): DataFrame = {
+    val h = hex(col("bytes"))
+    val nb = octet_length(col("bytes")).cast("long")
+    media.select(col("media_id"), nb.as("n_bytes"), h.as("__h"))
+      .select(col("media_id"), col("n_bytes"),
+        when(col("n_bytes") === 0, lit(""))
+          .otherwise(concat_ws("",
+            transform(sequence(lit(0L), lit(target - 1L)), i => {
+              val prod = i * col("n_bytes")
+              // exact integer floor-div (same pmod trick as model.floorDivCol)
+              val bytePos = (prod - pmod(prod, lit(target.toLong))) / lit(target.toLong)
+              col("__h").substr((bytePos.cast("long") * 2 + 1).cast("int"), lit(2))
+            }))).as("resized_hex"))
+  }
+
   /** Frame sampling: `n` evenly spaced fixed-size byte slices per payload
     * (the shape of video frame extraction; slicing is pure columnar work). */
   def frameSample(media: DataFrame, frames: Int, frameBytes: Int): DataFrame =
