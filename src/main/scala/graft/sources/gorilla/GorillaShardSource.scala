@@ -53,11 +53,33 @@ class GorillaShardTable(path: String) extends Table with SupportsRead {
 }
 
 class GorillaScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var tsLo = Long.MinValue
   private var tsHi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var required: StructType = GorillaShardSource.schema
+  private var countPushed = false
+
+  // COUNT(*) pushdown: each shard-file partition emits ONE partial-count
+  // row (points decoded, tuples never materialized); Spark sums partials.
+  // Spark only offers aggregate pushdown when every filter was fully
+  // pushed — ours stay residual (pushFilters returns them), so a filtered
+  // count still evaluates row-by-row and stays correct.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val onlyCountStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (onlyCountStar && pushed.isEmpty) {
+      countPushed = true
+      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    }
+    countPushed
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.flatMap {
@@ -77,17 +99,19 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required)
+  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required, countPushed)
 }
 
 case class GorillaFilePartition(file: String) extends InputPartition
 
-class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType)
+class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
+    countPushed: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi], cols=${required.fieldNames.mkString(",")})"
+    s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi], " +
+      s"cols=${required.fieldNames.mkString(",")}, pushedCount=$countPushed)"
 
   /** File-level pruning from the `<start>-<end>.bin` naming convention. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -103,7 +127,26 @@ class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GorillaReaderFactory(required.fieldNames)
+    if (countPushed) GorillaCountReaderFactory
+    else GorillaReaderFactory(required.fieldNames)
+}
+
+/** Partial-count reader: one row per shard file carrying its point count. */
+object GorillaCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GorillaFilePartition].file
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val n = GorillaCodec.decode(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file))).length.toLong
+        new GenericInternalRow(Array[Any](n))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class GorillaReaderFactory(fields: Array[String]) extends PartitionReaderFactory {

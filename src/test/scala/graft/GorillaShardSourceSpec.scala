@@ -96,6 +96,18 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
       Seq(10.0, 20.0, 30.0, 40.0, 50.0))
   }
 
+  test("count(*) pushes into the scan as per-file partial counts") {
+    val df = spark.read.format(fmt).load(writeA1Store()).groupBy().count()
+    assert(df.head().getLong(0) == 5L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedCount=true") || plan.contains("PushedAggregates"), plan)
+    // a FILTERED count must NOT push (filters stay residual) and stays exact
+    val filtered = spark.read.format(fmt).load(writeA1Store())
+      .filter(col("timestamp") <= 3600000L).groupBy().count()
+    assert(filtered.head().getLong(0) == 3L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("pushedCount=true"))
+  }
+
   test("timestamp predicates prune whole shard files by filename") {
     val dir = writeA1Store()
     // a shard entirely outside the predicate, filled with bytes that decode
