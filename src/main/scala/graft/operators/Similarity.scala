@@ -28,9 +28,11 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** cos(a,b) = dot/(√dot(a,a)·√dot(b,b)), all in fixed evaluation order. */
+  /** cos(a,b) = dot/(√dot(a,a)·√dot(b,b)), all in fixed evaluation order —
+    * the FUSED native expression ([[graft.functions.CosineSimilarity]]):
+    * one array traversal instead of three, bit-identical accumulation. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.GraftFunctions.cosine_similarity(a, b)
 
   /** Exact brute-force cosine top-k of the corpus against the embedding of
     * `queryVecId` (the query row itself scores 1.0 and is included). The

@@ -37,6 +37,19 @@ class DotProductExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(new graft.functions.GraftExtensions() != null)
   }
 
+  test("fused cosine equals the composed dot/sqrt form bit-for-bit") {
+    val e2 = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e2.filter(col("vec_id") === 7L).select(col("v").as("qv"))
+    val both = e2.crossJoin(q).select(
+      GraftFunctions.cosine_similarity(col("v"), col("qv")).as("fused"),
+      (GraftFunctions.dot_product(col("v"), col("qv")) /
+        (sqrt(GraftFunctions.dot_product(col("v"), col("v"))) *
+          sqrt(GraftFunctions.dot_product(col("qv"), col("qv"))))).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("literal-literal dots constant-fold out of the per-row plan") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val l = GraftFunctions.dot_product(
