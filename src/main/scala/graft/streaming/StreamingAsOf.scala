@@ -36,7 +36,7 @@ object StreamingAsOf {
   final case class AsOfEvent(
       user_id: Long, ts_us: Long, side: Int, event_id: Long, value: Double)
   final case class RefRow(ts_us: Long, value: Double)
-  final case class AsOfState(refs: Vector[RefRow])
+  final case class AsOfState(refs: Vector[RefRow], max_ts_us: Long = Long.MinValue)
   final case class Enriched(
       event_id: Long, user_id: Long, ts_us: Long,
       err_ts_us: Option[Long], err_value: Option[Double])
@@ -50,7 +50,15 @@ object StreamingAsOf {
   def tagRef(userId: Long, tsUs: Long, value: Double): AsOfEvent =
     AsOfEvent(userId, tsUs, SideRef, 0L, value)
 
-  def asOfStream(tagged: Dataset[AsOfEvent]): Dataset[Enriched] = {
+  /** @param horizonUs state-retention horizon: once the newest event seen
+    *   for a key is `t`, reference rows older than `t - horizonUs` can no
+    *   longer be the best match for any future probe that is itself within
+    *   the horizon — so the buffer keeps only the newest such row (the
+    *   boundary carrier) plus everything younger. State per key is then
+    *   bounded by reference density × horizon, not stream length — the same
+    *   contract as a watermark. Default: retain everything. */
+  def asOfStream(tagged: Dataset[AsOfEvent],
+      horizonUs: Long = Long.MaxValue): Dataset[Enriched] = {
     import tagged.sparkSession.implicits._
     tagged
       .groupByKey(_.user_id)
@@ -58,12 +66,14 @@ object StreamingAsOf {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
           var refs = state.getOption.map(_.refs).getOrElse(Vector.empty)
+          var maxTs = state.getOption.map(_.max_ts_us).getOrElse(Long.MinValue)
           val out = Vector.newBuilder[Enriched]
           // (ts, side, value): reference rows sort before probes at equal
           // ts; among duplicate (key, ts) references the LARGEST payload is
           // inserted last and therefore matched — the same deterministic
           // tiebreak as the batch operator's payload-struct window order
           rows.toSeq.sortBy(e => (e.ts_us, e.side, e.value)).foreach { e =>
+            if (e.ts_us > maxTs) maxTs = e.ts_us
             if (e.side == SideRef) {
               // insert keeping the buffer sorted (appends are O(1) for the
               // common in-order case)
@@ -78,7 +88,14 @@ object StreamingAsOf {
                 m.map(_.ts_us), m.map(_.value))
             }
           }
-          state.update(AsOfState(refs))
+          // prune expired state, keeping the newest at-or-below-cutoff row:
+          // it is still the correct match for the oldest admissible probe
+          if (horizonUs != Long.MaxValue && maxTs != Long.MinValue) {
+            val cutoff = maxTs - horizonUs
+            val boundary = refs.lastIndexWhere(_.ts_us <= cutoff)
+            if (boundary > 0) refs = refs.drop(boundary)
+          }
+          state.update(AsOfState(refs, maxTs))
           out.result().iterator
       }
   }

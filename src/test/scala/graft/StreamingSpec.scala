@@ -159,6 +159,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("as-of state pruning keeps the boundary reference so horizon probes still match") {
+    import graft.streaming.StreamingAsOf
+    val src = Files.createTempDirectory("graft_asof_prune_").toString
+    // batch 1: refs at 100 and 200, probe at 1000 (far ahead: prune cutoff
+    // = 1000 - 500 = 500; ref 100 is dropped, boundary ref 200 survives)
+    Seq(
+      StreamingAsOf.tagRef(1L, 100L, 1.0),
+      StreamingAsOf.tagRef(1L, 200L, 2.0),
+      StreamingAsOf.tagProbe(1L, 1000L, 11L)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingAsOf.asOfStream(
+      spark.readStream.schema(schema).parquet(src).as[StreamingAsOf.AsOfEvent],
+      horizonUs = 500L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_prune_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a probe at 600 (within horizon) must still match the
+      // SURVIVING boundary ref at 200 after batch-1 pruning
+      Seq(StreamingAsOf.tagProbe(1L, 600L, 12L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_prune_out")
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Any]("err_ts_us")))
+    assert(got.toSeq == Seq((11L, 200L), (12L, 200L)), got.mkString(","))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val src1 = Files.createTempDirectory("graft_ssj_l_").toString
     val src2 = Files.createTempDirectory("graft_ssj_r_").toString
