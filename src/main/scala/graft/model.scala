@@ -39,11 +39,15 @@ object model {
 
   /** Column-level `Math.floorDiv(ts, w)` in EXACT integer arithmetic.
     * `floor(col / lit)` divides in double — near 2^53 (micro/nanosecond
-    * epochs) a boundary value can round into the adjacent bucket.
-    * Subtracting `pmod` first makes the quotient integral, so the division
-    * is exact for any sign and magnitude. */
+    * epochs) a boundary value can round into the adjacent bucket, and even
+    * `(ts - pmod) / w` is double division, so the dividend itself may not
+    * be representable above 2^53. Subtracting `pmod` makes the quotient
+    * integral; dividing in DECIMAL keeps every intermediate exact (the
+    * quotient has remainder 0, so no rounding ever applies) — exact for
+    * any sign and the full bigint range. */
   def floorDivCol(ts: Column, w: Long): Column =
-    ((ts - pmod(ts, lit(w))) / lit(w)).cast("long")
+    ((ts.cast(DecimalType(38, 0)) -
+      pmod(ts, lit(w)).cast(DecimalType(38, 0))) / lit(w)).cast("long")
 
   /** Hour-shard bucket of an epoch-millis column. */
   def shardHourCol(tsMs: Column): Column = floorDivCol(tsMs, ShardDurationMs)

@@ -67,10 +67,6 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesOf(col("toks"), n)).as("g"))
       .select(col("doc_id"), tokHash(col("g")).as("h"))
 
-  /** Per-doc shingle-set sizes (|distinct shingles|). */
-  private def sizesOf(ex: DataFrame): DataFrame =
-    ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-
   private def jaccardOf(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
@@ -246,8 +242,10 @@ object Dedup {
     // (once per union branch), and again every loop round
     val p = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       .localCheckpoint(true)
+    // the driver path needs each undirected pair ONCE — collect p, not the
+    // doubled symmetric list
+    if (p.count() * 2 <= driverMaxEdges) return driverSideCc(p)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-    if (edges.count() <= driverMaxEdges) return driverSideCc(edges)
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
       .localCheckpoint(true)

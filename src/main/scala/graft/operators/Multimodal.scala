@@ -81,10 +81,8 @@ object Multimodal {
         when(col("n_bytes") === 0, lit(""))
           .otherwise(concat_ws("",
             transform(sequence(lit(0L), lit(target - 1L)), i => {
-              val prod = i * col("n_bytes")
-              // exact integer floor-div (same pmod trick as model.floorDivCol)
-              val bytePos = (prod - pmod(prod, lit(target.toLong))) / lit(target.toLong)
-              col("__h").substr((bytePos.cast("long") * 2 + 1).cast("int"), lit(2))
+              val bytePos = graft.model.floorDivCol(i * col("n_bytes"), target.toLong)
+              col("__h").substr((bytePos * 2 + 1).cast("int"), lit(2))
             }))).as("resized_hex"))
   }
 

@@ -23,13 +23,11 @@ object RangeJoin {
     * @param rightTs  right timestamp column (epoch micros)
     * @param windowUs window width in microseconds
     */
-  /** Exact floor-division bucket: `floor(ts / w)` via integer arithmetic.
-    * `floor(col/lit)` would divide in DOUBLE — near 2^53 a boundary row can
-    * round into the wrong bucket and silently lose its pairs; subtracting
-    * `pmod` first makes the quotient integral, so the division is exact for
-    * any sign and magnitude. */
+  /** Exact floor-division bucket — double-division `floor(col/lit)` can
+    * mis-bucket a boundary row near 2^53 and silently lose its pairs; the
+    * shared helper divides in decimal with an integral quotient. */
   private def bucketOf(ts: String, windowUs: Long) =
-    ((col(ts) - pmod(col(ts), lit(windowUs))) / lit(windowUs)).cast("long")
+    graft.model.floorDivCol(col(ts), windowUs)
 
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowUs: Long): DataFrame = {

@@ -151,11 +151,16 @@ object Similarity {
     val simArr = array(cents.map { case (_, w) =>
       cosine(v, typedLit(w.toSeq))
     }: _*)
+    // map the argmax ARRAY INDEX back to the centroid's actual vec_id —
+    // the two only coincide when vec_ids 0..nCentroids-1 are all present,
+    // and the probe list is in vec_id space
+    val centIds = typedLit(cents.map(_._1).toSeq)
     embeddings
       .withColumn("__sims", simArr)
       // first-position argmax = smallest centroid id on ties (1-based)
       .withColumn("ivf_cluster",
-        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("long"))
+        element_at(centIds,
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
       .filter(col("ivf_cluster").isin(probed: _*))
       .select(col("vec_id"), col("label"), col("ivf_cluster"),
         cosine(v, typedLit(qv.toSeq)).as("sim"))

@@ -111,10 +111,13 @@ object StreamingIngest {
         s"r_ts <= l_ts + interval $windowSecs seconds"))
   }
 
-  /** Streaming exact dedup — the streaming half of
-    * [[graft.operators.Dedup.exactKeepFirst]]: keep the first row per
-    * content hash, dropping any duplicate that arrives within the watermark
-    * horizon. State is one (hash → expiry) entry per distinct content and is
+  /** Streaming exact dedup: emit exactly ONE row per content hash, dropping
+    * any duplicate that arrives within the watermark horizon. Which
+    * duplicate survives is ARRIVAL-ORDER-dependent (unlike the batch
+    * [[graft.operators.Dedup.exactKeepFirst]], whose min-doc_id survivor is
+    * deterministic) — the guarantee here is one-per-hash, and the batch
+    * operator is the replayable source of truth when survivor identity
+    * matters. State is one (hash → expiry) entry per distinct content and is
     * evicted once the event-time watermark passes it, so state size is
     * bounded by the dedup horizon, not the stream length — the property that
     * makes this runnable forever on a 100 TB/day feed (a global-forever

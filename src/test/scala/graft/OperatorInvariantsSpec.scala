@@ -78,6 +78,22 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
   }
 
+  test("floorDivCol matches Math.floorDiv across the full long range incl. above 2^53") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val cases = Seq(0L, 1L, -1L, 3599999L, 3600000L, -3600000L, -3600001L,
+      (1L << 53) - 1, 1L << 53, 3098844271765815156L, Long.MaxValue - 17,
+      Long.MinValue + 17) ++
+      (1 to 200).map(_ => rng.nextLong())
+    val w = 3600000L
+    val got = cases.toDF("ts")
+      .select(col("ts"), graft.model.floorDivCol(col("ts"), w).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { ts =>
+      assert(got(ts) == Math.floorDiv(ts, w), s"ts=$ts got=${got(ts)}")
+    }
+  }
+
   test("dedup clusters: driver union-find and distributed label loop agree exactly") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val pairs = graft.operators.Dedup.simhashNearDupPairs(docs, 4)

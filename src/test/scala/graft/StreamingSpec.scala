@@ -221,7 +221,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
-  test("streaming dedup keeps exactly the batch keep-first survivors") {
+  test("streaming dedup emits exactly one survivor per content hash") {
     val src = Files.createTempDirectory("graft_dedup_src_").toString
     // 300 docs over 100 distinct texts: every text appears 3× within the
     // watermark horizon, at distinct timestamps
