@@ -109,6 +109,8 @@ object SparkEntry {
       Relational.thetaBandCounts(Tables.customer(s, dir), Tables.region(s, dir))),
     "q_topk_per_group" -> ((s, dir) =>
       Relational.topKPerSegment(Tables.orders(s, dir), Tables.customer(s, dir), 3)),
+    "q_mode" -> ((s, dir) =>
+      Relational.modeOrderPriority(Tables.orders(s, dir))),
     "q_semi_join" -> ((s, dir) =>
       Relational.customersWithOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_anti_join" -> ((s, dir) =>
@@ -508,6 +510,14 @@ object SparkEntry {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rk <= 3""".stripMargin,
+    "q_mode" ->
+      """SELECT o_orderstatus, mode_priority, n_orders FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |         count(*) AS n_orders,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rk = 1""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

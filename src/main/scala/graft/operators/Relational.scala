@@ -39,6 +39,26 @@ object Relational {
 
   /** Broadcast-join enrich: orders ⋈ customer (dim side broadcast — no
     * shuffle of the fact table), revenue per market segment. */
+  /** Deterministic MODE: the most frequent order priority per status.
+    * Spark's built-in `mode()` breaks frequency ties arbitrarily, so this
+    * uses the portable two-level formulation — count per (group, value),
+    * then rank by (count DESC, value ASC) — which every engine reproduces
+    * exactly. Two hash aggregations + one small window; the first
+    * aggregation collapses map-side, so the shuffle carries one row per
+    * distinct (group, value). */
+  def modeOrderPriority(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_orders"))
+  }
+
   /** Groupwise top-k: the k highest-price orders per market segment — a
     * partitioned ranking window + filter. Unlike a global ORDER BY LIMIT,
     * this shuffles once on the group key and each partition keeps only its

@@ -129,6 +129,26 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("count-min sketch token counts land within the epsilon bound of exact counts") {
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("tok"), lit(0.01), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exactTop = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(5).collect()
+    exactTop.foreach { r =>
+      val (tok, exact) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(tok)
+      // CMS never under-counts; over-count bounded by eps * stream size
+      assert(est >= exact, s"$tok est=$est exact=$exact")
+      assert(est <= exact + (0.01 * total).toLong + 1, s"$tok est=$est exact=$exact")
+    }
+  }
+
   test("HLL sketch (approx_count_distinct) lands within 10% of the exact distinct count") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val row = ev.agg(

@@ -221,6 +221,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("foreachBatch streams points into reference-format .bin shards the DSv2 source reads back") {
+    val src = Files.createTempDirectory("graft_fb_src_").toString
+    val store = Files.createTempDirectory("graft_fb_store_").toString
+    val pts = (1 until 2000).map(i => DataPoint(i * 5000L, i * 0.5))
+    pts.toDS().toDF().write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    // the full streaming->reference bridge: micro-batches land as the
+    // reference engine's own shard files (end-inclusive naming), so the
+    // original engine can keep querying data ingested through Spark
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.gorilla.GorillaShardWriter.writeShards(
+          batch.as[DataPoint], store)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val back = spark.read
+      .format(classOf[graft.sources.gorilla.GorillaShardSource].getName)
+      .load(store)
+    assert(back.count() == pts.size)
+    val got = back.orderBy("timestamp").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == pts.map(p => (p.timestamp, p.value)))
+  }
+
   test("streaming dedup emits exactly one survivor per content hash") {
     val src = Files.createTempDirectory("graft_dedup_src_").toString
     // 300 docs over 100 distinct texts: every text appears 3× within the
