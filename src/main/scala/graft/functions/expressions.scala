@@ -153,6 +153,27 @@ object GraftFunctions {
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
+/** Optimizer rule: peephole-fuse the composed cosine pattern
+  * `dot(x,y) / (sqrt(dot(x,x)) * sqrt(dot(y,y)))` into the single-pass
+  * [[CosineSimilarity]] expression. Safe because the fused form is
+  * BIT-IDENTICAL to the composed one (same accumulation orders —
+  * spec-asserted), so this is purely an execution-cost rewrite: code that
+  * composes the primitives by hand gets the fused traversal for free. */
+object FuseCosine extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(DotProduct(x, y),
+          Multiply(Sqrt(DotProduct(x2, x3)), Sqrt(DotProduct(y2, y3)), _), _)
+          if x.semanticEquals(x2) && x.semanticEquals(x3) &&
+            y.semanticEquals(y2) && y.semanticEquals(y3) =>
+        CosineSimilarity(x, y)
+    }
+}
+
 /** SparkSessionExtensions registration — makes `graft_dot` callable from
   * SQL: `SELECT graft_dot(a, b)`. Wire with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
@@ -172,5 +193,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => FuseCosine)
   }
 }

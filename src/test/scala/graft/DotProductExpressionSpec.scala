@@ -50,6 +50,26 @@ class DotProductExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("FuseCosine optimizer rule rewrites the composed pattern to graft_cosine") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.FuseCosine)
+    try {
+      val df = emb.select(
+        (GraftFunctions.dot_product(col("v"), col("v")) /
+          (sqrt(GraftFunctions.dot_product(col("v"), col("v"))) *
+            sqrt(GraftFunctions.dot_product(col("v"), col("v"))))).as("c"))
+      val fused = df.queryExecution.optimizedPlan.expressions.exists(_.collect {
+        case _: graft.functions.CosineSimilarity => true
+      }.nonEmpty)
+      assert(fused, df.queryExecution.optimizedPlan.toString)
+      // and the rewrite does not change values (cos(v,v) for all rows)
+      val composed = (GraftFunctions.dot_product(col("v"), col("v")) /
+        (sqrt(GraftFunctions.dot_product(col("v"), col("v"))) *
+          sqrt(GraftFunctions.dot_product(col("v"), col("v"))))).as("c")
+      assert(df.exceptAll(emb.select(composed)).count() == 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("literal-literal dots constant-fold out of the per-row plan") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val l = GraftFunctions.dot_product(
