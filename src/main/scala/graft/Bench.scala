@@ -87,12 +87,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
       s""""hot_query_ms":${"%.1f".format(hotMs)},""" +
       s""""cold_query_ms":${"%.1f".format(coldMs)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    // stdout AND a file: log-capture tails have truncated the stdout line
+    // before (round-2 BENCH tail surgery) — the file copy always parses
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -29,6 +29,11 @@ object SparkEntry {
   private val ShipBefore = "2000-01-01 00:00:00"
   private val NgramN        = 3
   private val MinJaccard    = 0.3
+  // Shingle DF cap for q_ngram_jaccard, set LOW so the cap path actually
+  // engages at verify scale (sf0.01 max df is 7; cap=5 drops ~29 shingles
+  // there and ~24.5k at sf0.1). Production callers use the operator default
+  // (Dedup.DefaultShingleDfCap); the oracle SQL mirrors this constant.
+  private val NgramDfCap    = 5L
   private val CosineMinSim  = 0.3
   private val TopKSim       = 10
   private val QueryVecId    = 0L
@@ -180,7 +185,7 @@ object SparkEntry {
     "q_dedup_keep_first" -> ((s, dir) =>
       Dedup.exactKeepFirst(doubledDocs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramN, MinJaccard, NgramDfCap)),
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
     "q_simhash" -> ((s, dir) =>
@@ -303,6 +308,25 @@ object SparkEntry {
        |pairs AS (SELECT a.doc_id doc_id_1, b.doc_id doc_id_2, count(*) n_common
        |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** DF-capped variant of the shingle CTEs for q_ngram_jaccard — mirrors
+    * Dedup.ngramJaccardPairs' document-frequency cap: shingles in more than
+    * NgramDfCap docs are excluded from pairs AND sizes. */
+  private val sqlShingleCtesCapped =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') s FROM documents),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(s) >= $NgramN
+       |              THEN list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |                                  for i in generate_series(1, len(s) - ${NgramN - 1})])
+       |              ELSE [] END gs FROM tok),
+       |ex0 AS (SELECT doc_id, unnest(gs) g FROM sh),
+       |dfc AS (SELECT g, count(*) df FROM ex0 GROUP BY 1),
+       |exc AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN dfc USING (g)
+       |        WHERE dfc.df <= $NgramDfCap),
+       |csizes AS (SELECT doc_id, count(*) n FROM exc GROUP BY 1),
+       |cpairs AS (SELECT a.doc_id doc_id_1, b.doc_id doc_id_2, count(*) n_common
+       |           FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)""".stripMargin
 
   private val sqlMinhashSig = {
     val mins = (0 until Dedup.MinHashK)
@@ -647,10 +671,10 @@ object SparkEntry {
          |  FROM docs2)
          |WHERE rn = 1""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH $sqlShingleCtes
+      s"""WITH $sqlShingleCtesCapped
          |SELECT doc_id_1, doc_id_2, n_common,
          |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
-         |FROM pairs JOIN sizes s1 ON doc_id_1 = s1.doc_id JOIN sizes s2 ON doc_id_2 = s2.doc_id
+         |FROM cpairs JOIN csizes s1 ON doc_id_1 = s1.doc_id JOIN csizes s2 ON doc_id_2 = s2.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH $sqlShingleCtes,

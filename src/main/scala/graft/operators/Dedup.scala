@@ -23,9 +23,11 @@ import graft.functions.TextAnalysis.{tokHash, P}
   *  - MinHash+LSH is the at-scale near-dup plan: candidates come from tiny
   *    (band, bucket) keys; exact verification touches candidates only, so
   *    the corpus² pair space never materializes;
-  *  - n-gram Jaccard (exact) joins on individual shingles; frequent shingles
-  *    are skew keys — AQE skew-join splitting handles moderate skew, and the
-  *    LSH path is the intended plan at full scale.
+  *  - n-gram Jaccard (exact) buckets by shingle hash; frequent shingles are
+  *    capped by document frequency (a count-only pre-pass — see
+  *    [[ngramJaccardPairs]]) so no posting list, and no in-bucket pair
+  *    expansion, ever exceeds the cap. The LSH path remains the intended
+  *    plan at full scale.
   */
 object Dedup {
 
@@ -76,15 +78,55 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
 
-  /** All document pairs with n-gram Jaccard ≥ minJaccard — exact.
+  /** Default shingle document-frequency cap for [[ngramJaccardPairs]].
+    * Shingles occurring in more documents than this are boilerplate
+    * (headers, license blocks, navigation chrome — guaranteed in any real
+    * crawl): they carry near-zero Jaccard signal but would concentrate a
+    * K²/2 pair expansion on a single aggregation row. Dropping them is
+    * standard near-dup practice; the dropped-shingle count is observable
+    * as the `graft_ngram_df_dropped_shingles` query metric. */
+  val DefaultShingleDfCap = 100000L
+
+  /** Name of the query observation reporting how many distinct shingles the
+    * DF cap dropped (read it from `QueryExecution.observedMetrics` or a
+    * `QueryExecutionListener`). */
+  val NgramDfCapMetric = "graft_ngram_df_dropped_shingles"
+
+  /** All document pairs with n-gram Jaccard ≥ minJaccard — exact over the
+    * DF-capped shingle universe (shingles present in more than `maxDocFreq`
+    * documents are excluded from BOTH the pair discovery and the per-doc
+    * sizes, so the Jaccard denominator stays consistent with the numerator).
     *
     * Pair discovery groups the exploded shingles by hash ONCE and emits the
     * in-bucket pair combinations from the collected doc list, instead of
     * self-joining the exploded table (which shuffles it twice and resorts
     * both sides). The pair count is identical — it's the same pair space —
-    * but only |distinct shingles| rows carry it through the shuffle. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val byH = shingleEx(docs, n)
+    * but only |distinct shingles| rows carry it through the shuffle.
+    *
+    * Scale note: the DF pre-pass is a count-only aggregation — map-side
+    * partials collapse to one tiny (h, df) row per distinct shingle, so hot
+    * shingles are identified WITHOUT materializing their posting lists. A
+    * shingle shared by millions of docs therefore never builds a
+    * multi-hundred-MB `collect_set` array, and every in-bucket expansion is
+    * bounded by maxDocFreq²/2. Cost: one extra corpus shingle pass — the
+    * same shape as [[minhashLshPairs]]' verification rescan. The hot set is
+    * left unhinted: it is tiny for any sane cap and AQE broadcasts it at
+    * runtime, while a pathological cap degrades to a shuffled anti-join
+    * instead of OOMing the driver. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+      maxDocFreq: Long = DefaultShingleDfCap,
+      // observation names must be unique within one query execution — pass a
+      // distinct name when composing several instances into a single plan
+      dfCapMetricName: String = NgramDfCapMetric): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val ex = shingleEx(docs, n)
+    // shingleEx emits DISTINCT shingles per doc, so count(1) per hash IS the
+    // document frequency
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("h"))
+      .observe(dfCapMetricName, count(lit(1)).as("dropped_shingles"))
+    val byH = ex.join(hot, Seq("h"), "left_anti")
       .groupBy(col("h"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
     // sizes derive from the SAME aggregate subtree as the pairs, so the
@@ -188,6 +230,10 @@ object Dedup {
     * LSH banding but lossless: the join key is a ~(60/(k+1))-bit value, so
     * only near-identical fingerprints ever meet in the shuffle. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // maxHamming >= 60 would make the chunk width 0 — every row lands in one
+    // (idx, 0) bucket and the equi-join degenerates to a corpus² cross join
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
     val s = simhash(docs)
     val nChunks = maxHamming + 1
     val bits = 60

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale-safety behavior of the dedup operators: the shingle DF cap (hot
+  * boilerplate shingles must not produce a quadratic in-bucket expansion),
+  * the simhash maxHamming guard, and multi-round convergence of the
+  * distributed connected-components loop on a deep chain graph.
+  */
+class DedupScaleSpec extends AnyFunSuite with SparkSpec {
+
+  /** 10 distinct docs all sharing one boilerplate shingle, plus one exact
+    * near-dup pair that also shares it. n=3 shingles per doc:
+    * the boilerplate trigram has df=12; all other shingles are unique to
+    * their doc (or to the near-dup pair). */
+  private def hotShingleCorpus = {
+    import spark.implicits._
+    val uniques = (1 to 10).map(i => (i.toLong, s"w${i}a w${i}b w${i}c copyright acme corp"))
+    val nearDups = Seq((100L, "alpha beta gamma delta copyright acme corp"),
+                       (101L, "alpha beta gamma delta copyright acme corp"))
+    (uniques ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("DF cap drops hot boilerplate shingles: only genuine near-dups pair up") {
+    val capped = Dedup.ngramJaccardPairs(hotShingleCorpus, n = 3,
+      minJaccard = 0.1, maxDocFreq = 5L)
+    val rows = capped.collect()
+    // the boilerplate-only pairs (every doc shares "copyright acme corp")
+    // are gone; the one genuine near-dup pair survives with jaccard 1.0
+    // over its capped shingle universe
+    assert(rows.length == 1, rows.mkString(", "))
+    assert(rows.head.getAs[Long]("doc_id_1") == 100L)
+    assert(rows.head.getAs[Long]("doc_id_2") == 101L)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 1.0) < 1e-12)
+    // the cap reports what it dropped via the named query observation
+    val metric = capped.queryExecution.observedMetrics(Dedup.NgramDfCapMetric)
+    assert(metric.getAs[Long]("dropped_shingles") == 1L)
+  }
+
+  test("uncapped (default cap), the boilerplate shingle links every doc pair") {
+    val pairs = Dedup.ngramJaccardPairs(hotShingleCorpus, n = 3, minJaccard = 0.1)
+    // 12 docs all share one shingle: C(12,2) = 66 pairs meet jaccard >= 1/9
+    // (4+ shingles per side, 1 common), plus nothing extra — the near-dup
+    // pair is one of the 66
+    assert(pairs.count() == 66L)
+  }
+
+  test("cap larger than corpus df is a no-op vs default on real data") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val a = Dedup.ngramJaccardPairs(docs, 3, 0.3)
+    val b = Dedup.ngramJaccardPairs(docs, 3, 0.3, maxDocFreq = 1000000L,
+      dfCapMetricName = "graft_ngram_df_cap_b")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("simhashNearDupPairs rejects maxHamming outside [0, 60)") {
+    val docs = hotShingleCorpus
+    assertThrows[IllegalArgumentException](Dedup.simhashNearDupPairs(docs, -1))
+    assertThrows[IllegalArgumentException](Dedup.simhashNearDupPairs(docs, 60))
+  }
+
+  test("ngramJaccardPairs rejects maxDocFreq < 2") {
+    assertThrows[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(hotShingleCorpus, 3, 0.1, maxDocFreq = 1L))
+  }
+
+  test("distributed CC converges on a 40-deep chain (multi-round pointer jumping)") {
+    import spark.implicits._
+    // path graph 1-2-3-...-40: diameter 39 forces several label-propagation
+    // rounds; pointer jumping must still reach the unique min-label fixpoint
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val labels = Dedup.dedupClusters(chain, driverMaxEdges = -1L).collect()
+    assert(labels.length == 40)
+    assert(labels.forall(_.getAs[Long]("cluster_id") == 1L),
+      labels.sortBy(_.getAs[Long]("doc_id")).mkString(", "))
+  }
+}
