@@ -68,8 +68,15 @@ object AsOfJoin {
     // __r as the final sort key: with duplicate right-side (key, ts) rows
     // carrying DIFFERENT payloads, `last` must not depend on partition
     // order — struct ordering makes the carried row the deterministic max.
+    // A payload containing a non-orderable type (e.g. map<,>) cannot join
+    // the sort key: such payloads still work, but the winner among
+    // duplicate (key, ts) reference rows is then unspecified.
+    val tiebreak: Seq[Column] =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
+        Seq(col("__r"))
+      else Seq.empty
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .orderBy(col("__ts") +: col("__side") +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)

@@ -37,8 +37,6 @@ object Relational {
         (exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
-  /** Broadcast-join enrich: orders ⋈ customer (dim side broadcast — no
-    * shuffle of the fact table), revenue per market segment. */
   /** Deterministic MODE: the most frequent order priority per status.
     * Spark's built-in `mode()` breaks frequency ties arbitrarily, so this
     * uses the portable two-level formulation — count per (group, value),
@@ -69,7 +67,10 @@ object Relational {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders
-      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      // customer is scale-variant (~15 GB at SF1000): no forced broadcast
+      // hint — Catalyst/AQE picks BHJ from size stats at bench scale and
+      // degrades to SMJ instead of OOMing the driver at 100×
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -96,25 +97,33 @@ object Relational {
         exactSum(col("c_acctbal")).as("sum_bal"))
   }
 
+  /** Dim-join enrich: orders ⋈ customer, revenue per market segment. The
+    * dim side broadcasts when size stats allow (no shuffle of the fact
+    * table) and degrades gracefully when it doesn't fit. */
   def segmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      // scale-variant dim: size-based broadcast selection, not a forced hint
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         exactSum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** TPC-H Q5-style star join: lineitem ⋈ orders shuffles once on orderkey;
-    * customer/supplier/nation/region are broadcast. Revenue per nation for
-    * one region. */
+    * the dims join broadcast-side. Only the fixed-size dims (nation 25 rows,
+    * region 5) carry explicit hints — customer/supplier GROW with scale
+    * factor (~15 GB / ~2 GB at SF1000), so their joins are left to
+    * size-based selection: AQE broadcasts them at bench scale and falls
+    * back to shuffled joins at 100× instead of OOMing the driver. Revenue
+    * per nation for one region. */
   def regionNationRevenue(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       supplier: DataFrame, nation: DataFrame, region: DataFrame,
       regionName: String): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -50,6 +50,10 @@ object StreamingIngest {
   // --- stateful sessionization (flatMapGroupsWithState) ---
 
   final case class SessionEvent(user_id: Long, ts_us: Long)
+  /** [[SessionEvent]] plus the derived event-time column the watermark (and
+    * therefore the session-expiry timeout) is anchored to. */
+  final case class SessionEventT(
+      user_id: Long, ts_us: Long, event_time: java.sql.Timestamp)
   /** Open session carried across micro-batches. */
   final case class OpenSession(start_us: Long, last_us: Long, n: Long)
   final case class ClosedSession(
@@ -59,34 +63,64 @@ object StreamingIngest {
     * micro-batch folds its (sorted) events into the open session from state,
     * emits every session CLOSED by a gap, and parks the still-open session
     * back in state for the next batch — the custom-state operator the
-    * reference's synchronous API could never express (SURVEY.md §2.2). */
-  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long): Dataset[ClosedSession] = {
+    * reference's synchronous API could never express (SURVEY.md §2.2).
+    *
+    * Idle sessions expire on EVENT TIME: once the watermark passes
+    * `last_us + gapUs`, no admissible event can extend the session, so the
+    * timeout EMITS it as closed (matching what the batch operator would
+    * produce) and removes the state entry — a forever-running stream over a
+    * churning user space holds state only for users active within the
+    * watermark horizon.
+    *
+    * @param watermark watermark delay on the derived event-time column —
+    *   both the late-data bound and the clock session expiry fires on. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[SessionEventT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
-          val sorted = rows.map(_.ts_us).toSeq.sorted
-          var open = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          sorted.foreach { ts =>
-            open match {
-              case Some(s) if ts - s.last_us <= gapUs =>
-                // max: a LATE event (ts < last_us from a prior batch) joins
-                // the open session without rewinding its end
-                open = Some(s.copy(
-                  start_us = math.min(s.start_us, ts),
-                  last_us = math.max(s.last_us, ts), n = s.n + 1))
-              case Some(s) =>
-                closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
-                open = Some(OpenSession(ts, ts, 1))
-              case None =>
-                open = Some(OpenSession(ts, ts, 1))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEventT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed last_us + gap: the session can no longer
+            // be extended — emit it closed and drop the key's state
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = rows.map(_.ts_us).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { ts =>
+              open match {
+                case Some(s) if ts - s.last_us <= gapUs =>
+                  // max: a LATE event (ts < last_us from a prior batch) joins
+                  // the open session without rewinding its end
+                  open = Some(s.copy(
+                    start_us = math.min(s.start_us, ts),
+                    last_us = math.max(s.last_us, ts), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
+                  open = Some(OpenSession(ts, ts, 1))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the gap boundary (clamped
+              // above the current watermark — Spark rejects timestamps at
+              // or below it)
+              state.setTimeoutTimestamp(math.max(
+                s.last_us / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 

@@ -41,4 +41,16 @@ class AsOfJoinNullPayloadSpec extends AnyFunSuite with SparkSpec {
       Seq("ts" -> "m_ts", "v" -> "m_v")).collect().head
     assert(out.isNullAt(out.fieldIndex("m_ts")) && out.isNullAt(out.fieldIndex("m_v")))
   }
+
+  test("non-orderable (map) payload columns still join — tiebreak falls away") {
+    // a map<,> payload cannot enter the window ORDER BY: the operator must
+    // drop the deterministic-duplicate tiebreak rather than fail analysis
+    val left = Seq((1L, 25L)).toDF("key", "ts")
+    val right = Seq((1L, 10L, Map("a" -> 1.0)))
+      .toDF("key", "ts", "attrs")
+    val out = AsOfJoin.asOf(left, right, "key", "ts",
+      Seq("ts" -> "m_ts", "attrs" -> "m_attrs")).collect().head
+    assert(out.getAs[Long]("m_ts") == 10L)
+    assert(out.getAs[Map[String, Double]]("m_attrs") == Map("a" -> 1.0))
+  }
 }

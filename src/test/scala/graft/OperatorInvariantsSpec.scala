@@ -195,6 +195,20 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scale-variant dims broadcast via size stats (no forced hint needed)") {
+    // customer/supplier carry no broadcast() hint (they grow with scale
+    // factor); at bench scale Catalyst must still CHOOSE broadcast from
+    // parquet size statistics — at 100× the same plan degrades to a
+    // shuffled join instead of OOMing the driver
+    Seq("q_join_segment_revenue", "q_star_join_region", "q_topk_per_group")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), s"$q plan:\n$plan")
+      }
+  }
+
   test("simhash near-dup pigeonhole bucketing is not a cartesian product") {
     val df = SparkEntry.queries("q_simhash_neardup")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

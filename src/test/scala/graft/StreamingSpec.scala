@@ -73,8 +73,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val schema = spark.read.parquet(src).schema
     val gapUs = 1800000000L
 
+    // huge watermark delay: session-expiry timeouts never fire, so the
+    // stream emits ONLY gap-closed sessions — the dangling-final-session
+    // expectation below stays exact (expiry itself is covered by the
+    // dedicated timeout specs)
     val streamed = graft.streaming.StreamingIngest.sessionizeStream(
-      spark.readStream.schema(schema).parquet(src).as[SessionEvent], gapUs)
+      spark.readStream.schema(schema).parquet(src).as[SessionEvent], gapUs,
+      watermark = "3650 days")
     val q = streamed.writeStream.outputMode("append")
       .format("memory").queryName("sessions_out").start()
     q.processAllAvailable()
@@ -187,6 +192,116 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .orderBy("event_id").collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Any]("err_ts_us")))
     assert(got.toSeq == Seq((11L, 200L), (12L, 200L)), got.mkString(","))
+  }
+
+  test("idle session expires on event time: emitted closed, state entry dropped") {
+    import graft.streaming.StreamingIngest.SessionEvent
+    val src = Files.createTempDirectory("graft_sess_to_").toString
+    val t0 = 1700000000000000L // µs
+    val gapUs = 10000000L // 10 s
+    // batch 1: user 1 opens a session (two events, 1 s apart)
+    Seq(SessionEvent(1L, t0), SessionEvent(1L, t0 + 1000000L)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = graft.streaming.StreamingIngest.sessionizeStream(
+      spark.readStream.schema(schema).parquet(src).as[SessionEvent], gapUs,
+      watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_timeout_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout_out").count() == 0) // still open
+      // batch 2: user 2 far in the future — the watermark jumps past
+      // user 1's last event + gap, firing the expiry timeout
+      Seq(SessionEvent(2L, t0 + 100000000L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout_out").collect()
+      assert(got.length == 1, got.mkString(","))
+      val r = got.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("session_start_us") == t0)
+      assert(r.getAs[Long]("session_end_us") == t0 + 1000000L)
+      assert(r.getAs[Long]("n_events") == 2L)
+      // and the state store holds ONLY user 2's open session
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.head
+      assert(lastState.numRowsTotal == 1L, s"state rows: ${lastState.numRowsTotal}")
+    } finally q.stop()
+  }
+
+  test("idle as-of key expires on event time: later probe starts from empty state") {
+    import graft.streaming.StreamingAsOf
+    val src = Files.createTempDirectory("graft_asof_to_").toString
+    val t0 = 1700000000000000L // µs
+    // batch 1: key 1 gets a ref, and a probe that matches it
+    Seq(
+      StreamingAsOf.tagRef(1L, t0, 7.0),
+      StreamingAsOf.tagProbe(1L, t0 + 1000000L, 11L)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingAsOf.asOfStream(
+      spark.readStream.schema(schema).parquet(src).as[StreamingAsOf.AsOfEvent],
+      idleTimeoutUs = 10000000L, // 10 s
+      watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_timeout_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: another key far ahead advances the watermark past key 1's
+      // idle horizon → key 1's buffer is evicted
+      Seq(StreamingAsOf.tagRef(2L, t0 + 100000000L, 1.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // batch 3: a fresh probe on key 1 — its ref is GONE, so no match
+      Seq(StreamingAsOf.tagProbe(1L, t0 + 101000000L, 12L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("asof_timeout_out")
+        .orderBy("event_id").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[Any]("err_ts_us"))))
+      assert(got.toSeq == Seq((11L, Some(t0)), (12L, None)), got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("duplicate equal-ts reference across micro-batches: largest payload still wins") {
+    import graft.streaming.StreamingAsOf
+    val src = Files.createTempDirectory("graft_asof_dup_").toString
+    val t0 = 1700000000000000L
+    // batch 1: the SMALLER payload arrives first
+    Seq(StreamingAsOf.tagRef(1L, t0, 1.0)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingAsOf.asOfStream(
+      spark.readStream.schema(schema).parquet(src).as[StreamingAsOf.AsOfEvent])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_dup_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a duplicate (key, ts) ref with a LARGER payload, then a probe
+      Seq(StreamingAsOf.tagRef(1L, t0, 9.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq(StreamingAsOf.tagProbe(1L, t0 + 1000L, 21L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // and the mirror order: larger payload first, smaller second
+      Seq(StreamingAsOf.tagRef(2L, t0, 9.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq(StreamingAsOf.tagRef(2L, t0, 1.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq(StreamingAsOf.tagProbe(2L, t0 + 1000L, 22L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("asof_dup_out")
+        .orderBy("event_id").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("err_value")))
+      // both keys must resolve to the max payload 9.0 regardless of the
+      // arrival batching — the batch operator's tiebreak
+      assert(got.toSeq == Seq((21L, 9.0), (22L, 9.0)), got.mkString(","))
+    } finally q.stop()
   }
 
   test("stream-stream interval join equals the batch interval join") {
