@@ -216,6 +216,13 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfAnnTopK(Tables.embeddings(s, dir), QueryVecId,
         IvfCentroids, IvfProbe, TopKSim)),
+    // Lloyd-refined IVF: decimal-mean centroids aren't bit-reproducible in
+    // DuckDB, so this entry is rows-only by design — SimilarityRefinedSpec
+    // (objective monotonicity, determinism, recall, shuffle-free plan) is
+    // its correctness gate
+    "q_ivf_refined" -> ((s, dir) =>
+      Similarity.ivfAnnTopKRefined(Tables.embeddings(s, dir), QueryVecId,
+        IvfCentroids, IvfProbe, TopKSim)),
 
     // --- multimodal column plumbing (decode is a deterministic stub) ---
     "q_multimodal_meta" -> ((s, dir) =>

@@ -118,55 +118,106 @@ object Similarity {
     *
     * Ties everywhere break toward the smaller centroid id (strictly-greater
     * comparison / first-position argmax), mirrored in the DuckDB oracle. */
-  def ivfAnnTopK(embeddings: DataFrame, queryVecId: Long,
-      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = embeddings
+  /** Identical sequential left fold as the engine's DotProduct expression —
+    * same IEEE op sequence, so driver-side scores match engine-side ones. */
+  private def dotl(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def cosl(a: Array[Double], b: Array[Double]): Double =
+    dotl(a, b) / (math.sqrt(dotl(a, a)) * math.sqrt(dotl(b, b)))
+
+  /** Seed-medoid centroids: the embeddings of the `nCentroids` smallest
+    * vec_ids. Deterministic and SQL-reproducible (the oracle path). */
+  def ivfSeedCentroids(embeddings: DataFrame, nCentroids: Int): Array[(Long, Array[Double])] =
+    embeddings
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
-    // identical sequential left fold as the engine's DotProduct expression —
-    // same IEEE op sequence, so driver-side scores match engine-side ones
-    def dotl(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    def cosl(a: Array[Double], b: Array[Double]): Double =
-      dotl(a, b) / (math.sqrt(dotl(a, a)) * math.sqrt(dotl(b, b)))
+  /** Cluster-id column: cosine argmax against literal centroids, mapped from
+    * array index back to centroid id (first-position argmax = smallest
+    * centroid id on ties, 1-based `array_position`). Pure codegen'd
+    * projection — ZERO shuffle. */
+  def clusterIdCol(cents: Array[(Long, Array[Double])]): Column = {
+    val v = asDouble(col("embedding"))
+    // centroid-side norms are literal subtrees — Catalyst constant-folds
+    // them, and subexpression elimination shares sqrt(dot(v,v)) across the
+    // nCentroids similarity slots
+    val simArr = array(cents.map { case (_, w) => cosine(v, typedLit(w.toSeq)) }: _*)
+    val centIds = typedLit(cents.map(_._1).toSeq)
+    element_at(centIds, array_position(simArr, array_max(simArr)).cast("int"))
+  }
 
+  /** Lloyd refinement: `iters` deterministic k-means steps over the seed
+    * centroids. Assignment is the same zero-shuffle literal-centroid argmax
+    * as the search path; the new centroid is the per-dimension MEAN of its
+    * members, summed in DECIMAL(38,12) so the result is partition-order-
+    * independent (double addition is not associative — a plain double sum
+    * would make centroids nondeterministic across runs/cluster layouts).
+    * Cosine ignores magnitude, so the un-normalized mean is a valid
+    * spherical-k-means centroid. Empty clusters keep their previous
+    * centroid. Per iteration: one corpus pass + one (cid, dim) shuffle of
+    * |corpus|·dims tiny rows — training cost, not query cost; at 100 TB the
+    * documented path is offline k-means|| with the same broadcast-literal
+    * serving shape. */
+  def ivfRefinedCentroids(embeddings: DataFrame, nCentroids: Int,
+      iters: Int): Array[(Long, Array[Double])] = {
+    var cents = ivfSeedCentroids(embeddings, nCentroids)
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, w) => (cid, means.getOrElse(cid, w)) }
+    }
+    cents
+  }
+
+  /** IVF search against a given centroid set: probe the `nProbe` most
+    * query-similar clusters, exact cosine top-k inside them. */
+  private def ivfSearch(embeddings: DataFrame, cents: Array[(Long, Array[Double])],
+      queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
     val qv: Array[Double] = embeddings.filter(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding"))).collect().head.getSeq[Double](0).toArray
     val probed: Seq[Long] = cents
       .map { case (cid, w) => (cid, cosl(qv, w)) }
       .sortBy { case (cid, s) => (-s, cid) }
       .take(nProbe).map(_._1).toSeq
-
-    val v = asDouble(col("embedding"))
-    // centroid-side norms are literal subtrees — Catalyst constant-folds
-    // them, and subexpression elimination shares sqrt(dot(v,v)) across the
-    // nCentroids similarity slots
-    val simArr = array(cents.map { case (_, w) =>
-      cosine(v, typedLit(w.toSeq))
-    }: _*)
-    // map the argmax ARRAY INDEX back to the centroid's actual vec_id —
-    // the two only coincide when vec_ids 0..nCentroids-1 are all present,
-    // and the probe list is in vec_id space
-    val centIds = typedLit(cents.map(_._1).toSeq)
     embeddings
-      .withColumn("__sims", simArr)
-      // first-position argmax = smallest centroid id on ties (1-based)
-      .withColumn("ivf_cluster",
-        element_at(centIds,
-          array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .withColumn("ivf_cluster", clusterIdCol(cents))
       .filter(col("ivf_cluster").isin(probed: _*))
       .select(col("vec_id"), col("label"), col("ivf_cluster"),
-        cosine(v, typedLit(qv.toSeq)).as("sim"))
+        cosine(asDouble(col("embedding")), typedLit(qv.toSeq)).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  def ivfAnnTopK(embeddings: DataFrame, queryVecId: Long,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame =
+    ivfSearch(embeddings, ivfSeedCentroids(embeddings, nCentroids),
+      queryVecId, nProbe, k)
+
+  /** IVF top-k over Lloyd-refined centroids — better cluster balance than
+    * the raw seed medoids (asserted in `SimilarityRefinedSpec`), same
+    * zero-shuffle serving plan. Not SQL-oracled: the refined centroids are
+    * decimal-mean aggregates, which DuckDB's decimal division rules don't
+    * reproduce bit-for-bit — correctness is covered by the recall/balance
+    * specs instead. */
+  def ivfAnnTopKRefined(embeddings: DataFrame, queryVecId: Long,
+      nCentroids: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame =
+    ivfSearch(embeddings, ivfRefinedCentroids(embeddings, nCentroids, iters),
+      queryVecId, nProbe, k)
 
   /** Approximate top-k: restrict the exact cosine scan to the query's LSH
     * bucket. Trades recall for touching only ~corpus/2^planes rows. */

@@ -94,6 +94,57 @@ object GorillaCodec {
     }
     points.toSeq
   }
+
+  /** Timestamp-only stats pass: (n, minTs, maxTs) in one sweep over the
+    * bytes. The value varints are SKIPPED (never XOR-reconstructed) and no
+    * per-point tuples or rows materialize — this backs the DSv2
+    * MIN/MAX/COUNT aggregate pushdown, where each shard file reduces to a
+    * single partial row. Timestamp semantics mirror [[decode]] exactly,
+    * including the leading-ts==0 drop. Shard filenames CANNOT stand in for
+    * these stats: they carry hour-bucket boundaries, not point extremes, and
+    * the reference appends out-of-order points silently. min/max are
+    * undefined (Long.MaxValue/MinValue) when n == 0. */
+  def tsStats(bytes: Array[Byte]): (Long, Long, Long) = {
+    var pos = 0
+    def readVarint(): Long = {
+      var result = 0L
+      var shift = 0
+      var more = true
+      while (more && pos < bytes.length) {
+        val b = bytes(pos); pos += 1
+        result |= (b & 0x7FL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      result
+    }
+    def skipVarint(): Unit = {
+      while (pos < bytes.length && (bytes(pos) & 0x80) != 0) pos += 1
+      if (pos < bytes.length) pos += 1
+    }
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var prevTs = 0L
+    var prevDelta = 0L
+    while (pos < bytes.length) {
+      val ts =
+        if (prevTs == 0L) readVarint()
+        else {
+          val delta = prevDelta + unzigzag(readVarint())
+          prevDelta = delta
+          prevTs + delta
+        }
+      prevTs = ts
+      skipVarint() // value bits — irrelevant to timestamp stats
+      if (ts != 0L || n > 0) {
+        n += 1
+        if (ts < mn) mn = ts
+        if (ts > mx) mx = ts
+      }
+    }
+    (n, mn, mx)
+  }
 }
 
 /** Reverse-migration writer: dump a point Dataset INTO the reference's

@@ -59,26 +59,43 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
   private var tsHi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var required: StructType = GorillaShardSource.schema
-  private var countPushed = false
+  private var aggsPushed: Seq[String] = Nil
 
-  // COUNT(*) pushdown: each shard-file partition emits ONE partial-count
-  // row (points decoded, tuples never materialized); Spark sums partials.
-  // Spark only offers aggregate pushdown when every filter was fully
-  // pushed — ours stay residual (pushFilters returns them), so a filtered
-  // count still evaluates row-by-row and stays correct.
+  // COUNT(*) / MIN(timestamp) / MAX(timestamp) pushdown: each shard-file
+  // partition emits ONE partial-stats row from a timestamp-only sweep
+  // (value varints skipped, tuples never materialized — GorillaCodec
+  // .tsStats); Spark merges the partials (sum/min/max). Spark only offers
+  // aggregate pushdown when every filter was fully pushed — ours stay
+  // residual (pushFilters returns them), so a filtered aggregate still
+  // evaluates row-by-row and stays correct. Filenames are NOT used for
+  // min/max: they carry hour-bucket boundaries, not point extremes.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val onlyCountStar = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (onlyCountStar && pushed.isEmpty) {
-      countPushed = true
-      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isTsCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("timestamp"))
+        case _ => false
+      }
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return false
+    val descs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isTsCol(m.column) => Some("min_ts")
+      case m: Max if isTsCol(m.column) => Some("max_ts")
+      case _ => None
     }
-    countPushed
+    if (!descs.forall(_.isDefined)) return false
+    aggsPushed = descs.flatten
+    required = StructType(aggsPushed.map {
+      case "count"  => StructField("count(*)", LongType, nullable = false)
+      case "min_ts" => StructField("min(timestamp)", LongType, nullable = false)
+      case "max_ts" => StructField("max(timestamp)", LongType, nullable = false)
+    })
+    true
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -99,19 +116,20 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required, countPushed)
+  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required, aggsPushed)
 }
 
 case class GorillaFilePartition(file: String) extends InputPartition
 
 class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
-    countPushed: Boolean = false)
+    aggsPushed: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi], " +
-      s"cols=${required.fieldNames.mkString(",")}, pushedCount=$countPushed)"
+      s"cols=${required.fieldNames.mkString(",")}, " +
+      s"pushedAggs=${if (aggsPushed.isEmpty) "none" else aggsPushed.mkString("+")})"
 
   /** File-level pruning from the `<start>-<end>.bin` naming convention. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -127,23 +145,35 @@ class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countPushed) GorillaCountReaderFactory
+    if (aggsPushed.nonEmpty) GorillaStatsReaderFactory(aggsPushed)
     else GorillaReaderFactory(required.fieldNames)
 }
 
-/** Partial-count reader: one row per shard file carrying its point count. */
-object GorillaCountReaderFactory extends PartitionReaderFactory {
+/** Partial-stats reader: one row per shard file carrying the requested
+  * (count / min_ts / max_ts) partials from a timestamp-only sweep. A file
+  * that decodes to zero points emits a row only for a count-only push —
+  * min/max partials have no defined value there, and dropping the row keeps
+  * the merged result exact (sum skips nothing: the count partial is 0). */
+case class GorillaStatsReaderFactory(aggs: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GorillaFilePartition].file
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = {
-        val n = GorillaCodec.decode(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file))).length.toLong
-        new GenericInternalRow(Array[Any](n))
+      private var row: InternalRow = _
+      private var done = false
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val (n, mn, mx) = GorillaCodec.tsStats(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)))
+        if (n == 0L && aggs.exists(a => a == "min_ts" || a == "max_ts")) return false
+        row = new GenericInternalRow(aggs.map {
+          case "count"  => n: Any
+          case "min_ts" => mn: Any
+          case "max_ts" => mx: Any
+        }.toArray)
+        true
       }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -100,12 +100,45 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     val df = spark.read.format(fmt).load(writeA1Store()).groupBy().count()
     assert(df.head().getLong(0) == 5L)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedCount=true") || plan.contains("PushedAggregates"), plan)
+    assert(plan.contains("pushedAggs=count") || plan.contains("PushedAggregates"), plan)
     // a FILTERED count must NOT push (filters stay residual) and stays exact
     val filtered = spark.read.format(fmt).load(writeA1Store())
       .filter(col("timestamp") <= 3600000L).groupBy().count()
     assert(filtered.head().getLong(0) == 3L)
-    assert(!filtered.queryExecution.executedPlan.toString.contains("pushedCount=true"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("pushedAggs=none"))
+  }
+
+  test("min/max(timestamp) push into the scan and equal the unpushed plan") {
+    val dir = writeA1Store()
+    val pushed = spark.read.format(fmt).load(dir)
+      .agg(min("timestamp").as("mn"), max("timestamp").as("mx"), count(lit(1)).as("n"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggs=min_ts+max_ts+count") ||
+      plan.contains("pushedAggs=count+min_ts+max_ts"), plan)
+    val r = pushed.head()
+    // the unpushed plan: same aggregates evaluated over the full row scan
+    // (adding a residual filter true-for-all rows blocks the pushdown)
+    val unpushed = spark.read.format(fmt).load(dir)
+      .filter(col("timestamp") >= Long.MinValue + 1)
+      .agg(min("timestamp").as("mn"), max("timestamp").as("mx"), count(lit(1)).as("n"))
+    assert(unpushed.queryExecution.executedPlan.toString.contains("pushedAggs=none"))
+    val u = unpushed.head()
+    assert(r.getLong(0) == u.getLong(0) && r.getLong(1) == u.getLong(1) &&
+      r.getLong(2) == u.getLong(2), s"pushed=$r unpushed=$u")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000L, 8000000L, 5L))
+  }
+
+  test("min/max pushdown survives out-of-order points inside a shard") {
+    // the reference appends out-of-order silently — stats must come from the
+    // decoded stream, never the hour-boundary filename
+    val dir = Files.createTempDirectory("graft_gorilla_ooo_").toString
+    Files.write(Paths.get(dir, "3600000-7199999.bin"),
+      GorillaCodec.encode(Seq((5000000L, 1.0), (3700000L, 2.0), (7100000L, 3.0))))
+    val df = spark.read.format(fmt).load(dir)
+      .agg(min("timestamp"), max("timestamp"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggs=min_ts+max_ts"),
+      "should push")
+    assert(df.head() == org.apache.spark.sql.Row(3700000L, 7100000L))
   }
 
   test("timestamp predicates prune whole shard files by filename") {
