@@ -52,6 +52,18 @@ object SparkEntry {
     TimeSeries.rangeScan(
       Tables.events(spark, "/root/testdata/sf0.001"), RangeStart, RangeEnd)
 
+  /** Register every declared query as a temp view over `dir`, making the
+    * whole operator surface SQL-callable interactively:
+    * {{{ spark.sql("SELECT * FROM q_range_scan WHERE value > 0") }}}
+    * Views are lazy plans — nothing executes until queried (the two IVF
+    * entries collect their literal centroids at registration; everything
+    * else is pure plan construction). Pair with `GraftExtensions`
+    * (spark.sql.extensions=graft.functions.GraftExtensions) for the
+    * graft_dot / graft_cosine / graft_double_bits SQL functions and the
+    * native as-of strategy. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    queries.foreach { case (name, fn) => fn(spark, dir).createOrReplaceTempView(name) }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference-fidelity core (SURVEY §2.1 O2-O6 + §2.2 window ops) ---

@@ -21,6 +21,18 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("registerViews makes every declared query SQL-callable") {
+    SparkEntry.registerViews(spark, sf0001)
+    SparkEntry.queries.keys.foreach { name =>
+      assert(spark.catalog.tableExists(name), s"view $name missing")
+    }
+    // views compose with ordinary SQL — filter, join, aggregate over them
+    assert(spark.sql("SELECT count(*) FROM q_range_scan").head().getLong(0) > 0)
+    val sql = spark.sql(
+      "SELECT r.l_returnflag, sum_qty FROM q_tpch_pricing r WHERE sum_qty > 0")
+    assert(sql.count() > 0)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
