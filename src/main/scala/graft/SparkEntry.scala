@@ -39,6 +39,9 @@ object SparkEntry {
   private val QueryVecId    = 0L
   private val IvfCentroids  = 8
   private val IvfProbe      = 2
+  private val TopTermsK     = 3
+  private val StratifiedK   = 20
+  private val BatchQueryIds = Seq(0L, 1L, 2L)
 
   /** documents with every row duplicated under a shifted doc_id — the dedup
     * queries' input, so exact-dedup actually collapses something. */
@@ -83,6 +86,10 @@ object SparkEntry {
       TimeSeries.windowDelta(Tables.events(s, dir))),
     "q_moving_avg" -> ((s, dir) =>
       TimeSeries.movingAvg(Tables.events(s, dir))),
+    "q_ohlc" -> ((s, dir) =>
+      TimeSeries.ohlcBars(Tables.events(s, dir))),
+    "q_counter_rate" -> ((s, dir) =>
+      TimeSeries.counterRate(Tables.events(s, dir))),
     "q_topk_hours" -> ((s, dir) =>
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
@@ -190,6 +197,8 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir), TopTermsK)),
 
     // --- training-data pipeline surface: dedup ---
     "q_dedup_exact" -> ((s, dir) =>
@@ -214,10 +223,16 @@ object SparkEntry {
     "q_hash_split" -> ((s, dir) =>
       operators.Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 80, 10)
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+    "q_stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(
+        Tables.events(s, dir), "event_type", "event_id", StratifiedK)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("rk"))),
 
     // --- training-data pipeline surface: similarity search ---
     "q_similarity_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), QueryVecId, TopKSim)),
+    "q_sim_topk_batch" -> ((s, dir) =>
+      Similarity.cosineTopKBatch(Tables.embeddings(s, dir), BatchQueryIds, TopKSim)),
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "label", CosineMinSim)),
     // approximate ANN path — the hyperplanes are md5-derived, so even this
@@ -461,6 +476,46 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // OHLC selection mirrored with a two-direction row_number (the Spark
+    // side uses min_by/max_by on the (ts, event_id) struct — same total
+    // order, same winner)
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                 epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type, bucket_us
+        |                           ORDER BY ts_us, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY event_type, bucket_us
+        |                           ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT event_type, bucket_us,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_points
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_counter_rate" ->
+      """WITH w AS (SELECT event_type, ts, value,
+        |                  lag(value, 1) OVER (PARTITION BY event_type
+        |                                      ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |i AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |             CASE WHEN prev IS NULL THEN NULL
+        |                  WHEN value >= prev THEN value - prev
+        |                  ELSE value END AS inc
+        |      FROM w)
+        |SELECT event_type, bucket_us,
+        |       CAST(sum(CAST(inc AS DECIMAL(18,2))) AS DOUBLE) AS increase_sum,
+        |       count(inc) AS n_increases
+        |FROM i GROUP BY 1, 2""".stripMargin,
+    "q_stratified_sample" ->
+      s"""WITH r AS (SELECT event_id, event_type, user_id,
+         |                  CAST(row_number() OVER (
+         |                    PARTITION BY event_type
+         |                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) AS rk
+         |           FROM events)
+         |SELECT event_id, event_type, user_id, rk FROM r WHERE rk <= $StratifiedK""".stripMargin,
     "q_topk_hours" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
@@ -678,6 +733,20 @@ object SparkEntry {
          |           list_transform(string_split(text, ' '), t -> ${sqlTokHash("t")} % $P)),
          |         (acc, x) -> (acc*31 + x) % $P) AS fingerprint
          |FROM documents""".stripMargin,
+    // rarity-weighted term score: all-rational arithmetic (no ln), so the
+    // doubles are exactly-rounded identically on both engines
+    "q_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |             CAST(tf.tf AS DOUBLE) *
+         |               (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)) AS score
+         |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= $TopTermsK""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH docs2 AS ($sqlDocs2)
          |SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
@@ -764,6 +833,16 @@ object SparkEntry {
          |SELECT vec_id, label, ${sqlCosine("v", "qv")} AS sim
          |FROM e, q
          |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    "q_sim_topk_batch" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id IN (${BatchQueryIds.mkString(", ")})),
+         |s AS (SELECT q.query_id, e.vec_id, e.label,
+         |             ${sqlCosine("e.v", "q.qv")} AS sim
+         |      FROM e CROSS JOIN q),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM s)
+         |SELECT query_id, vec_id, label, sim, rk FROM r WHERE rk <= $TopKSim""".stripMargin,
     // mirror of Similarity.annTopK: identical md5-derived hyperplane
     // weights ([[Similarity.planeWeight]]), same left-fold dots, so the
     // bucket assignment and the top-k agree exactly

@@ -103,6 +103,34 @@ object TextAnalysis {
         least(stopHits / size(t) * lit(5.0), lit(1.0)) * lit(0.2), 6).as("quality"))
   }
 
+  /** Top-k rarity-weighted terms per document — the TF-IDF shape with a
+    * RATIONAL weight: `score = tf · (N+1)/(df+1)` (no transcendental `ln`,
+    * whose libm rounding can differ across engines; every op here is an
+    * exactly-rounded IEEE multiply/divide over exact integers, so scores are
+    * bit-identical everywhere).
+    *
+    * Scale shape: one token explode feeding two aggregations (tf per
+    * (doc, term) and document frequency per term — both collapse map-side),
+    * a term-keyed join (AQE broadcasts the vocabulary side when it fits),
+    * the singleton corpus count broadcast, and a per-doc ranking window
+    * (shuffle keyed on doc_id — no global sort). */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n)) // single-row side: fixed-size, hint is safe
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
     * Order-sensitive by construction (it is a sequence fingerprint). */

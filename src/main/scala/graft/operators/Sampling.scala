@@ -33,4 +33,19 @@ object Sampling {
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic stratified sample: exactly `k` rows per stratum (fewer
+    * when the stratum is smaller), selected by md5-order of the key — the
+    * same rows on every run and engine, unlike `sampleBy`'s RNG. One
+    * partitioned window (shuffle on the stratum column only); the md5 sort
+    * key makes the within-stratum order uniform-pseudorandom, so the k rows
+    * are an unbiased fixed-size sample. `rk` is the stable sample rank. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

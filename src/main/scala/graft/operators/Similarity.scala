@@ -219,6 +219,27 @@ object Similarity {
     ivfSearch(embeddings, ivfRefinedCentroids(embeddings, nCentroids, iters),
       queryVecId, nProbe, k)
 
+  /** Batch exact top-k: the top `k` corpus vectors for EACH of several query
+    * vectors in ONE corpus pass. The query rows are broadcast (the caller
+    * bounds the batch to driver size); every corpus row is scored against
+    * all Q queries in a codegen'd projection, then a per-query ranking
+    * window keeps the top k. Cost: one scan + Q·N similarity evaluations +
+    * a shuffle of the scored rows keyed on query_id — for very large Q,
+    * chunk the batch so each window shuffle stays balanced. */
+  def cosineTopKBatch(embeddings: DataFrame, queryVecIds: Seq[Long],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(asDouble(col("embedding")), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Approximate top-k: restrict the exact cosine scan to the query's LSH
     * bucket. Trades recall for touching only ~corpus/2^planes rows. */
   def annTopK(embeddings: DataFrame, queryVecId: Long, planes: Int, k: Int): DataFrame = {

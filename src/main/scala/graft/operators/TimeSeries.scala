@@ -121,6 +121,47 @@ object TimeSeries {
         count(lit(1)).over(w)).as("moving_avg"))
   }
 
+  /** OHLC bars: open/high/low/close per (series, hour bucket) — the classic
+    * TSDB resample. ONE hash aggregation, no window sort: open/close are
+    * `min_by`/`max_by` keyed on the (ts, event_id) struct (event_id is
+    * unique, so the key is a total order and the result deterministic);
+    * partial aggregation collapses map-side, the shuffle carries one row
+    * per (series, bucket). The oracle reproduces the same selection with a
+    * two-direction row_number formulation. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val key = struct(tsUs(col("ts")).as("t"), col("event_id").as("e"))
+    events
+      .groupBy(col("event_type"), tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Counter rate (PromQL-style `increase`): per series ordered by
+    * (ts, event_id), the per-sample increase is `value - lag(value)`, and a
+    * NEGATIVE delta is treated as a counter reset (the new value IS the
+    * increase). Increases are attributed to the later sample's hour bucket
+    * and summed exactly (decimal — the deltas of 2-decimal data are
+    * 2-decimal). First sample per series has no increase (NULL, excluded
+    * from the count). One partitioned window pass + one hash aggregation. */
+  def counterRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("value"), 1).over(w)
+    events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("inc",
+        when(prev.isNull, lit(null).cast("double"))
+          .when(col("value") >= prev, col("value") - prev)
+          .otherwise(col("value")))
+      .groupBy(col("event_type"), tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        sum(col("inc").cast("decimal(18,2)")).cast("double").as("increase_sum"),
+        count(col("inc")).as("n_increases"))
+  }
+
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a
     * (signed) long: 1 byte per started 7-bit group; top-bit-set values
     * (negative as signed) always need the full 10 bytes. */

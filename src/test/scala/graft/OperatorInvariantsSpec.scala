@@ -207,6 +207,59 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OHLC bars: high/low bound open/close, and the plan is one hash agg (no window sort)") {
+    val df = SparkEntry.queries("q_ohlc")(spark, sf0001)
+    val bad = df.filter(
+      col("high") < col("low") ||
+      col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low") ||
+      col("n_points") <= 0)
+    assert(bad.count() == 0)
+    // min_by/max_by keep this a single aggregation — a row_number
+    // formulation would add a per-partition window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("counter rate: single-bucket totals are consistent and resets never go negative") {
+    val df = SparkEntry.queries("q_counter_rate")(spark, sf0001)
+    // events values are positive, so every increase (delta or reset value)
+    // is >= 0 and so is each bucket's sum
+    assert(df.filter(col("increase_sum") < 0).count() == 0)
+    assert(df.filter(col("n_increases") < 0).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("stratified sample: exactly k rows per stratum, deterministic across runs") {
+    val a = SparkEntry.queries("q_stratified_sample")(spark, sf0001)
+    val perStratum = a.groupBy("event_type").count().collect()
+    assert(perStratum.nonEmpty)
+    perStratum.foreach(r => assert(r.getLong(1) == 20L, r.toString))
+    val b = SparkEntry.queries("q_stratified_sample")(spark, sf0001)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("top terms: at most k per doc, ranks contiguous from 1, scores positive") {
+    val df = SparkEntry.queries("q_top_terms")(spark, sf0001)
+    assert(df.filter(col("rk") < 1 || col("rk") > 3).count() == 0)
+    assert(df.filter(col("score") <= 0).count() == 0)
+    val perDoc = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("max_rk"))
+    assert(perDoc.filter(col("n") =!= col("max_rk")).count() == 0,
+      "ranks must be contiguous 1..n")
+  }
+
+  test("batch top-k: every query vector ranks itself first with sim ≈ 1") {
+    val rows = SparkEntry.queries("q_sim_topk_batch")(spark, sf0001).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (qid, rs) =>
+      val first = rs.find(_.getAs[Long]("rk") == 1L).get
+      assert(first.getAs[Long]("vec_id") == qid)
+      assert(math.abs(first.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
   test("scale-variant dims broadcast via size stats (no forced hint needed)") {
     // customer/supplier carry no broadcast() hint (they grow with scale
     // factor); at bench scale Catalyst must still CHOOSE broadcast from
