@@ -90,6 +90,14 @@ object SparkEntry {
       TimeSeries.ohlcBars(Tables.events(s, dir))),
     "q_counter_rate" -> ((s, dir) =>
       TimeSeries.counterRate(Tables.events(s, dir))),
+    "q_cumsum" -> ((s, dir) =>
+      TimeSeries.cumSum(Tables.events(s, dir))),
+    "q_series_align" -> ((s, dir) =>
+      TimeSeries.seriesAlign(Tables.events(s, dir), "purchase", "error")),
+    "q_xcorr_lag" -> ((s, dir) =>
+      TimeSeries.xcorrLag(Tables.events(s, dir), "purchase", "error", 1)),
+    "q_quantiles" -> ((s, dir) =>
+      Relational.quantilesByType(Tables.events(s, dir))),
     "q_topk_hours" -> ((s, dir) =>
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
@@ -509,6 +517,53 @@ object SparkEntry {
         |       CAST(sum(CAST(inc AS DECIMAL(18,2))) AS DOUBLE) AS increase_sum,
         |       count(inc) AS n_increases
         |FROM i GROUP BY 1, 2""".stripMargin,
+    "q_cumsum" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM events""".stripMargin,
+    "q_series_align" ->
+      """WITH a AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS a_sum,
+        |                  count(*) AS a_n
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS b_sum,
+        |             count(*) AS b_n
+        |      FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(a.bucket_us, b.bucket_us) AS bucket_us,
+        |       a_sum, coalesce(a_n, 0) AS a_n,
+        |       b_sum, coalesce(b_n, 0) AS b_n
+        |FROM a FULL OUTER JOIN b USING (bucket_us)""".stripMargin,
+    "q_xcorr_lag" ->
+      """WITH ha AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |hb AS (SELECT epoch_us(date_trunc('hour', ts)) - 3600000000 AS bucket_us,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |       FROM events WHERE event_type = 'error' GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |             CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |             CAST(sum(y * y) AS DOUBLE) AS syy
+        |      FROM ha JOIN hb USING (bucket_us))
+        |SELECT CAST(1 AS BIGINT) AS lag_hours, n,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+        |FROM m""".stripMargin,
+    "q_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_type, max(n) AS n,
+        |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+        |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+        |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY 1""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH r AS (SELECT event_id, event_type, user_id,
          |                  CAST(row_number() OVER (

@@ -324,6 +324,28 @@ object Relational {
       .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
   }
 
+  /** Exact positional multi-quantiles (p50/p90/p99) per series — the
+    * observability staple. One ranking window over a deterministic total
+    * order, then conditional selection at the ceil(q·n) positions computed
+    * in INTEGER arithmetic ((n·q + 99) div 100 — no double rounding to
+    * disagree on). approx_percentile is the sketch alternative; this is the
+    * exact, engine-portable form. */
+  def quantilesByType(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === pos(50), col("value"))).as("p50"),
+        max(when(col("rn") === pos(90), col("value"))).as("p90"),
+        max(when(col("rn") === pos(99), col("value"))).as("p99"))
+  }
+
   /** Ranking-function window surface: rank / dense_rank / percent_rank /
     * cume_dist / ntile over a deterministic total order. */
   def orderRanks(orders: DataFrame, topN: Int): DataFrame = {

@@ -162,6 +162,68 @@ object TimeSeries {
         count(col("inc")).as("n_increases"))
   }
 
+  /** Running total per series: cumulative DECIMAL sum over the
+    * (ts, event_id) total order, cast back to double — exact and
+    * order-independent within the frame, so engines agree bit-for-bit.
+    * One partitioned window pass. */
+  def cumSum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("event_type"), tsUs(col("ts")).as("ts_us"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_sum"))
+  }
+
+  /** Align two series onto the common hourly grid: per-series hourly
+    * aggregates FULL-OUTER-joined on the bucket, absent side surfaced as
+    * n=0 / NULL sum. The full-outer bucket join is the canonical series-
+    * alignment shape (each side is already one aggregated row per bucket,
+    * so the join is tiny regardless of raw event volume). */
+  def seriesAlign(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    def hourly(t: String, pre: String) = events
+      .filter(col("event_type") === lit(t))
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(exactSum(col("value")).as(s"${pre}_sum"),
+        count(lit(1)).as(s"${pre}_n"))
+    hourly(typeA, "a").join(hourly(typeB, "b"), Seq("bucket_us"), "full_outer")
+      .select(col("bucket_us"),
+        col("a_sum"), coalesce(col("a_n"), lit(0L)).as("a_n"),
+        col("b_sum"), coalesce(col("b_n"), lit(0L)).as("b_n"))
+  }
+
+  /** Cross-correlation of two series' hourly sums at a bucket lag: Pearson r
+    * over pairs (x_t, y_{t+lag}) via exact DECIMAL moment sums — the same
+    * engine-portable formulation as [[Relational.corrStats]] (the corr()
+    * built-in streams in row order and drifts across engines). The hourly
+    * sums stay DECIMAL(18,2) until the moment products so every
+    * intermediate is exact; only the final fixed-order double chain rounds. */
+  def xcorrLag(events: DataFrame, typeA: String, typeB: String,
+      lagHours: Int): DataFrame = {
+    def hourly(t: String) = events
+      .filter(col("event_type") === lit(t))
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+    val a = hourly(typeA).select(col("bucket_us"), col("s").as("x"))
+    // shift the lagged side onto the probe's bucket so the pairing is an
+    // equi-join (no range condition, no skew)
+    val b = hourly(typeB).select(
+      (col("bucket_us") - lit(lagHours * 3600000000L)).as("bucket_us"),
+      col("s").as("y"))
+    a.join(b, "bucket_us")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(
+        lit(lagHours.toLong).as("lag_hours"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+  }
+
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a
     * (signed) long: 1 byte per started 7-bit group; top-bit-set values
     * (negative as signed) always need the full 10 bytes. */

@@ -260,6 +260,41 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantiles: p50 <= p90 <= p99 per series") {
+    val df = SparkEntry.queries("q_quantiles")(spark, sf0001)
+    assert(df.count() > 0)
+    assert(df.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+  }
+
+  test("cumsum: the final running sum per series equals the exact series total") {
+    val cs = SparkEntry.queries("q_cumsum")(spark, sf0001)
+    val lastPer = cs.groupBy("event_type")
+      .agg(max_by(col("running_sum"), struct(col("ts_us"), col("event_id"))).as("final_sum"))
+    val want = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    val joined = lastPer.join(want, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("final_sum") == r.getAs[Double]("total"), r.toString)
+    }
+  }
+
+  test("series align: absent side carries n=0 with null sum, buckets cover both series") {
+    val df = SparkEntry.queries("q_series_align")(spark, sf0001)
+    assert(df.filter(col("a_n") === 0 && col("a_sum").isNotNull).count() == 0)
+    assert(df.filter(col("b_n") === 0 && col("b_sum").isNotNull).count() == 0)
+    assert(df.filter(col("a_n") === 0 && col("b_n") === 0).count() == 0,
+      "a bucket must exist on at least one side")
+  }
+
+  test("cross-correlation at lag is a valid Pearson r") {
+    val r = SparkEntry.queries("q_xcorr_lag")(spark, sf0001).head()
+    assert(r.getAs[Long]("n") > 2)
+    val p = r.getAs[Double]("pearson_r")
+    assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
+  }
+
   test("scale-variant dims broadcast via size stats (no forced hint needed)") {
     // customer/supplier carry no broadcast() hint (they grow with scale
     // factor); at bench scale Catalyst must still CHOOSE broadcast from
