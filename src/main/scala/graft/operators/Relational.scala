@@ -346,19 +346,53 @@ object Relational {
         max(when(col("rn") === pos(99), col("value"))).as("p99"))
   }
 
-  /** Ranking-function window surface: rank / dense_rank / percent_rank /
-    * cume_dist / ntile over a deterministic total order. */
+  /** Ranking-function surface: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over a deterministic total order, WITHOUT a global
+    * window. A partition-less `Window.orderBy` sorts the whole table in ONE
+    * task — the classic 100 TB stage-killer (Spark even warns "No Partition
+    * Defined"). Because the sort key (price DESC, orderkey) is a UNIQUE
+    * total order, rank = dense_rank = row_number and every ranking function
+    * is pure arithmetic in (rn, n):
+    *   prank = (rn-1)/(n-1), cdist = rn/n, ntile via the standard
+    *   first-(n mod k)-buckets-get-one-extra formula.
+    * So: TakeOrderedAndProject keeps only the top-N candidates (top-k per
+    * partition, then merge — no global sort), the row count is one scalar
+    * aggregate, and a window runs only over the N retained rows. Output is
+    * IDENTICAL to the window formulation — the unchanged q_order_ranks
+    * oracle is the proof. */
   def orderRanks(orders: DataFrame, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders
+    // exact positive-operand integer division: subtract the remainder first
+    // so the `/` (double division) divides exactly — same trick as
+    // model.floorDivCol
+    def floorDivCC(a: Column, d: Column): Column = ((a - pmod(a, d)) / d).cast("long")
+    def ceilDiv(a: Column, d: Column): Column = floorDivCC(a + d - 1L, d)
+    val nRow = orders.agg(count(lit(1)).as("n"))
+    val top = orders
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("drnk", dense_rank().over(w).cast("long"))
-      .withColumn("prank", percent_rank().over(w))
-      .withColumn("cdist", cume_dist().over(w))
-      .withColumn("tile", ntile(4).over(w).cast("long"))
-      .filter(col("rnk") <= topN)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topN)
+    // this window spans only the topN retained rows — bounded, not 100 TB
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val k = 4L
+    top
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(nRow)) // single scalar row
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        col("rn").as("rnk"),
+        col("rn").as("drnk"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .as("prank"),
+        (col("rn").cast("double") / col("n").cast("double")).as("cdist"), {
+          val b = expr(s"n div $k")
+          val r = col("n") % k
+          val firstSpan = r * (b + 1)
+          when(col("rn") <= firstSpan, ceilDiv(col("rn"), b + 1))
+            .otherwise(r + ceilDiv(col("rn") - firstSpan, b))
+            .cast("long").as("tile")
+        })
   }
 
   /** Analytic window values: first/last/nth event per type under a total
