@@ -207,6 +207,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), TopTermsK)),
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), 20)),
 
     // --- training-data pipeline surface: dedup ---
     "q_dedup_exact" -> ((s, dir) =>
@@ -802,6 +804,10 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
          |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= $TopTermsK""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT tok AS term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH docs2 AS ($sqlDocs2)
          |SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id

@@ -131,6 +131,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** Exact global heavy hitters: the top-k tokens by total occurrence.
+    * Explode → count aggregation (map-side partials collapse the token
+    * stream before the shuffle; only |vocabulary| rows move) →
+    * TakeOrderedAndProject (per-partition top-k + merge — no global sort).
+    * The count-min sketch (spec'd in OperatorInvariantsSpec) is the
+    * sublinear streaming alternative; this is the exact form. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
     * Order-sensitive by construction (it is a sequence fingerprint). */

@@ -47,6 +47,25 @@ object StreamingIngest {
         unix_micros(col("window.start")).as("bucket_us"),
         col("n_points"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** Watermarked streaming OHLC bars: open/high/low/close per tumbling hour
+    * over a streaming (`ts`, `value`) frame — the streaming form of
+    * [[graft.operators.TimeSeries.ohlcBars]]. Same single-aggregation shape
+    * (min_by/max_by keyed on ts), emitted per closed window in append mode;
+    * late rows beyond the watermark are dropped. */
+  def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_points"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("open"), col("high"), col("low"), col("close"), col("n_points"))
+
   // --- stateful sessionization (flatMapGroupsWithState) ---
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

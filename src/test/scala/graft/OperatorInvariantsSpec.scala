@@ -295,6 +295,16 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("no CartesianProduct anywhere in the declared surface (regression net)") {
+    // every cross join in the engine is a broadcast of a bounded side
+    // (single query row, scalar count, band table) — a TRUE cartesian
+    // product appearing in any plan is a scale regression
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("scale-variant dims broadcast via size stats (no forced hint needed)") {
     // customer/supplier carry no broadcast() hint (they grow with scale
     // factor); at bench scale Catalyst must still CHOOSE broadcast from

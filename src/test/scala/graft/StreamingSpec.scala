@@ -194,6 +194,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((11L, 200L), (12L, 200L)), got.mkString(","))
   }
 
+  test("streaming OHLC bars equal the batch aggregation") {
+    val src = Files.createTempDirectory("graft_ohlc_src_").toString
+    points.toDS().toDF()
+      .select(timestamp_millis(col("timestamp")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = StreamingIngest.ohlcStream(
+      spark.readStream.schema(schema).parquet(src))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ohlc_out")
+    val want = spark.read.parquet(src)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_points"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("idle session expires on event time: emitted closed, state entry dropped") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_sess_to_").toString
