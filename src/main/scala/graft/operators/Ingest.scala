@@ -58,6 +58,56 @@ object Ingest {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Retention: drop every hour shard strictly older than `cutoffHour` —
+    * a partition-DIRECTORY delete through the Hadoop FileSystem API
+    * (HDFS/S3A/local alike): O(#expired shards) metadata operations, zero
+    * data read or rewritten. This is the payoff of keeping the reference's
+    * file-per-hour layout as the partition key. Returns the number of
+    * shards dropped. */
+  def expireShards(spark: SparkSession, path: String, cutoffHour: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0L
+    val expired = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("shard_hour="))
+        scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
+          .filter(_ < cutoffHour).map(_ => st.getPath)
+      else None
+    }
+    expired.foreach(fs.delete(_, true))
+    expired.length.toLong
+  }
+
+  /** Compaction: rewrite ONE hour shard's accumulated small append files
+    * into `targetFiles` sorted files. Append-per-micro-batch ingest is the
+    * right write path (no codec-state replay) but leaves many small files —
+    * footer overhead and task fragmentation at scale; periodic per-shard
+    * compaction is the standard cure. The shard is rewritten into a temp
+    * directory and swapped in with a filesystem rename, so only the one
+    * compacted hour is ever touched (readers of other shards are
+    * unaffected; the swap itself is delete+rename — pause writers to the
+    * SAME hour during compaction, which matches the closed-shard lifecycle:
+    * only hours past the ingest watermark get compacted). */
+  def compactShard(spark: SparkSession, path: String, shardHour: Long,
+      targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val partDir = new Path(path, s"shard_hour=$shardHour")
+    require(fs.exists(partDir), s"no shard directory $partDir")
+    val tmp = new Path(path, s".compact_tmp_$shardHour")
+    spark.read.parquet(partDir.toString)
+      .repartition(targetFiles)
+      .sortWithinPartitions(col("timestamp"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.writer.version", "v2")
+      .parquet(tmp.toString)
+    fs.delete(partDir, true)
+    fs.rename(tmp, partDir)
+  }
+
   /** The reference's core read path (O3-O6): inclusive range scan with an
     * ordered cap. The shard_hour predicate triggers partition pruning (the
     * shard loop); the timestamp predicate is pushed to row-group stats;

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.DataPoint
+import graft.operators.Ingest
+
+/** Storage lifecycle: retention drops whole hour shards as metadata-only
+  * deletes; compaction collapses append-accumulated small files without
+  * touching other shards; reads stay correct throughout. */
+class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def hourPts(hour: Long, n: Int): Seq[DataPoint] =
+    (0 until n).map(i => DataPoint(hour * 3600000L + i * 1000L, i * 1.0))
+
+  test("expireShards drops exactly the shards older than the cutoff") {
+    val store = Files.createTempDirectory("graft_retention_").toString
+    Seq(0L, 1L, 2L).foreach(h => Ingest.ingestBatch(hourPts(h, 50).toDS(), store))
+    assert(spark.read.parquet(store).count() == 150)
+    val dropped = Ingest.expireShards(spark, store, cutoffHour = 2L)
+    assert(dropped == 2L)
+    val left = spark.read.parquet(store)
+    assert(left.count() == 50)
+    assert(left.select("shard_hour").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // idempotent: nothing left to expire below the cutoff
+    assert(Ingest.expireShards(spark, store, cutoffHour = 2L) == 0L)
+  }
+
+  test("compactShard collapses append files to one, preserving rows and order") {
+    val store = Files.createTempDirectory("graft_compact_").toString
+    // three separate appends to the SAME hour -> at least 3 parquet files
+    (0 until 3).foreach { b =>
+      Ingest.ingestBatch(
+        (0 until 40).map(i => DataPoint(3600000L + (b * 40 + i) * 1000L, i * 1.0)).toDS(),
+        store)
+    }
+    def shardFiles(): Seq[String] = {
+      val d = new java.io.File(s"$store/shard_hour=1")
+      d.listFiles().toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+    }
+    assert(shardFiles().size >= 3, s"expected multiple append files, got ${shardFiles()}")
+    val before = spark.read.parquet(store).orderBy("timestamp")
+      .collect().map(r => (r.getAs[Long]("timestamp"), r.getAs[Double]("value")))
+
+    Ingest.compactShard(spark, store, shardHour = 1L)
+
+    assert(shardFiles().size == 1, s"expected one compacted file, got ${shardFiles()}")
+    val after = spark.read.parquet(store).orderBy("timestamp")
+      .collect().map(r => (r.getAs[Long]("timestamp"), r.getAs[Double]("value")))
+    assert(after.toSeq == before.toSeq, "compaction must not change the data")
+    // the range read path still works and prunes to the compacted shard
+    assert(Ingest.queryRange(spark, store, 3600000L, 7199999L, 10000).count() == 120)
+  }
+}
