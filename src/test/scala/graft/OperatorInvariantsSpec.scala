@@ -295,6 +295,20 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("hot scan queries stay inside WholeStageCodegen (regression net)") {
+    // the per-row hot paths must be compiled, not interpreted — a custom
+    // expression losing doGenCode or a UDF sneaking in breaks this
+    Seq("q_range_scan", "q_similarity_topk", "q_simhash", "q_quality_score",
+      "q_cumsum", "q_ohlc").foreach { q =>
+      // codegen stages print as "*(n) Node" — but only in the FINAL
+      // adaptive plan, so execute first
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$q lost whole-stage codegen:\n$plan")
+    }
+  }
+
   test("no CartesianProduct anywhere in the declared surface (regression net)") {
     // every cross join in the engine is a broadcast of a bounded side
     // (single query row, scalar count, band table) — a TRUE cartesian
