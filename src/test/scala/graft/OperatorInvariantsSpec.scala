@@ -295,6 +295,26 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("orderRanks arithmetic equals the window-function formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // random prices with deliberate duplicates; orderkey unique
+    val rows = (1 to 500).map(i => (i.toLong, (rng.nextInt(40) * 25).toDouble))
+    val df = rows.toDF("o_orderkey", "o_totalprice")
+    val got = graft.operators.Relational.orderRanks(df, 100)
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = df
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .filter(col("rnk") <= 100)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "arithmetic ranking must equal the window formulation")
+  }
+
   test("hot scan queries stay inside WholeStageCodegen (regression net)") {
     // the per-row hot paths must be compiled, not interpreted — a custom
     // expression losing doGenCode or a UDF sneaking in breaks this
