@@ -98,6 +98,19 @@ object SparkEntry {
       TimeSeries.xcorrLag(Tables.events(s, dir), "purchase", "error", 1)),
     "q_quantiles" -> ((s, dir) =>
       Relational.quantilesByType(Tables.events(s, dir))),
+    "q_profile" -> ((s, dir) =>
+      Relational.profileColumns(Tables.documents(s, dir),
+        Seq("lang", "source", "n_chars"))),
+    // merged 7-day purchase windows per customer: overlap-union, not
+    // gap-sessionization
+    "q_merge_intervals" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      Relational.mergeIntervals(orders.select(
+        col("o_custkey").as("key"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) +
+          lit(7L * 86400000000L)).as("end_us")))
+    }),
     "q_topk_hours" -> ((s, dir) =>
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
@@ -566,6 +579,37 @@ object SparkEntry {
         |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
         |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
         |FROM r GROUP BY 1""".stripMargin,
+    "q_profile" ->
+      """SELECT 'lang' AS col_name, count(*) AS n_rows, count(lang) AS n_nonnull,
+        |       count(DISTINCT lang) AS n_distinct,
+        |       CAST(min(lang) AS VARCHAR) AS min_str, CAST(max(lang) AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
+    "q_merge_intervals" ->
+      """WITH iv AS (SELECT o_custkey AS key,
+        |                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS start_us,
+        |                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 604800000000 AS end_us
+        |            FROM orders),
+        |g AS (SELECT key, start_us, end_us,
+        |             CASE WHEN max(end_us) OVER (PARTITION BY key ORDER BY start_us, end_us
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                    OR start_us > max(end_us) OVER (PARTITION BY key ORDER BY start_us, end_us
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                  THEN 1 ELSE 0 END AS new_grp
+        |      FROM iv),
+        |grp AS (SELECT *, sum(new_grp) OVER (PARTITION BY key ORDER BY start_us, end_us
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |        FROM g)
+        |SELECT key, min(start_us) AS interval_start_us, max(end_us) AS interval_end_us,
+        |       count(*) AS n_merged
+        |FROM grp GROUP BY key, grp""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH r AS (SELECT event_id, event_type, user_id,
          |                  CAST(row_number() OVER (

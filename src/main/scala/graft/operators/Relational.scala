@@ -324,6 +324,56 @@ object Relational {
       .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
   }
 
+  /** Data-profiling surface: per requested column, row/non-null/distinct
+    * counts and min/max (rendered as strings AFTER the typed min/max, so
+    * numeric columns compare numerically). ONE aggregation pass over the
+    * table computes every column's metrics (no per-column rescan); the
+    * single result row is then unpivoted with a literal-keyed map explode.
+    * The profiling staple of a training-data pipeline: nulls, cardinality,
+    * and range drift checks before a corpus lands. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(col("__n").as("n_rows"),
+        explode(map(cols.flatMap(c => Seq(
+          lit(c),
+          struct(col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+            col(s"__mn_$c").as("min_str"), col(s"__mx_$c").as("max_str")))): _*))
+          .as(Seq("col_name", "m")))
+      .select(col("col_name"), col("n_rows"), col("m.n_nonnull").as("n_nonnull"),
+        col("m.n_distinct").as("n_distinct"), col("m.min_str"), col("m.max_str"))
+  }
+
+  /** Interval union (merge-overlaps) per key: collapse possibly-overlapping
+    * [start, end] intervals into disjoint covering intervals — the classic
+    * running-max sweep: a new group starts exactly when an interval's start
+    * exceeds the max end seen so far. One partitioned window pass + one
+    * aggregation; deterministic under the (start, end) order (equal rows
+    * can't flip the group boundary). Distinct from gap-sessionization:
+    * this merges by OVERLAP, not by inter-event gaps. */
+  def mergeIntervals(intervals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("start_us"), col("end_us"))
+    val prevMax = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("new_grp",
+        when(prevMax.isNull || col("start_us") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("grp"))
+      .agg(min(col("start_us")).as("interval_start_us"),
+        max(col("end_us")).as("interval_end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("key"), col("interval_start_us"), col("interval_end_us"), col("n_merged"))
+  }
+
   /** Exact positional multi-quantiles (p50/p90/p99) per series — the
     * observability staple. One ranking window over a deterministic total
     * order, then conditional selection at the ceil(q·n) positions computed

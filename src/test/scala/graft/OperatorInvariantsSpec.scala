@@ -295,6 +295,31 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("profile: count relationships hold per column") {
+    val p = SparkEntry.queries("q_profile")(spark, sf0001).collect()
+    assert(p.length == 3)
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_nonnull") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+      assert(r.getAs[String]("min_str") <= r.getAs[String]("max_str") ||
+        r.getAs[String]("col_name") == "n_chars") // numeric min/max, string-rendered
+    }
+  }
+
+  test("merged intervals are disjoint (non-touching) and ordered per key") {
+    val m = SparkEntry.queries("q_merge_intervals")(spark, sf0001)
+    // within a key, every interval must start strictly after the previous
+    // interval's end — otherwise the merge missed an overlap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("interval_start_us"))
+    val bad = m
+      .withColumn("prev_end", lag(col("interval_end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("interval_start_us") <= col("prev_end"))
+    assert(bad.count() == 0)
+    assert(m.filter(col("interval_end_us") <= col("interval_start_us")).count() == 0)
+    assert(m.count() > 0)
+  }
+
   test("orderRanks arithmetic equals the window-function formulation on random data") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
