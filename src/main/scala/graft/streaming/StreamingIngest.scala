@@ -143,6 +143,61 @@ object StreamingIngest {
       }
   }
 
+  final case class RatePoint(series: String, ts_us: Long, value: Double)
+  final case class RatePointT(series: String, ts_us: Long, value: Double,
+      event_time: java.sql.Timestamp)
+  final case class RateState(last_ts_us: Long, last_value: Double)
+  final case class Increase(series: String, ts_us: Long, inc: Double)
+
+  /** Streaming counter rate — the stateful form of
+    * [[graft.operators.TimeSeries.counterRate]]'s per-sample increase:
+    * state per series is the last (ts, value) seen; each sample emits
+    * `value - last` (or `value` on a counter reset, i.e. a negative
+    * delta); the first sample of a series emits nothing, matching the
+    * batch operator's NULL first increase. Rows are folded in (ts, value)
+    * order within a micro-batch; cross-batch ordering follows arrival
+    * (the batch operator over the replayed log is the source of truth for
+    * out-of-order history). Idle series are evicted by event-time timeout
+    * once the watermark passes their last sample by `idleTimeoutUs`. */
+  def counterRateStream(events: Dataset[RatePoint],
+      idleTimeoutUs: Long = 24L * 3600L * 1000000L,
+      watermark: String = "10 minutes"): Dataset[Increase] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[RatePointT]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RateState, Increase](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, rows: Iterator[RatePointT], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[Increase]
+            rows.toSeq.sortBy(r => (r.ts_us, r.value)).foreach { r =>
+              last match {
+                case Some(s) =>
+                  val inc = if (r.value >= s.last_value) r.value - s.last_value
+                            else r.value // counter reset
+                  out += Increase(series, r.ts_us, inc)
+                case None => () // first sample: no increase (batch parity)
+              }
+              last = Some(RateState(r.ts_us, r.value))
+            }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.last_ts_us / 1000L + idleTimeoutUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each left row joins the right rows with
     * `r.ts ∈ [l.ts, l.ts + windowSecs]` on the same key — the streaming form
     * of [[graft.operators.RangeJoin.intervalJoin]]. BOTH sides carry

@@ -219,6 +219,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming counter rate equals the batch per-sample increases") {
+    import graft.streaming.StreamingIngest.RatePoint
+    val src = Files.createTempDirectory("graft_rate_src_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type").as("series"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.counterRateStream(
+      spark.readStream.schema(schema).parquet(src).as[RatePoint])
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_out").select("series", "ts_us", "inc")
+
+    // batch equivalent: lag over (ts_us, value) per series, reset-aware
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series")).orderBy(col("ts_us"), col("value"))
+    val want = ev
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("series"), col("ts_us"),
+        when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")).as("inc"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("idle session expires on event time: emitted closed, state entry dropped") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_sess_to_").toString
