@@ -42,6 +42,10 @@ object SparkEntry {
   private val TopTermsK     = 3
   private val StratifiedK   = 20
   private val BatchQueryIds = Seq(0L, 1L, 2L)
+  private val ChunkTokens   = 32
+  private val ChunkOverlap  = 8
+  private val PackTokens    = 512L
+  private val PackBuckets   = 8
 
   /** documents with every row duplicated under a shifted doc_id — the dedup
     * queries' input, so exact-dedup actually collapses something. */
@@ -250,6 +254,19 @@ object SparkEntry {
       operators.Sampling.stratifiedSample(
         Tables.events(s, dir), "event_type", "event_id", StratifiedK)
         .select(col("event_id"), col("event_type"), col("user_id"), col("rk"))),
+    "q_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), ChunkTokens, ChunkOverlap)),
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), PackTokens, PackBuckets)),
+    // split-integrity QA: content hashes assigned to MORE THAN ONE split by
+    // the id-keyed splitter (the doubled corpus plants exact dups across
+    // ids, so this count is the measured train/test leakage)
+    "q_split_leakage" -> ((s, dir) =>
+      operators.Sampling.hashSplit(doubledDocs(s, dir), "doc_id", 80, 10)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("n_leaked_hashes"))),
 
     // --- training-data pipeline surface: similarity search ---
     "q_similarity_topk" -> ((s, dir) =>
@@ -932,6 +949,37 @@ object SparkEntry {
          |FROM (SELECT ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         |c AS (SELECT doc_id, s,
+         |             unnest(generate_series(0, len(s) - 1, ${ChunkTokens - ChunkOverlap})) AS start_tok
+         |      FROM t)
+         |SELECT doc_id,
+         |       start_tok // ${ChunkTokens - ChunkOverlap} AS chunk_id,
+         |       start_tok,
+         |       array_to_string(s[start_tok + 1 : start_tok + $ChunkTokens], ' ') AS chunk_text,
+         |       least(len(s) - start_tok, $ChunkTokens) AS n_chunk_tokens
+         |FROM c""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |                  ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket
+         |           FROM documents),
+         |w AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |      FROM b)
+         |SELECT doc_id, bucket, n_tokens, end_off - n_tokens AS start_off,
+         |       (end_off - n_tokens) // $PackTokens AS pack_id
+         |FROM w""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH docs2 AS ($sqlDocs2),
+         |s AS (SELECT md5(text) AS text_hash,
+         |             CASE WHEN ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |                  WHEN ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |                  ELSE 'test' END AS split
+         |      FROM docs2),
+         |l AS (SELECT text_hash FROM s GROUP BY 1 HAVING count(DISTINCT split) > 1)
+         |SELECT count(*) AS n_leaked_hashes FROM l""".stripMargin,
     "q_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)

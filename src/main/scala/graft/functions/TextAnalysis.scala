@@ -131,6 +131,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** Sliding-window document chunking — the context-window preparation step
+    * of an LLM data pipeline: each document becomes ceil((n-overlap)/stride)
+    * chunks of up to `chunkTokens` tokens, consecutive chunks sharing
+    * `overlap` tokens. Pure per-row projection + explode (no shuffle, fully
+    * codegen'd); chunk boundaries are deterministic token offsets, so the
+    * operation is reproducible and SQL-mirrorable. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .toDF("doc_id", "toks", "chunk_id", "start_tok")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start_tok"), lit(chunkTokens)).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  /** Sequence packing — assign each document to a fixed-token-budget pack,
+    * the way pretraining concatenates a shuffled corpus and cuts it into
+    * context windows: documents are ordered deterministically (md5 of the
+    * id) WITHIN a hash bucket, token counts prefix-summed, and a document's
+    * pack is the window containing its start offset. Buckets make the
+    * prefix sum a partitioned window (parallel across buckets — no global
+    * cumsum); a document may straddle two packs, exactly like concat-and-cut
+    * training data. */
+  def packSequences(docs: DataFrame, targetTokens: Long, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(tokHash(col("doc_id").cast("string")), lit(buckets.toLong)).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    base
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        graft.model.floorDivCol(col("end_off") - col("n_tokens"), targetTokens)
+          .as("pack_id"))
+  }
+
   /** Exact global heavy hitters: the top-k tokens by total occurrence.
     * Explode → count aggregation (map-side partials collapse the token
     * stream before the shuffle; only |vocabulary| rows move) →

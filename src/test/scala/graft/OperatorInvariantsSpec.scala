@@ -295,6 +295,44 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("chunking covers every token: stride starts, bounded sizes, full tail") {
+    val ch = SparkEntry.queries("q_chunk_docs")(spark, sf0001)
+    // chunk i starts at i*stride (stride = 32-8 = 24)
+    assert(ch.filter(col("start_tok") =!= col("chunk_id") * 24).count() == 0)
+    assert(ch.filter(col("n_chunk_tokens") < 1 || col("n_chunk_tokens") > 32).count() == 0)
+    // the last chunk of each doc reaches the document's final token
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val lastCover = ch.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_chunk_tokens")).as("covered"))
+      .join(docs, "doc_id")
+    assert(lastCover.filter(col("covered") =!= col("n")).count() == 0)
+  }
+
+  test("packing: offsets are contiguous per bucket and pack ids match offsets") {
+    val p = SparkEntry.queries("q_pack_sequences")(spark, sf0001)
+    // within a bucket the documents tile the token stream with no gaps
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("start_off"))
+    val gaps = p
+      .withColumn("prev_end", lag(col("start_off") + col("n_tokens"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_off") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    assert(p.filter(col("pack_id") =!=
+      graft.model.floorDivCol(col("start_off"), 512L)).count() == 0)
+  }
+
+  test("split leakage counts the planted cross-id duplicates") {
+    val n = SparkEntry.queries("q_split_leakage")(spark, sf0001)
+      .head().getAs[Long]("n_leaked_hashes")
+    // the doubled corpus plants one duplicate per doc under a different id;
+    // id-keyed splitting then leaks SOME of them across splits (all 100
+    // agreeing by chance is ~0), and never more than the distinct texts
+    val distinctTexts = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").distinct().count()
+    assert(n > 0 && n <= distinctTexts, s"n_leaked=$n distinct=$distinctTexts")
+  }
+
   test("profile: count relationships hold per column") {
     val p = SparkEntry.queries("q_profile")(spark, sf0001).collect()
     assert(p.length == 3)
