@@ -952,7 +952,8 @@ object SparkEntry {
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          |c AS (SELECT doc_id, s,
-         |             unnest(generate_series(0, len(s) - 1, ${ChunkTokens - ChunkOverlap})) AS start_tok
+         |             unnest(generate_series(0, greatest(len(s) - 1 - $ChunkOverlap, 0),
+         |                    ${ChunkTokens - ChunkOverlap})) AS start_tok
          |      FROM t)
          |SELECT doc_id,
          |       start_tok // ${ChunkTokens - ChunkOverlap} AS chunk_id,

@@ -143,8 +143,13 @@ object TextAnalysis {
     val stride = chunkTokens - overlap
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // last valid start: n-1-overlap — a chunk starting later is wholly
+      // contained in its predecessor (which already reaches the final
+      // token), so the start sequence stops there; chunk count is exactly
+      // the documented ceil((n-overlap)/stride)
       .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1 - overlap, lit(0)), lit(stride))))
       .toDF("doc_id", "toks", "chunk_id", "start_tok")
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("start_tok").cast("long").as("start_tok"),

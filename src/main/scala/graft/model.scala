@@ -45,9 +45,12 @@ object model {
     * integral; dividing in DECIMAL keeps every intermediate exact (the
     * quotient has remainder 0, so no rounding ever applies) — exact for
     * any sign and the full bigint range. */
-  def floorDivCol(ts: Column, w: Long): Column =
+  def floorDivCol(ts: Column, w: Long): Column = floorDivCol(ts, lit(w))
+
+  /** Column-divisor overload — same exact DECIMAL arithmetic. */
+  def floorDivCol(ts: Column, w: Column): Column =
     ((ts.cast(DecimalType(38, 0)) -
-      pmod(ts, lit(w)).cast(DecimalType(38, 0))) / lit(w)).cast("long")
+      pmod(ts, w).cast(DecimalType(38, 0))) / w).cast("long")
 
   /** Hour-shard bucket of an epoch-millis column. */
   def shardHourCol(tsMs: Column): Column = floorDivCol(tsMs, ShardDurationMs)

@@ -76,8 +76,9 @@ object Ingest {
           .filter(_ < cutoffHour).map(_ => st.getPath)
       else None
     }
-    expired.foreach(fs.delete(_, true))
-    expired.length.toLong
+    // count only deletes that actually succeeded — a false return (lease
+    // held, permissions) must not be reported as dropped
+    expired.count(fs.delete(_, true)).toLong
   }
 
   /** Compaction: rewrite ONE hour shard's accumulated small append files
@@ -97,6 +98,7 @@ object Ingest {
     val partDir = new Path(path, s"shard_hour=$shardHour")
     require(fs.exists(partDir), s"no shard directory $partDir")
     val tmp = new Path(path, s".compact_tmp_$shardHour")
+    val old = new Path(path, s".compact_old_$shardHour")
     spark.read.parquet(partDir.toString)
       .repartition(targetFiles)
       .sortWithinPartitions(col("timestamp"))
@@ -104,8 +106,18 @@ object Ingest {
       .option("compression", "zstd")
       .option("parquet.writer.version", "v2")
       .parquet(tmp.toString)
-    fs.delete(partDir, true)
-    fs.rename(tmp, partDir)
+    // swap order matters: move the live dir ASIDE first, then the compacted
+    // data in, then drop the old copy — at every instant the shard's data
+    // exists under a durable directory, and a failed rename aborts loudly
+    // instead of silently losing the shard (delete-then-rename had a window
+    // where a crash left only the dot-prefixed temp dir, which readers skip)
+    fs.delete(old, true) // clear any debris from a prior failed attempt
+    require(fs.rename(partDir, old), s"could not move $partDir aside")
+    if (!fs.rename(tmp, partDir)) {
+      fs.rename(old, partDir) // roll back to the uncompacted shard
+      throw new IllegalStateException(s"rename $tmp -> $partDir failed; rolled back")
+    }
+    fs.delete(old, true)
   }
 
   /** The reference's core read path (O3-O6): inclusive range scan with an

@@ -412,11 +412,10 @@ object Relational {
     * oracle is the proof. */
   def orderRanks(orders: DataFrame, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // exact positive-operand integer division: subtract the remainder first
-    // so the `/` (double division) divides exactly — same trick as
-    // model.floorDivCol
-    def floorDivCC(a: Column, d: Column): Column = ((a - pmod(a, d)) / d).cast("long")
-    def ceilDiv(a: Column, d: Column): Column = floorDivCC(a + d - 1L, d)
+    // exact integer ceil-division via the shared DECIMAL floor-div helper
+    // (a plain double `/` would mis-divide once n exceeds 2^53)
+    def ceilDiv(a: Column, d: Column): Column =
+      graft.model.floorDivCol(a + d - 1L, d)
     val nRow = orders.agg(count(lit(1)).as("n"))
     val top = orders
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -92,8 +92,10 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
     aggsPushed = descs.flatten
     required = StructType(aggsPushed.map {
       case "count"  => StructField("count(*)", LongType, nullable = false)
-      case "min_ts" => StructField("min(timestamp)", LongType, nullable = false)
-      case "max_ts" => StructField("max(timestamp)", LongType, nullable = false)
+      // nullable: a zero-point file has no min/max but must still emit its
+      // count partial, so the row carries nulls there
+      case "min_ts" => StructField("min(timestamp)", LongType, nullable = true)
+      case "max_ts" => StructField("max(timestamp)", LongType, nullable = true)
     })
     true
   }
@@ -150,30 +152,28 @@ class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
 }
 
 /** Partial-stats reader: one row per shard file carrying the requested
-  * (count / min_ts / max_ts) partials from a timestamp-only sweep. A file
-  * that decodes to zero points emits a row only for a count-only push —
-  * min/max partials have no defined value there, and dropping the row keeps
-  * the merged result exact (sum skips nothing: the count partial is 0). */
+  * (count / min_ts / max_ts) partials from a timestamp-only sweep. EVERY
+  * file emits its row — a zero-point file (crashed writer, lone dropped
+  * leading-ts==0 point) contributes count 0 with NULL min/max, so a pushed
+  * `count(*)` over an all-empty store still merges to 0 (dropping the row
+  * would make the final Sum-of-partials NULL), and `min`/`max` correctly
+  * ignore the nulls. */
 case class GorillaStatsReaderFactory(aggs: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GorillaFilePartition].file
     new PartitionReader[InternalRow] {
-      private var row: InternalRow = _
-      private var done = false
-      override def next(): Boolean = {
-        if (done) return false
-        done = true
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
         val (n, mn, mx) = GorillaCodec.tsStats(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(file)))
-        if (n == 0L && aggs.exists(a => a == "min_ts" || a == "max_ts")) return false
-        row = new GenericInternalRow(aggs.map {
+        new GenericInternalRow(aggs.map {
           case "count"  => n: Any
-          case "min_ts" => mn: Any
-          case "max_ts" => mx: Any
+          case "min_ts" => if (n == 0L) null else (mn: Any)
+          case "max_ts" => if (n == 0L) null else (mx: Any)
         }.toArray)
-        true
       }
-      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -50,17 +50,20 @@ object StreamingIngest {
   /** Watermarked streaming OHLC bars: open/high/low/close per tumbling hour
     * over a streaming (`ts`, `value`) frame — the streaming form of
     * [[graft.operators.TimeSeries.ohlcBars]]. Same single-aggregation shape
-    * (min_by/max_by keyed on ts), emitted per closed window in append mode;
-    * late rows beyond the watermark are dropped. */
+    * (min_by/max_by on a TOTAL-order key): the frame has no unique row id,
+    * so the key is (ts, value) — equal-timestamp ties resolve to the
+    * smaller/larger value deterministically, where the batch operator (with
+    * event ids available) breaks them by id. Emitted per closed window in
+    * append mode; late rows beyond the watermark are dropped. */
   def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
-        min_by(col("value"), col("ts")).as("open"),
+        min_by(col("value"), struct(col("ts"), col("value"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), col("ts")).as("close"),
+        max_by(col("value"), struct(col("ts"), col("value"))).as("close"),
         count(lit(1)).as("n_points"))
       .select(
         unix_micros(col("window.start")).as("bucket_us"),

@@ -128,6 +128,26 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000L, 8000000L, 5L))
   }
 
+  test("pushed count+min/max stay exact over zero-point shard files") {
+    val dir = Files.createTempDirectory("graft_gorilla_empty_").toString
+    Files.write(Paths.get(dir, "0-3599999.bin"), Array.empty[Byte])
+    // lone leading ts==0 point: decode drops it -> file has 0 points
+    Files.write(Paths.get(dir, "3600000-7199999.bin"),
+      GorillaCodec.encode(Seq((0L, 1.0))))
+    val allEmpty = spark.read.format(fmt).load(dir)
+      .agg(count(lit(1)).as("n"), min("timestamp").as("mn"), max("timestamp").as("mx"))
+    val r = allEmpty.head()
+    assert(r.getLong(0) == 0L, "count over an all-empty store must be 0, not null")
+    assert(r.isNullAt(1) && r.isNullAt(2), "min/max over no points must be null")
+    // a mixed store: empty files contribute nothing to min/max, 0 to count
+    Files.write(Paths.get(dir, "7200000-10799999.bin"),
+      GorillaCodec.encode(Seq((7300000L, 1.0), (7400000L, 2.0))))
+    val mixed = spark.read.format(fmt).load(dir)
+      .agg(count(lit(1)), min("timestamp"), max("timestamp")).head()
+    assert(mixed.getLong(0) == 2L && mixed.getLong(1) == 7300000L &&
+      mixed.getLong(2) == 7400000L)
+  }
+
   test("min/max pushdown survives out-of-order points inside a shard") {
     // the reference appends out-of-order silently — stats must come from the
     // decoded stream, never the hour-boundary filename

@@ -307,6 +307,9 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       .agg(max(col("start_tok") + col("n_chunk_tokens")).as("covered"))
       .join(docs, "doc_id")
     assert(lastCover.filter(col("covered") =!= col("n")).count() == 0)
+    // no redundant tails: every non-first chunk must contribute tokens
+    // beyond its predecessor's end, i.e. hold more than `overlap` tokens
+    assert(ch.filter(col("chunk_id") > 0 && col("n_chunk_tokens") <= 8).count() == 0)
   }
 
   test("packing: offsets are contiguous per bucket and pack ids match offsets") {

@@ -211,9 +211,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val got = spark.table("ohlc_out")
     val want = spark.read.parquet(src)
       .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
-      .agg(min_by(col("value"), col("ts")).as("open"),
+      .agg(min_by(col("value"), struct(col("ts"), col("value"))).as("open"),
         max(col("value")).as("high"), min(col("value")).as("low"),
-        max_by(col("value"), col("ts")).as("close"),
+        max_by(col("value"), struct(col("ts"), col("value"))).as("close"),
         count(lit(1)).as("n_points"))
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
