@@ -57,43 +57,67 @@ object GorillaCodec {
   }
 
   /** Decode shard-file bytes back into (timestamp, value) points. */
-  def decode(bytes: Array[Byte]): Seq[(Long, Double)] = {
-    var pos = 0
-    def atEnd: Boolean = pos >= bytes.length
-    def readVarint(): Long = {
-      var result = 0L
-      var shift = 0
-      var more = true
-      while (more && pos < bytes.length) {
-        val b = bytes(pos); pos += 1
-        result |= (b & 0x7FL) << shift
-        shift += 7
-        more = (b & 0x80) != 0
-      }
-      result
-    }
-    val points = ArrayBuffer.empty[(Long, Double)]
-    var prevTs = 0L
-    var prevDelta = 0L
-    var prevBits = 0L
-    while (!atEnd) {
-      val ts =
-        if (prevTs == 0L) readVarint() // shard.cpp:35-37 — raw while prev==0
-        else {
-          val delta = prevDelta + unzigzag(readVarint())
-          prevDelta = delta
-          prevTs + delta
+  def decode(bytes: Array[Byte]): Seq[(Long, Double)] =
+    decodeIterator(bytes).toSeq
+
+  /** Streaming decoder: points are produced lazily, one at a time — the
+    * scan path never materializes a whole shard as boxed tuples, and a
+    * pushed-down LIMIT can stop decoding mid-file. Semantics identical to
+    * the buffered [[decode]] (which is now just `.toSeq` of this),
+    * including the leading-ts==0 drop (shard.cpp:52-54). */
+  def decodeIterator(bytes: Array[Byte]): Iterator[(Long, Double)] =
+    new Iterator[(Long, Double)] {
+      private var pos = 0
+      private var prevTs = 0L
+      private var prevDelta = 0L
+      private var prevBits = 0L
+      private var emittedAny = false
+      private var nextPoint: (Long, Double) = _
+      private var nextReady = false
+
+      private def readVarint(): Long = {
+        var result = 0L
+        var shift = 0
+        var more = true
+        while (more && pos < bytes.length) {
+          val b = bytes(pos); pos += 1
+          result |= (b & 0x7FL) << shift
+          shift += 7
+          more = (b & 0x80) != 0
         }
-      prevTs = ts
-      val bits = prevBits ^ readVarint()
-      prevBits = bits
-      // shard.cpp:52-54: drop a leading ts==0 point (e.g. the phantom from
-      // read_varint returning 0 at EOF) but keep every later one
-      if (ts != 0L || points.nonEmpty)
-        points += ((ts, java.lang.Double.longBitsToDouble(bits)))
+        result
+      }
+
+      private def advance(): Unit = {
+        while (!nextReady && pos < bytes.length) {
+          val ts =
+            if (prevTs == 0L) readVarint() // shard.cpp:35-37 — raw while prev==0
+            else {
+              val delta = prevDelta + unzigzag(readVarint())
+              prevDelta = delta
+              prevTs + delta
+            }
+          prevTs = ts
+          val bits = prevBits ^ readVarint()
+          prevBits = bits
+          // shard.cpp:52-54: drop a leading ts==0 point (e.g. the phantom
+          // from read_varint returning 0 at EOF) but keep every later one
+          if (ts != 0L || emittedAny) {
+            nextPoint = (ts, java.lang.Double.longBitsToDouble(bits))
+            nextReady = true
+            emittedAny = true
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); nextReady }
+      override def next(): (Long, Double) = {
+        advance()
+        if (!nextReady) throw new NoSuchElementException
+        nextReady = false
+        nextPoint
+      }
     }
-    points.toSeq
-  }
 
   /** Timestamp-only stats pass: (n, minTs, maxTs) in one sweep over the
     * bytes. The value varints are SKIPPED (never XOR-reconstructed) and no

@@ -54,12 +54,23 @@ class GorillaShardTable(path: String) extends Table with SupportsRead {
 
 class GorillaScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var tsLo = Long.MinValue
   private var tsHi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var required: StructType = GorillaShardSource.schema
   private var aggsPushed: Seq[String] = Nil
+  private var limitPushed: Int = -1
+
+  // LIMIT pushdown: each file partition stops DECODING after `limit` points
+  // (the streaming decoder makes this a genuine early exit, not a decode-
+  // then-truncate). Spark only offers the push when no operator between the
+  // limit and the scan changes row counts, and we return false (partial
+  // push) so the global limit still applies across partitions.
+  override def pushLimit(limit: Int): Boolean = {
+    limitPushed = limit
+    false
+  }
 
   // COUNT(*) / MIN(timestamp) / MAX(timestamp) pushdown: each shard-file
   // partition emits ONE partial-stats row from a timestamp-only sweep
@@ -118,20 +129,22 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GorillaScan(path, tsLo, tsHi, required, aggsPushed)
+  override def build(): Scan =
+    new GorillaScan(path, tsLo, tsHi, required, aggsPushed, limitPushed)
 }
 
 case class GorillaFilePartition(file: String) extends InputPartition
 
 class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
-    aggsPushed: Seq[String] = Nil)
+    aggsPushed: Seq[String] = Nil, limitPushed: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GorillaShardScan(path=$path, ts in [$tsLo, $tsHi], " +
       s"cols=${required.fieldNames.mkString(",")}, " +
-      s"pushedAggs=${if (aggsPushed.isEmpty) "none" else aggsPushed.mkString("+")})"
+      s"pushedAggs=${if (aggsPushed.isEmpty) "none" else aggsPushed.mkString("+")}, " +
+      s"pushedLimit=${if (limitPushed < 0) "none" else limitPushed.toString})"
 
   /** File-level pruning from the `<start>-<end>.bin` naming convention. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -148,7 +161,7 @@ class GorillaScan(path: String, tsLo: Long, tsHi: Long, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggsPushed.nonEmpty) GorillaStatsReaderFactory(aggsPushed)
-    else GorillaReaderFactory(required.fieldNames)
+    else GorillaReaderFactory(required.fieldNames, limitPushed)
 }
 
 /** Partial-stats reader: one row per shard file carrying the requested
@@ -179,13 +192,16 @@ case class GorillaStatsReaderFactory(aggs: Seq[String]) extends PartitionReaderF
   }
 }
 
-case class GorillaReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+/** Row reader over the STREAMING decoder: points decode lazily (no whole-
+  * shard tuple buffer), and a pushed limit stops decoding mid-file. */
+case class GorillaReaderFactory(fields: Array[String], limit: Int = -1)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GorillaFilePartition].file
     new PartitionReader[InternalRow] {
-      private val points =
-        GorillaCodec.decode(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file))).iterator
+      private val decoded = GorillaCodec.decodeIterator(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+      private val points = if (limit >= 0) decoded.take(limit) else decoded
       private var current: (Long, Double) = _
       override def next(): Boolean = {
         if (points.hasNext) { current = points.next(); true } else false

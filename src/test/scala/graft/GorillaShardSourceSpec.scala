@@ -128,6 +128,25 @@ class GorillaShardSourceSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000L, 8000000L, 5L))
   }
 
+  test("limit pushdown stops decoding per file and keeps results exact") {
+    val dir = writeA1Store()
+    val limited = spark.read.format(fmt).load(dir).limit(3)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=3"), plan)
+    assert(limited.count() == 3)
+    // values are a prefix-of-some-files subset of the full store
+    val full = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = limited.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 3 && got.forall(full.contains))
+    // a filtered limit must NOT push (filters stay residual above the scan)
+    val filteredLimit = spark.read.format(fmt).load(dir)
+      .filter(col("timestamp") > 1000L).limit(2)
+    assert(filteredLimit.queryExecution.executedPlan.toString
+      .contains("pushedLimit=none"))
+    assert(filteredLimit.count() == 2)
+  }
+
   test("pushed count+min/max stay exact over zero-point shard files") {
     val dir = Files.createTempDirectory("graft_gorilla_empty_").toString
     Files.write(Paths.get(dir, "0-3599999.bin"), Array.empty[Byte])
