@@ -132,9 +132,11 @@ object TextAnalysis {
   }
 
   /** Sliding-window document chunking — the context-window preparation step
-    * of an LLM data pipeline: each document becomes ceil((n-overlap)/stride)
-    * chunks of up to `chunkTokens` tokens, consecutive chunks sharing
-    * `overlap` tokens. Pure per-row projection + explode (no shuffle, fully
+    * of an LLM data pipeline: each document becomes
+    * max(1, ceil((n-overlap)/stride)) chunks of up to `chunkTokens` tokens
+    * (the max(1, ·) covers docs of `overlap` or fewer tokens, which still
+    * yield their single short chunk), consecutive chunks sharing `overlap`
+    * tokens. Pure per-row projection + explode (no shuffle, fully
     * codegen'd); chunk boundaries are deterministic token offsets, so the
     * operation is reproducible and SQL-mirrorable. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
@@ -145,8 +147,8 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // last valid start: n-1-overlap — a chunk starting later is wholly
       // contained in its predecessor (which already reaches the final
-      // token), so the start sequence stops there; chunk count is exactly
-      // the documented ceil((n-overlap)/stride)
+      // token), so the start sequence stops there (clamped to start 0 for
+      // docs of <= overlap tokens, which keep their single chunk)
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0),
           greatest(size(col("toks")) - 1 - overlap, lit(0)), lit(stride))))

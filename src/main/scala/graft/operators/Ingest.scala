@@ -96,9 +96,15 @@ object Ingest {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val partDir = new Path(path, s"shard_hour=$shardHour")
-    require(fs.exists(partDir), s"no shard directory $partDir")
     val tmp = new Path(path, s".compact_tmp_$shardHour")
     val old = new Path(path, s".compact_old_$shardHour")
+    // crash recovery: a previous attempt that died between its two renames
+    // leaves the shard's only copy under `.compact_old_N` — restore it
+    // before doing anything else, so a plain retry heals the store instead
+    // of failing the exists() check below
+    if (!fs.exists(partDir) && fs.exists(old))
+      require(fs.rename(old, partDir), s"could not restore $old after a failed compaction")
+    require(fs.exists(partDir), s"no shard directory $partDir")
     spark.read.parquet(partDir.toString)
       .repartition(targetFiles)
       .sortWithinPartitions(col("timestamp"))
@@ -107,11 +113,14 @@ object Ingest {
       .option("parquet.writer.version", "v2")
       .parquet(tmp.toString)
     // swap order matters: move the live dir ASIDE first, then the compacted
-    // data in, then drop the old copy — at every instant the shard's data
-    // exists under a durable directory, and a failed rename aborts loudly
-    // instead of silently losing the shard (delete-then-rename had a window
-    // where a crash left only the dot-prefixed temp dir, which readers skip)
-    fs.delete(old, true) // clear any debris from a prior failed attempt
+    // data in, then drop the old copy — the shard's bytes exist under a
+    // durable directory at every instant, a failed rename aborts loudly
+    // (with rollback), and a crash between the renames is healed by the
+    // recovery block above on retry. Readers racing the swap itself can
+    // observe the hour briefly absent (plain filesystems have no atomic
+    // directory swap) — run compaction on closed shards in maintenance
+    // windows, same as the pause-writers rule.
+    fs.delete(old, true) // clear debris from a prior COMPLETED attempt
     require(fs.rename(partDir, old), s"could not move $partDir aside")
     if (!fs.rename(tmp, partDir)) {
       fs.rename(old, partDir) // roll back to the uncompacted shard

@@ -65,11 +65,13 @@ class GorillaScanBuilder(path: String) extends ScanBuilder
   // LIMIT pushdown: each file partition stops DECODING after `limit` points
   // (the streaming decoder makes this a genuine early exit, not a decode-
   // then-truncate). Spark only offers the push when no operator between the
-  // limit and the scan changes row counts, and we return false (partial
-  // push) so the global limit still applies across partitions.
+  // limit and the scan changes row counts. Returning true with the default
+  // isPartiallyPushed()=true is the contract for a PARTIAL push: Spark
+  // keeps its own Limit above the scan, which caps the union of the
+  // per-partition prefixes.
   override def pushLimit(limit: Int): Boolean = {
     limitPushed = limit
-    false
+    true
   }
 
   // COUNT(*) / MIN(timestamp) / MAX(timestamp) pushdown: each shard-file
@@ -176,17 +178,22 @@ case class GorillaStatsReaderFactory(aggs: Seq[String]) extends PartitionReaderF
     val file = partition.asInstanceOf[GorillaFilePartition].file
     new PartitionReader[InternalRow] {
       private var emitted = false
+      private var row: InternalRow = _
       override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = {
-        val (n, mn, mx) = GorillaCodec.tsStats(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file)))
-        new GenericInternalRow(aggs.map {
-          case "count"  => n: Any
-          case "min_ts" => if (n == 0L) null else (mn: Any)
-          case "max_ts" => if (n == 0L) null else (mx: Any)
-        }.toArray)
-      }
+        if (emitted) false
+        else {
+          emitted = true
+          // compute ONCE here — get() may be called repeatedly per next()
+          val (n, mn, mx) = GorillaCodec.tsStats(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(file)))
+          row = new GenericInternalRow(aggs.map {
+            case "count"  => n: Any
+            case "min_ts" => if (n == 0L) null else (mn: Any)
+            case "max_ts" => if (n == 0L) null else (mx: Any)
+          }.toArray)
+          true
+        }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -296,10 +296,15 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("chunking covers every token: stride starts, bounded sizes, full tail") {
-    val ch = SparkEntry.queries("q_chunk_docs")(spark, sf0001)
-    // chunk i starts at i*stride (stride = 32-8 = 24)
-    assert(ch.filter(col("start_tok") =!= col("chunk_id") * 24).count() == 0)
-    assert(ch.filter(col("n_chunk_tokens") < 1 || col("n_chunk_tokens") > 32).count() == 0)
+    // assert against the SAME parameters the declared query uses (pinned
+    // here so a drive-by constant change forces this spec to be revisited)
+    val (chunkTokens, overlap) = (32, 8)
+    val stride = chunkTokens - overlap
+    val ch = graft.functions.TextAnalysis.chunkDocs(
+      graft.sources.Tables.documents(spark, sf0001), chunkTokens, overlap)
+    assert(ch.filter(col("start_tok") =!= col("chunk_id") * stride).count() == 0)
+    assert(ch.filter(col("n_chunk_tokens") < 1 ||
+      col("n_chunk_tokens") > chunkTokens).count() == 0)
     // the last chunk of each doc reaches the document's final token
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
@@ -309,7 +314,8 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(lastCover.filter(col("covered") =!= col("n")).count() == 0)
     // no redundant tails: every non-first chunk must contribute tokens
     // beyond its predecessor's end, i.e. hold more than `overlap` tokens
-    assert(ch.filter(col("chunk_id") > 0 && col("n_chunk_tokens") <= 8).count() == 0)
+    assert(ch.filter(col("chunk_id") > 0 &&
+      col("n_chunk_tokens") <= overlap).count() == 0)
   }
 
   test("packing: offsets are contiguous per bucket and pack ids match offsets") {

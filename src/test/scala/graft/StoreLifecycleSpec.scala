@@ -30,6 +30,20 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(Ingest.expireShards(spark, store, cutoffHour = 2L) == 0L)
   }
 
+  test("compactShard retry heals a crash between the two swap renames") {
+    val store = Files.createTempDirectory("graft_heal_").toString
+    Ingest.ingestBatch(hourPts(1L, 60).toDS(), store)
+    // simulate the crash state: the live dir was moved aside, the process
+    // died before the compacted data was renamed in
+    val part = new java.io.File(s"$store/shard_hour=1")
+    val aside = new java.io.File(s"$store/.compact_old_1")
+    assert(part.renameTo(aside))
+    assert(!part.exists()) // readers would skip the dot-dir: shard invisible
+    Ingest.compactShard(spark, store, shardHour = 1L) // retry must recover
+    assert(spark.read.parquet(store).count() == 60)
+    assert(!aside.exists())
+  }
+
   test("compactShard collapses append files to one, preserving rows and order") {
     val store = Files.createTempDirectory("graft_compact_").toString
     // three separate appends to the SAME hour -> at least 3 parquet files
