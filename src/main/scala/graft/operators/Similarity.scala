@@ -167,18 +167,26 @@ object Similarity {
   def ivfRefinedCentroids(embeddings: DataFrame, nCentroids: Int,
       iters: Int): Array[(Long, Array[Double])] = {
     var cents = ivfSeedCentroids(embeddings, nCentroids)
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val means = embeddings
+      // one hash aggregation with `dims` decimal sum slots — the same shape
+      // that made simhash fast: map-side partials collapse to ONE row per
+      // cluster, so the shuffle moves |clusters| rows of (dims) decimals
+      // (the earlier posexplode formulation shuffled dims × |corpus| rows)
+      val sums = (0 until dims).map(d =>
+        sum(element_at(col("v"), d + 1).cast("decimal(38,12)")).as(s"s$d"))
+      val rows = embeddings
         .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+      val means = rows.map { r =>
+        val n = r.getAs[Long]("n")
+        // exact decimal sums; the single toDouble/n rounding is
+        // deterministic (same BigDecimal, same IEEE division everywhere)
+        r.getAs[Long]("cid") -> (0 until dims).map(d =>
+          r.getAs[java.math.BigDecimal](s"s$d").doubleValue() / n).toArray
+      }.toMap
       cents = cents.map { case (cid, w) => (cid, means.getOrElse(cid, w)) }
     }
     cents
