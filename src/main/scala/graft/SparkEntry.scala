@@ -148,6 +148,14 @@ object SparkEntry {
     // --- relational extension surface (SURVEY §2.2) ---
     "q_tpch_pricing" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir), ShipBefore)),
+    "q_tpch_q3" -> ((s, dir) =>
+      Relational.shippingPriority(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "BUILDING", "1998-01-01 00:00:00")),
+    "q_tpch_q6" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir), 1996, 0.02, 0.04, 24.0)),
+    "q_tpch_q14" -> ((s, dir) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, dir), Tables.part(s, dir),
+        "1997-09-01 00:00:00", "1997-10-01 00:00:00")),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -710,6 +718,41 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH m AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-10-01'),
+        |s AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+        |             CAST(sum(rev) AS DOUBLE) AS total_rev
+        |      FROM m)
+        |SELECT 100.0 * promo_rev / total_rev AS promo_pct, promo_rev, total_rev
+        |FROM s""".stripMargin,
     "q_theta_band" ->
       """WITH bands AS (
         |  SELECT CAST(r_regionkey AS BIGINT) AS band,

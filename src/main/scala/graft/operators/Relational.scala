@@ -324,6 +324,64 @@ object Relational {
       .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
+    * lineitems for one market segment's pre-cutoff orders, top 10 orders by
+    * revenue. Fact-fact join shuffles once on the orderkey; the filtered
+    * customer dim joins by size-based broadcast; both date filters push to
+    * the scans. Exact decimal revenue; (revenue DESC, orderkey) total order
+    * before the limit. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, cutoff: String): DataFrame = {
+    val cutoffTs = lit(cutoff).cast("timestamp")
+    orders.filter(col("o_orderdate") < cutoffTs)
+      .join(customer.filter(col("c_mktsegment") === lit(segment)),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cutoffTs),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        TimeSeries.tsUs(col("o_orderdate")).as("o_orderdate_us"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): one filtered scan, one
+    * global sum of price×discount — entirely pushed predicates + a single
+    * partial/final aggregation, no join, no shuffle beyond the 1-row
+    * merge. */
+  def forecastRevenue(lineitem: DataFrame, year: Int,
+      discLo: Double, discHi: Double, qtyCap: Double): DataFrame =
+    lineitem
+      .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyCap)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q14 shape (promotion effect): share of one month's revenue that
+    * came from promo parts — a part-dim join (size-based broadcast) plus
+    * one aggregation with a conditional numerator; the final percentage is
+    * a single double division over exact decimal sums. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+      monthStart: String, monthEnd: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(monthStart).cast("timestamp") &&
+        col("l_shipdate") < lit(monthEnd).cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .select(
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"),
+        col("promo_rev"), col("total_rev"))
+  }
+
   /** Data-profiling surface: per requested column, row/non-null/distinct
     * counts and min/max (rendered as strings AFTER the typed min/max, so
     * numeric columns compare numerically). ONE aggregation pass over the

@@ -295,6 +295,20 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("TPC-H shapes: Q3 descending top-10, Q6 single sum, Q14 pct within bounds") {
+    val q3 = SparkEntry.queries("q_tpch_q3")(spark, sf0001).collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    val revs = q3.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sortBy(-_), "Q3 not sorted by revenue desc")
+    assert(revs.forall(_ > 0))
+    val q6 = SparkEntry.queries("q_tpch_q6")(spark, sf0001).head()
+    assert(q6.getAs[Double]("revenue") > 0)
+    val q14 = SparkEntry.queries("q_tpch_q14")(spark, sf0001).head()
+    val pct = q14.getAs[Double]("promo_pct")
+    assert(pct >= 0.0 && pct <= 100.0, s"pct=$pct")
+    assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
+  }
+
   test("chunking covers every token: stride starts, bounded sizes, full tail") {
     // assert against the SAME parameters the declared query uses (pinned
     // here so a drive-by constant change forces this spec to be revisited)
