@@ -156,6 +156,13 @@ object SparkEntry {
     "q_tpch_q14" -> ((s, dir) =>
       Relational.promoRevenueShare(Tables.lineitem(s, dir), Tables.part(s, dir),
         "1997-09-01 00:00:00", "1997-10-01 00:00:00")),
+    "q_tpch_q10" -> ((s, dir) =>
+      Relational.returnedItemRevenue(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir),
+        "1997-01-01 00:00:00", "1997-04-01 00:00:00")),
+    "q_tpch_q18" -> ((s, dir) =>
+      Relational.largeVolumeCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 150.0)),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -753,6 +760,31 @@ object SparkEntry {
         |      FROM m)
         |SELECT 100.0 * promo_rev / total_rev AS promo_pct, promo_rev, total_rev
         |FROM s""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH t AS (SELECT l_orderkey,
+        |                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |           FROM lineitem GROUP BY 1)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_totalprice, total_qty
+        |FROM t
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 150""".stripMargin,
     "q_theta_band" ->
       """WITH bands AS (
         |  SELECT CAST(r_regionkey AS BIGINT) AS band,

@@ -382,6 +382,43 @@ object Relational {
         col("promo_rev"), col("total_rev"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns per
+    * customer over a quarter, top 20 customers. One fact-fact shuffle on
+    * the orderkey; customer/nation join by size-based selection; exact
+    * decimal revenue; total order before the limit. */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      qStart: String, qEnd: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING runs on the
+    * grouped fact FIRST (one shuffle on orderkey, map-side partials), so
+    * only qualifying orders reach the customer join. */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Double): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        TimeSeries.tsUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"), col("total_qty"))
+
   /** Data-profiling surface: per requested column, row/non-null/distinct
     * counts and min/max (rendered as strings AFTER the typed min/max, so
     * numeric columns compare numerically). ONE aggregation pass over the

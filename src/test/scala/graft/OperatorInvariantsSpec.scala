@@ -295,6 +295,37 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r=$p")
   }
 
+  test("runtime bloom filter prunes the big side of a selective fact-fact join") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on the build side
+    // turns into a might_contain() bloom probe on the fact scan — the
+    // row-level companion of partition pruning, free because the plan is
+    // declarative. Thresholds are tuned down only because the test data is
+    // tiny; at 100 TB the defaults engage on their own.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf0001)
+      val sel = graft.sources.Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "runtime bloom filter was not injected")
+      // and the filter is an optimization only — results are unchanged
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("TPC-H shapes: Q3 descending top-10, Q6 single sum, Q14 pct within bounds") {
     val q3 = SparkEntry.queries("q_tpch_q3")(spark, sf0001).collect()
     assert(q3.length <= 10 && q3.nonEmpty)
