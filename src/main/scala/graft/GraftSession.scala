@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session entry point for the library: a `SparkSession` with the
+  * graft extensions (native expressions as SQL functions, the as-of join
+  * strategy, the cosine fusion rule) and the engine's recommended confs
+  * applied. A user of the reference engine starts here:
+  *
+  * {{{
+  *   val spark = GraftSession.local(cpus = 32)
+  *   SparkEntry.registerViews(spark, "/data/sf")   // optional SQL surface
+  *   spark.sql("SELECT graft_cosine(a, b) FROM ...")
+  * }}}
+  *
+  * On a real cluster use [[configure]] on your own builder instead of
+  * [[local]] — the extension/conf set is identical; only the master and
+  * shuffle sizing differ.
+  */
+object GraftSession {
+
+  /** Apply the graft extensions and engine confs to an existing builder.
+    * Confs follow the 100 TB design notes: AQE on (runtime re-plan, skew
+    * splitting), shuffle partitions sized by the caller (cores locally;
+    * ~2-3× total cores on a cluster), UTC session time (the oracle-stable
+    * timestamp convention). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+
+  /** Local session at `local[cpus]` with the extensions applied. */
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val s = configure(SparkSession.builder(), cpus)
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
