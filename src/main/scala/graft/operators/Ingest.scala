@@ -92,7 +92,61 @@ object Ingest {
     * SAME hour during compaction, which matches the closed-shard lifecycle:
     * only hours past the ingest watermark get compacted). */
   def compactShard(spark: SparkSession, path: String, shardHour: Long,
-      targetFiles: Int = 1): Unit = {
+      targetFiles: Int = 1): Unit =
+    rewriteShard(spark, path, shardHour) { df =>
+      df.repartition(targetFiles).sortWithinPartitions(col("timestamp"))
+    }
+
+  /** Point upsert: for every hour shard touched by `updates`, rewrite that
+    * shard with update rows REPLACING existing rows at the same timestamp
+    * (among duplicate update timestamps the larger value wins —
+    * deterministic). Only touched shards are rewritten (the driver iterates
+    * the affected hours — bounded by the update span, not the store size);
+    * each rewrite goes through the same crash-safe aside/rename swap as
+    * compaction. Brand-new hours append as ordinary ingest. */
+  def upsertPoints(spark: SparkSession, path: String,
+      updates: Dataset[DataPoint]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val upd = updates.toDF()
+      .withColumn("shard_hour", shardHourCol(col("timestamp")))
+    val hours = upd.select(col("shard_hour")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    hours.foreach { h =>
+      val hourUpd = upd.filter(col("shard_hour") === h).drop("shard_hour")
+        // one survivor per timestamp among the updates themselves
+        .groupBy(col("timestamp"))
+        .agg(max(struct(col("value"), col("metric"))).as("m"))
+        .select(col("timestamp"), col("m.value").as("value"),
+          col("m.metric").as("metric"))
+      if (fs.exists(new Path(path, s"shard_hour=$h")) ||
+          fs.exists(new Path(path, s".compact_old_$h"))) {
+        rewriteShard(spark, path, h) { existing =>
+          // updates win at equal timestamps: anti-join the old rows first
+          existing.join(hourUpd.select("timestamp"), Seq("timestamp"), "left_anti")
+            .unionByName(hourUpd)
+            .sortWithinPartitions(col("timestamp"))
+        }
+      } else {
+        // brand-new hour: plain partitioned append
+        Ingest.ingestBatch(
+          hourUpd.select(col("timestamp"), col("value"), col("metric"))
+            .as[DataPoint](org.apache.spark.sql.Encoders.product[DataPoint]),
+          path)
+      }
+    }
+  }
+
+  /** Crash-safe shard rewrite: materialize `transform(existing shard)` into
+    * a temp dir, then swap it in via aside/rename. The shard's bytes exist
+    * under a durable directory at every instant; a failed rename aborts
+    * loudly (with rollback); a crash between the renames is healed on retry
+    * by the recovery block. Readers racing the swap itself can observe the
+    * hour briefly absent (plain filesystems have no atomic directory swap)
+    * — rewrite closed shards in maintenance windows, same as the
+    * pause-writers rule. */
+  private def rewriteShard(spark: SparkSession, path: String, shardHour: Long)(
+      transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val partDir = new Path(path, s"shard_hour=$shardHour")
@@ -100,30 +154,19 @@ object Ingest {
     val old = new Path(path, s".compact_old_$shardHour")
     // crash recovery: a previous attempt that died between its two renames
     // leaves the shard's only copy under `.compact_old_N` — restore it
-    // before doing anything else, so a plain retry heals the store instead
-    // of failing the exists() check below
+    // before doing anything else, so a plain retry heals the store
     if (!fs.exists(partDir) && fs.exists(old))
-      require(fs.rename(old, partDir), s"could not restore $old after a failed compaction")
+      require(fs.rename(old, partDir), s"could not restore $old after a failed rewrite")
     require(fs.exists(partDir), s"no shard directory $partDir")
-    spark.read.parquet(partDir.toString)
-      .repartition(targetFiles)
-      .sortWithinPartitions(col("timestamp"))
+    transform(spark.read.parquet(partDir.toString))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.writer.version", "v2")
       .parquet(tmp.toString)
-    // swap order matters: move the live dir ASIDE first, then the compacted
-    // data in, then drop the old copy — the shard's bytes exist under a
-    // durable directory at every instant, a failed rename aborts loudly
-    // (with rollback), and a crash between the renames is healed by the
-    // recovery block above on retry. Readers racing the swap itself can
-    // observe the hour briefly absent (plain filesystems have no atomic
-    // directory swap) — run compaction on closed shards in maintenance
-    // windows, same as the pause-writers rule.
     fs.delete(old, true) // clear debris from a prior COMPLETED attempt
     require(fs.rename(partDir, old), s"could not move $partDir aside")
     if (!fs.rename(tmp, partDir)) {
-      fs.rename(old, partDir) // roll back to the uncompacted shard
+      fs.rename(old, partDir) // roll back to the un-rewritten shard
       throw new IllegalStateException(s"rename $tmp -> $partDir failed; rolled back")
     }
     fs.delete(old, true)

@@ -30,6 +30,28 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(Ingest.expireShards(spark, store, cutoffHour = 2L) == 0L)
   }
 
+  test("upsertPoints replaces at equal timestamps, preserves the rest, appends new hours") {
+    val store = Files.createTempDirectory("graft_upsert_").toString
+    Ingest.ingestBatch(hourPts(1L, 10).toDS(), store) // ts 3600000 + i*1000
+    val updates = Seq(
+      DataPoint(3600000L + 3000L, 999.0),  // replaces existing ts
+      DataPoint(3600000L + 3000L, 111.0),  // duplicate update ts: max wins
+      DataPoint(3600000L + 500L, 55.0),    // new ts inside the existing hour
+      DataPoint(5 * 3600000L + 1L, 77.0))  // brand-new hour
+    Ingest.upsertPoints(spark, store, updates.toDS())
+    val got = spark.read.parquet(store)
+      .select("timestamp", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 12) // 10 original + 1 new-in-hour + 1 new-hour
+    assert(got(3600000L + 3000L) == 999.0, "update must replace, max dup wins")
+    assert(got(3600000L + 500L) == 55.0)
+    assert(got(5 * 3600000L + 1L) == 77.0)
+    assert(got(3600000L + 4000L) == hourPts(1L, 10)(4).value, "untouched row changed")
+    // idempotent: applying the same updates again changes nothing
+    Ingest.upsertPoints(spark, store, updates.toDS())
+    assert(spark.read.parquet(store).count() == 12)
+  }
+
   test("compactShard retry heals a crash between the two swap renames") {
     val store = Files.createTempDirectory("graft_heal_").toString
     Ingest.ingestBatch(hourPts(1L, 60).toDS(), store)
