@@ -137,6 +137,38 @@ object Ingest {
     }
   }
 
+  /** Range delete: remove every point with `timestamp ∈ [startMs, endMs]`
+    * (inclusive, the reference's range convention). Hour shards FULLY
+    * covered by the range are dropped as whole directories (metadata-only,
+    * same as retention); the at-most-two partially-covered edge shards are
+    * rewritten through the crash-safe swap. Cost is O(covered shards)
+    * metadata + two shard rewrites, independent of store size. */
+  def deleteRange(spark: SparkSession, path: String,
+      startMs: Long, endMs: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(startMs <= endMs, s"empty range [$startMs, $endMs]")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    val hours = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("shard_hour="))
+        scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
+      else None
+    }
+    hours.foreach { h =>
+      val shardLo = h * ShardDurationMs
+      val shardHi = shardLo + ShardDurationMs - 1
+      if (shardHi >= startMs && shardLo <= endMs) {
+        if (shardLo >= startMs && shardHi <= endMs)
+          fs.delete(new Path(path, s"shard_hour=$h"), true) // fully covered
+        else
+          rewriteShard(spark, path, h)(
+            _.filter(!col("timestamp").between(startMs, endMs)))
+      }
+    }
+  }
+
   /** Crash-safe shard rewrite: materialize `transform(existing shard)` into
     * a temp dir, then swap it in via aside/rename. The shard's bytes exist
     * under a durable directory at every instant; a failed rename aborts

@@ -52,6 +52,24 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(store).count() == 12)
   }
 
+  test("deleteRange drops covered shards whole and rewrites only edge shards") {
+    val store = Files.createTempDirectory("graft_delete_").toString
+    Seq(1L, 2L, 3L).foreach(h => Ingest.ingestBatch(hourPts(h, 50).toDS(), store))
+    // range covers all of hour 2 and the tail of hour 1 (from +30s onward)
+    Ingest.deleteRange(spark, store, 1L * 3600000L + 30000L, 3L * 3600000L - 1L)
+    val left = spark.read.parquet(store)
+    // hour 1 keeps ts offsets 0..29s (30 points), hour 2 gone, hour 3 intact
+    assert(!new java.io.File(s"$store/shard_hour=2").exists())
+    assert(left.count() == 30 + 50)
+    assert(left.filter(col("timestamp").between(
+      1L * 3600000L + 30000L, 3L * 3600000L - 1L)).count() == 0)
+    // inclusive bounds: the exact boundary timestamps are gone too
+    assert(left.filter(col("timestamp") === 1L * 3600000L + 30000L).count() == 0)
+    // idempotent
+    Ingest.deleteRange(spark, store, 1L * 3600000L + 30000L, 3L * 3600000L - 1L)
+    assert(spark.read.parquet(store).count() == 80)
+  }
+
   test("compactShard retry heals a crash between the two swap renames") {
     val store = Files.createTempDirectory("graft_heal_").toString
     Ingest.ingestBatch(hourPts(1L, 60).toDS(), store)
