@@ -60,7 +60,18 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    // the right side ALSO sorts on its (orderable) payload columns: the
+    // merge overwrites its candidate on every admissible row, so the last
+    // row among duplicate (key, ts) — now deterministically the MAX
+    // payload — wins, matching the composed operator's payload-struct
+    // tiebreak (a bare (key, ts) sort is unstable between equal rows, and
+    // the winner varied with partition layout — caught by AsOfPropertySpec)
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      right.output
+        .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+        .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+        .map(a => SortOrder(a, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
@@ -75,7 +86,13 @@ case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTs: Expression, rOut)
     val rightWidth = rOut.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(out, lOut ++ rOut)
+      // bind the right side as NULLABLE regardless of its input schema: an
+      // unmatched left row pairs with an all-null right row, and a
+      // projection bound against non-nullable right attributes would skip
+      // the null checks and read 0/0.0 out of it (caught by
+      // AsOfPropertySpec with a non-nullable toDF input)
+      val proj = UnsafeProjection.create(out,
+        lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       var rHead: InternalRow = null

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.plans.AsOfJoinNative
+
+/** Randomized property net for the as-of join — BOTH implementations
+  * (union-tag + window composition, and the native LogicalPlan/Strategy/
+  * SparkPlan operator) must equal a brute-force nested-loop model on
+  * adversarial inputs: duplicate timestamps on both sides, duplicate
+  * (key, ts) reference rows with different payloads (max-payload tiebreak),
+  * keys missing from either side, and probes before any reference. */
+class AsOfPropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(23)
+
+  private def randomCase(): (Seq[(Long, Long, Long)], Seq[(Long, Long, Double)]) = {
+    // left: (key, ts, id); right: (key, ts, value) — small domains force
+    // collisions (duplicate ts, duplicate (key, ts) with different values)
+    val left = (1 to 60).map(i =>
+      (1L + rng.nextInt(4), rng.nextInt(30).toLong, i.toLong))
+    val right = (1 to 40).map(_ =>
+      (1L + rng.nextInt(5), rng.nextInt(30).toLong,
+        (rng.nextInt(9) + 1).toDouble))
+    (left, right)
+  }
+
+  /** The semantic model: latest right at-or-before per key; among ties on
+    * ts, the MAX payload (the engine's documented deterministic tiebreak). */
+  private def brute(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Double)]): Set[(Long, Option[Long], Option[Double])] =
+    left.map { case (k, ts, id) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= ts)
+      if (cands.isEmpty) (id, None, None)
+      else {
+        val best = cands.maxBy(r => (r._2, r._3))
+        (id, Some(best._2), Some(best._3))
+      }
+    }.toSet
+
+  test("composed and native as-of equal the brute-force model on random inputs") {
+    (1 to 4).foreach { round =>
+      val (l, r) = randomCase()
+      val want = brute(l, r)
+      val leftDf = l.toDF("key", "ts", "id")
+      val rightDf = r.toDF("key", "ts", "value")
+
+      val composed = AsOfJoin.asOf(leftDf, rightDf, "key", "ts",
+        Seq("ts" -> "m_ts", "value" -> "m_value"))
+        .select(col("id"), col("m_ts"), col("m_value")).collect()
+        .map(x => (x.getAs[Long]("id"), Option(x.getAs[Any]("m_ts")).map(_.asInstanceOf[Long]),
+          Option(x.getAs[Any]("m_value")).map(_.asInstanceOf[Double]))).toSet
+      assert(composed == want, s"composed diverged in round $round")
+
+      val native = AsOfJoinNative.asOf(
+        leftDf, rightDf.select(col("key").as("rkey"), col("ts").as("rts"),
+          col("value").as("rvalue")),
+        "key", "rkey", "ts", "rts")
+        .select(col("id"), col("rts"), col("rvalue")).collect()
+        .map(x => (x.getAs[Long]("id"), Option(x.getAs[Any]("rts")).map(_.asInstanceOf[Long]),
+          Option(x.getAs[Any]("rvalue")).map(_.asInstanceOf[Double]))).toSet
+      assert(native == want, s"native diverged in round $round")
+    }
+  }
+}
