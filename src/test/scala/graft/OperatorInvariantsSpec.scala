@@ -398,6 +398,34 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeIntervals equals a brute-force sweep on random inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    (1 to 3).foreach { round =>
+      val ivs = (1 to 80).map { _ =>
+        val s = rng.nextInt(50).toLong
+        (1L + rng.nextInt(3), s, s + 1 + rng.nextInt(10))
+      }
+      val got = graft.operators.Relational.mergeIntervals(
+        ivs.toDF("key", "start_us", "end_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // brute force: per key, sort by (start, end) and sweep
+      val want = ivs.groupBy(_._1).flatMap { case (k, ks) =>
+        val sorted = ks.map(t => (t._2, t._3)).sorted
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        sorted.foreach { case (s, e) =>
+          if (merged.nonEmpty && s <= merged.last._2) {
+            val (ms, me, n) = merged.last
+            merged(merged.length - 1) = (ms, math.max(me, e), n + 1)
+          } else merged += ((s, e, 1L))
+        }
+        merged.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("merged intervals are disjoint (non-touching) and ordered per key") {
     val m = SparkEntry.queries("q_merge_intervals")(spark, sf0001)
     // within a key, every interval must start strictly after the previous
