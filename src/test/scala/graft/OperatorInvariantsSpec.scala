@@ -398,6 +398,31 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed interval join equals the brute-force theta join on random inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    (1 to 3).foreach { round =>
+      // window 10: random ts cluster around bucket boundaries to stress the
+      // explode-into-2-buckets logic (boundary rows, exact-window matches)
+      val w = 10L
+      val l = (1 to 50).map(i =>
+        (1L + rng.nextInt(3), (rng.nextInt(8) * 5 + rng.nextInt(3)).toLong, i.toLong))
+      val r = (1 to 50).map(j =>
+        (1L + rng.nextInt(3), (rng.nextInt(8) * 5 + rng.nextInt(3)).toLong, j * 1.0))
+      val gotSet = graft.operators.RangeJoin.intervalJoin(
+        l.toDF("key", "lts", "lid"), r.toDF("key", "rts", "rv"),
+        key = "key", leftTs = "lts", rightTs = "rts", windowUs = w)
+        .select("lid", "rts", "rv").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val want = (for {
+        (lk, lts, lid) <- l
+        (rk, rts, rv) <- r
+        if lk == rk && rts >= lts && rts <= lts + w
+      } yield (lid, rts, rv)).toSet
+      assert(gotSet == want, s"round $round")
+    }
+  }
+
   test("mergeIntervals equals a brute-force sweep on random inputs") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
