@@ -102,6 +102,10 @@ object SparkEntry {
       TimeSeries.xcorrLag(Tables.events(s, dir), "purchase", "error", 1)),
     "q_quantiles" -> ((s, dir) =>
       Relational.quantilesByType(Tables.events(s, dir))),
+    "q_hourly_active" -> ((s, dir) =>
+      TimeSeries.hourlyActive(Tables.events(s, dir))),
+    "q_retention_cohorts" -> ((s, dir) =>
+      TimeSeries.retentionCohorts(Tables.events(s, dir))),
     "q_profile" -> ((s, dir) =>
       Relational.profileColumns(Tables.documents(s, dir),
         Seq("lang", "source", "n_chars"))),
@@ -564,6 +568,18 @@ object SparkEntry {
         |       CAST(sum(CAST(inc AS DECIMAL(18,2))) AS DOUBLE) AS increase_sum,
         |       count(inc) AS n_increases
         |FROM i GROUP BY 1, 2""".stripMargin,
+    "q_hourly_active" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |       count(DISTINCT user_id) AS n_active_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(date_trunc('hour', ts))) AS cohort_us
+        |           FROM events GROUP BY 1)
+        |SELECT cohort_us, epoch_us(date_trunc('hour', ts)) AS active_us,
+        |       count(DISTINCT events.user_id) AS n_users
+        |FROM events JOIN f ON events.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_cumsum" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (

@@ -162,6 +162,34 @@ object TimeSeries {
         count(col("inc")).as("n_increases"))
   }
 
+  /** Hourly active users: tumbling-hour distinct-user counts plus event
+    * volume — the DAU/WAU shape at hour grain. One aggregation; the exact
+    * distinct count EXPANDs the input once (Spark's distinct-agg rewrite),
+    * which is the price of exactness — `approx_count_distinct` (spec'd
+    * elsewhere) is the sketch alternative at extreme scale. */
+  def hourlyActive(events: DataFrame): DataFrame =
+    events
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Retention cohorts: users grouped by their FIRST-seen hour, activity
+    * counted per (cohort, activity hour) — the classic product-analytics
+    * triangle. Two aggregations and one join on user_id: the first-seen
+    * table is |users| rows (AQE broadcasts it when it fits; at 100× it
+    * degrades to a shuffled join on the same key the second aggregate
+    * already needs). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .groupBy(col("user_id"))
+      .agg(min(tsUs(date_trunc("hour", col("ts")))).as("cohort_us"))
+    events
+      .select(col("user_id"), tsUs(date_trunc("hour", col("ts"))).as("active_us"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_us"), col("active_us"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Running total per series: cumulative DECIMAL sum over the
     * (ts, event_id) total order, cast back to double — exact and
     * order-independent within the frame, so engines agree bit-for-bit.

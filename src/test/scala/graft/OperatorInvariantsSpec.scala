@@ -260,6 +260,16 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hourly active and cohorts: counts bounded, no activity before a cohort") {
+    val ha = SparkEntry.queries("q_hourly_active")(spark, sf0001)
+    assert(ha.filter(col("n_active_users") > col("n_events") ||
+      col("n_active_users") < 1).count() == 0)
+    val rc = SparkEntry.queries("q_retention_cohorts")(spark, sf0001)
+    // a user cannot be active before their first-seen hour
+    assert(rc.filter(col("active_us") < col("cohort_us")).count() == 0)
+    assert(rc.filter(col("n_users") < 1).count() == 0)
+  }
+
   test("quantiles: p50 <= p90 <= p99 per series") {
     val df = SparkEntry.queries("q_quantiles")(spark, sf0001)
     assert(df.count() > 0)
