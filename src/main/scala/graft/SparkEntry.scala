@@ -613,8 +613,11 @@ object SparkEntry {
         |             CAST(sum(y * y) AS DOUBLE) AS syy
         |      FROM ha JOIN hb USING (bucket_us))
         |SELECT CAST(1 AS BIGINT) AS lag_hours, n,
-        |       (n * sxy - sx * sy) /
-        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+        |       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |            THEN NULL
+        |            ELSE (n * sxy - sx * sy) /
+        |                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       END AS pearson_r
         |FROM m""".stripMargin,
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,

@@ -69,6 +69,10 @@ object Ingest {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0L
+    // a rewrite that crashed between its swap renames leaves an hour's only
+    // copy under `.compact_old_N` with no partition dir — restore those
+    // first so retention sees (and can expire) every hour that exists
+    healDebris(fs, path)
     val expired = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("shard_hour="))
@@ -98,9 +102,11 @@ object Ingest {
     }
 
   /** Point upsert: for every hour shard touched by `updates`, rewrite that
-    * shard with update rows REPLACING existing rows at the same timestamp
-    * (among duplicate update timestamps the larger value wins —
-    * deterministic). Only touched shards are rewritten (the driver iterates
+    * shard with update rows REPLACING existing rows at the same
+    * (timestamp, metric) — per-series replacement, so a store holding
+    * several metrics only swaps the series the update names (among
+    * duplicate update keys the larger value wins — deterministic). Only
+    * touched shards are rewritten (the driver iterates
     * the affected hours — bounded by the update span, not the store size);
     * each rewrite goes through the same crash-safe aside/rename swap as
     * compaction. Brand-new hours append as ordinary ingest. */
@@ -114,16 +120,17 @@ object Ingest {
       .collect().map(_.getLong(0)).sorted
     hours.foreach { h =>
       val hourUpd = upd.filter(col("shard_hour") === h).drop("shard_hour")
-        // one survivor per timestamp among the updates themselves
-        .groupBy(col("timestamp"))
-        .agg(max(struct(col("value"), col("metric"))).as("m"))
-        .select(col("timestamp"), col("m.value").as("value"),
-          col("m.metric").as("metric"))
+        // one survivor per (timestamp, metric) among the updates themselves
+        .groupBy(col("timestamp"), col("metric"))
+        .agg(max(col("value")).as("value"))
+        .select(col("timestamp"), col("value"), col("metric"))
       if (fs.exists(new Path(path, s"shard_hour=$h")) ||
           fs.exists(new Path(path, s".compact_old_$h"))) {
         rewriteShard(spark, path, h) { existing =>
-          // updates win at equal timestamps: anti-join the old rows first
-          existing.join(hourUpd.select("timestamp"), Seq("timestamp"), "left_anti")
+          // updates win at equal (timestamp, metric): anti-join the old
+          // rows on the full series key so other metrics' points survive
+          existing.join(hourUpd.select("timestamp", "metric"),
+              Seq("timestamp", "metric"), "left_anti")
             .unionByName(hourUpd)
             .sortWithinPartitions(col("timestamp"))
         }
@@ -150,6 +157,7 @@ object Ingest {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val root = new Path(path)
     if (!fs.exists(root)) return
+    healDebris(fs, path) // crashed-rewrite hours must be visible to the delete
     val hours = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("shard_hour="))
@@ -165,6 +173,31 @@ object Ingest {
         else
           rewriteShard(spark, path, h)(
             _.filter(!col("timestamp").between(startMs, endMs)))
+      }
+    }
+  }
+
+  /** Store-wide crash-debris sweep: every `.compact_old_N` whose partition
+    * dir is missing is the hour's ONLY durable copy (the rewrite died
+    * between its two swap renames) — restore it; one whose partition dir
+    * exists is leftover from a COMPLETED swap — drop it. `.compact_tmp_N`
+    * is never a sole copy (the original still exists as the partition dir
+    * or the aside at every instant the tmp does) — always drop it.
+    * Idempotent; called by retention and range-delete so they operate on
+    * the healed store instead of silently skipping a crashed hour (whose
+    * data a later rewrite retry would otherwise RESURRECT post-delete). */
+  private def healDebris(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(new Path(path)).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".compact_old_")) {
+        val hour = n.stripPrefix(".compact_old_")
+        val partDir = new Path(path, s"shard_hour=$hour")
+        if (!fs.exists(partDir))
+          require(fs.rename(st.getPath, partDir), s"could not restore ${st.getPath}")
+        else fs.delete(st.getPath, true)
+      } else if (n.startsWith(".compact_tmp_")) {
+        fs.delete(st.getPath, true)
       }
     }
   }

@@ -426,7 +426,11 @@ object Relational {
     * single result row is then unpivoted with a literal-keyed map explode.
     * The profiling staple of a training-data pipeline: nulls, cardinality,
     * and range drift checks before a corpus lands. */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileColumns(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    // a repeated name would produce duplicate keys in the literal map below
+    // (throws under the default spark.sql.mapKeyDedupPolicy=EXCEPTION) —
+    // profiling a column twice is the same profile, so dedupe at entry
+    val cols = colNames.distinct
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),

@@ -247,9 +247,16 @@ object TimeSeries {
         sum(col("y") * col("y")).cast("double").as("syy"))
       .select(
         lit(lagHours.toLong).as("lag_hours"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+        // a zero-variance side (constant series, or <2 overlapping buckets)
+        // zeroes the denominator — NULL, not NaN/Inf (mirrored in the
+        // oracle SQL with the same <= 0 predicate)
+        when((col("n") * col("sxx") - col("sx") * col("sx")) <= 0d ||
+             (col("n") * col("syy") - col("sy") * col("sy")) <= 0d, lit(null))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("pearson_r"))
   }
 
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a

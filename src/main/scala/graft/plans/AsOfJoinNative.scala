@@ -62,10 +62,14 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     // the right side ALSO sorts on its (orderable) payload columns: the
     // merge overwrites its candidate on every admissible row, so the last
-    // row among duplicate (key, ts) — now deterministically the MAX
-    // payload — wins, matching the composed operator's payload-struct
-    // tiebreak (a bare (key, ts) sort is unstable between equal rows, and
-    // the winner varied with partition layout — caught by AsOfPropertySpec)
+    // row among duplicate (key, ts) — now deterministically the MAX in
+    // right.output column order — wins. This makes THIS operator's winner
+    // stable across partition layouts (a bare (key, ts) sort is unstable
+    // between equal rows — caught by AsOfPropertySpec). Note the composed
+    // operator breaks the same tie by the CALLER's payload-struct order
+    // over only the selected payload columns, so the two operators agree
+    // on the winner only when the payload is the full right output in
+    // output order; each is deterministic on its own terms either way.
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
       right.output
         .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)

@@ -70,6 +70,65 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(store).count() == 80)
   }
 
+  test("upsertPoints replaces per (timestamp, metric), leaving other metrics' points intact") {
+    val store = Files.createTempDirectory("graft_upsert_metric_").toString
+    val ts = 3600000L + 1000L
+    Ingest.ingestBatch(Seq(
+      DataPoint(ts, 1.0, "cpu"),
+      DataPoint(ts, 2.0, "mem"),
+      DataPoint(ts + 1000L, 3.0, "cpu")).toDS(), store)
+    // update only the cpu series at ts — mem's point at the SAME timestamp
+    // must survive (the replacement key is the full series key)
+    Ingest.upsertPoints(spark, store, Seq(DataPoint(ts, 100.0, "cpu")).toDS())
+    val got = spark.read.parquet(store)
+      .select("timestamp", "metric", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    assert(got((ts, "cpu")) == 100.0, "updated series must be replaced")
+    assert(got((ts, "mem")) == 2.0, "other metric at the same ts must survive")
+    assert(got((ts + 1000L, "cpu")) == 3.0)
+  }
+
+  test("expireShards and deleteRange heal crashed-rewrite debris instead of skipping it") {
+    val store = Files.createTempDirectory("graft_heal_expire_").toString
+    Seq(1L, 2L, 3L).foreach(h => Ingest.ingestBatch(hourPts(h, 20).toDS(), store))
+    // simulate a rewrite of hour 1 that died between its two swap renames:
+    // the hour's only copy sits under the aside dir, no partition dir
+    val part1 = new java.io.File(s"$store/shard_hour=1")
+    assert(part1.renameTo(new java.io.File(s"$store/.compact_old_1")))
+    // retention with cutoff 2 must count AND drop the crashed hour — before
+    // the heal sweep it skipped the aside, and a later rewriteShard retry
+    // would have resurrected the "expired" data
+    assert(Ingest.expireShards(spark, store, cutoffHour = 2L) == 1L)
+    assert(!part1.exists() && !new java.io.File(s"$store/.compact_old_1").exists())
+    assert(spark.read.parquet(store).count() == 40)
+
+    // same for range delete: crash hour 2 aside, then delete a range fully
+    // covering hour 2 — the healed shard must be dropped, not left behind
+    val part2 = new java.io.File(s"$store/shard_hour=2")
+    assert(part2.renameTo(new java.io.File(s"$store/.compact_old_2")))
+    Ingest.deleteRange(spark, store, 2L * 3600000L, 3L * 3600000L - 1L)
+    assert(!part2.exists() && !new java.io.File(s"$store/.compact_old_2").exists())
+    val left = spark.read.parquet(store)
+    assert(left.count() == 20)
+    assert(left.select("shard_hour").distinct().collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("healing drops completed-swap debris and stale tmp dirs without touching live data") {
+    val store = Files.createTempDirectory("graft_heal_debris_").toString
+    Seq(1L, 2L).foreach(h => Ingest.ingestBatch(hourPts(h, 20).toDS(), store))
+    // completed-swap debris: partition dir EXISTS, aside is a stale copy
+    val oldDir = new java.io.File(s"$store/.compact_old_2")
+    assert(oldDir.mkdir())
+    // stale tmp from a crash mid-write
+    val tmpDir = new java.io.File(s"$store/.compact_tmp_1")
+    assert(tmpDir.mkdir())
+    assert(Ingest.expireShards(spark, store, cutoffHour = 0L) == 0L)
+    assert(!oldDir.exists(), "completed-swap aside must be cleared")
+    assert(!tmpDir.exists(), "stale tmp must be cleared")
+    assert(spark.read.parquet(store).count() == 40)
+  }
+
   test("compactShard retry heals a crash between the two swap renames") {
     val store = Files.createTempDirectory("graft_heal_").toString
     Ingest.ingestBatch(hourPts(1L, 60).toDS(), store)
