@@ -365,7 +365,62 @@ object SparkEntry {
         .select(col("err_event_id"), col("purch_event_id"),
           (col("purch_ts_us") - col("err_ts_us")).as("gap_us"))
     }),
+
+    // --- ops/product analytics: anomaly detection, baselines, funnels ---
+    "q_anomaly_zscore" -> ((s, dir) =>
+      operators.Analytics.anomalyZScore(Tables.events(s, dir), 3.0)),
+    "q_seasonal_baseline" -> ((s, dir) =>
+      operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
+    "q_histogram_quantile" -> ((s, dir) =>
+      operators.Analytics.histogramQuantile(Tables.events(s, dir), 0.9,
+        Seq(1d, 5d, 10d, 20d, 50d, 100d, 200d, 500d))),
+    "q_funnel" -> ((s, dir) =>
+      operators.Analytics.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), 24L * 3600000000L)),
+
+    // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
+    "q_pii_scrub" -> ((s, dir) => {
+      // the synthetic corpus carries no real PII — inject one deterministic
+      // email + phone per doc so the scrub demonstrably engages (the oracle
+      // mirrors the same augmentation)
+      val aug = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+      TextAnalysis.piiScrub(aug)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("text"))
+    }),
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.contaminatedDocs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 4)
+    }),
+    "q_bigrams" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(Tables.documents(s, dir), 30)),
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, dir), 3)),
+    "q_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedPrioritySample(
+        Tables.documents(s, dir), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"))),
+
+    // --- storage layout & multi-resolution serving ---
+    "q_zorder" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        operators.Layout.zValue(
+          pmod(col("user_id"), lit(1024L)),
+          pmod(col("event_id"), lit(1024L)), 10).as("zv"))),
+    "q_multires" -> ((s, dir) =>
+      operators.Rollup.multiResRangeFromBase(Tables.events(s, dir),
+        MultiResStartUs, MultiResEndUs)),
   )
+
+  /** q_multires range: 2024-01-02 06:00 → 2024-01-20 18:00 UTC (hour-
+    * aligned, straddling 17 whole days + two ragged hourly edges). */
+  private val MultiResStartUs = 1704175200000000L
+  private val MultiResEndUs = 1705773600000000L
 
   // --- SQL fragment builders shared by several oracles (mirror the Scala
   // constants exactly; P is TextAnalysis.P) ---
@@ -1278,5 +1333,151 @@ object SparkEntry {
         |  ON p.user_id = e.user_id
         | AND epoch_us(p.ts) >= epoch_us(e.ts)
         | AND epoch_us(p.ts) <= epoch_us(e.ts) + 3600000000""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(s) AS DOUBLE) AS sx,
+        |              CAST(sum(s * s) AS DOUBLE) AS sxx
+        |       FROM h GROUP BY 1)
+        |SELECT event_type, bucket_us, s AS hourly_sum,
+        |       (CAST(s AS DOUBLE) - sx / n) /
+        |         sqrt((sxx - sx * sx / n) / (n - 1)) AS zscore
+        |FROM h JOIN st USING (event_type)
+        |WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |  AND abs((CAST(s AS DOUBLE) - sx / n) /
+        |          sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0""".stripMargin,
+    "q_seasonal_baseline" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST((bucket_us // 3600000000) % 24 AS INTEGER) AS hod,
+        |       count(*) AS n_hours,
+        |       CAST(sum(s) AS DOUBLE) / count(*) AS mean_sum
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_histogram_quantile" ->
+      """WITH b AS (SELECT event_type,
+        |                  CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+        |                       WHEN value <= 10 THEN 10.0 WHEN value <= 20 THEN 20.0
+        |                       WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0
+        |                       WHEN value <= 200 THEN 200.0 WHEN value <= 500 THEN 500.0
+        |                       ELSE 'infinity'::DOUBLE END AS le,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, le, cnt,
+        |             sum(cnt) OVER (PARTITION BY event_type ORDER BY le
+        |                            ROWS UNBOUNDED PRECEDING) AS cum,
+        |             coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le),
+        |                      0.0) AS lo,
+        |             sum(cnt) OVER (PARTITION BY event_type) AS total
+        |      FROM b),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
+        |      FROM w WHERE cum >= 0.9e0 * total)
+        |SELECT event_type, CAST(total AS BIGINT) AS n,
+        |       CASE WHEN isinf(le) THEN 500.0e0
+        |            ELSE lo + (le - lo) * (0.9e0 * total - (cum - cnt)) / cnt
+        |       END AS quantile
+        |FROM f WHERE rn = 1""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t >= s1.t
+        |         AND e.t <= s1.t + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t >= s2.t
+        |         AND e.t <= s2.t + 86400000000 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |                    '@example.com or +1-' ||
+        |                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |             FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       regexp_replace(
+        |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                        '<EMAIL>', 'g'),
+        |         '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+        |FROM aug""".stripMargin,
+    "q_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |              FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |              unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
+         |                     FOR i IN range(1, greatest(len(ws) - 2, 1))])) AS g
+         |       FROM toks),
+         |ev AS (SELECT DISTINCT ${sqlTokHash("g")} AS h FROM sh
+         |       WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, ${sqlTokHash("g")} AS h FROM sh
+         |       WHERE source <> 'src0')
+         |SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (h)""".stripMargin,
+    "q_bigrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT t.w[1] || ' ' || t.w[2] AS bigram
+        |      FROM d, UNNEST(list_zip(d.ws[1:len(d.ws)-1], d.ws[2:])) AS t(w)
+        |      WHERE len(d.ws) >= 2)
+        |SELECT bigram, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(ws) >= 3
+        |                  THEN [array_to_string(ws[i:i+2], ' ')
+        |                        FOR i IN range(1, greatest(len(ws) - 1, 1))]
+        |                  ELSE [] END AS gs
+        |      FROM t)
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams,
+        |       CASE WHEN len(gs) > 0
+        |            THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |            ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |       CAST(${sqlTokHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / n_chars
+         |         AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_zorder" -> {
+      // Morton interleave mirrored as plain bit arithmetic (bit j of x at
+      // position 2j, of y at 2j+1) — generated to match Layout.zValue
+      val terms = (0 until 10).map(j =>
+        s"(((user_id % 1024) >> $j) & 1) * ${1L << (2 * j)} + " +
+          s"(((event_id % 1024) >> $j) & 1) * ${1L << (2 * j + 1)}")
+      s"SELECT event_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zv FROM events"
+    },
+    "q_multires" ->
+      """WITH h AS (SELECT event_type,
+        |                  (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+        |                  count(*) AS n_events,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |                    AS sum_value
+        |           FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |             (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+        |             count(*) AS n_events,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |               AS sum_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT 'hour' AS resolution, event_type, bucket_us, n_events, sum_value
+        |FROM h
+        |WHERE (bucket_us >= 1704175200000000 AND bucket_us < 1704240000000000)
+        |   OR (bucket_us >= 1705708800000000 AND bucket_us < 1705773600000000)
+        |UNION ALL
+        |SELECT 'day', event_type, bucket_us, n_events, sum_value
+        |FROM d
+        |WHERE bucket_us >= 1704240000000000 AND bucket_us < 1705708800000000""".stripMargin,
   )
 }

@@ -197,6 +197,68 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Email pattern shared by scrub and count — character classes and
+    * bounded quantifiers only, so Java regex (Spark) and RE2 (DuckDB)
+    * agree on every match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** NANP-style phone pattern (+1-NNN-NNN-NNNN). */
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing — the redaction pass every shipped training corpus goes
+    * through: replace emails and phone numbers with typed placeholder
+    * tokens and report per-document redaction counts. Pure per-row
+    * projection (regexp_replace/regexp_count are codegen'd built-ins):
+    * no shuffle, scales linearly with corpus bytes. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Corpus-wide top-k bigram counts (no per-doc dedup — frequency, not
+    * containment; contrast [[graft.operators.Dedup.shinglesOf]] which
+    * dedups per document for Jaccard). Explode feeds a count aggregation
+    * whose map-side partials collapse the pair stream to |vocabulary²∩data|
+    * rows before the shuffle; top-k is TakeOrderedAndProject. */
+  def bigramCounts(docs: DataFrame, k: Int): DataFrame = {
+    val ws = tokens(col("text"))
+    docs
+      .filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Within-document n-gram repetition score — the boilerplate/spam signal
+    * (a doc whose 3-grams repeat heavily is template or keyword-stuffed
+    * text): rep_ratio = 1 - distinct/total n-grams. Per-row projection
+    * only; the ratio is one exact-int division (engine-identical). */
+  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = tokens(col("text"))
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0d)))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
     * Order-sensitive by construction (it is a sequence fingerprint). */

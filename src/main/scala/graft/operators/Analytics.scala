@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational / product analytics over the event stream — the alerting and
+  * funnel layer a monitoring product builds on top of the reference's range
+  * scans (its README pitches "insights" over raw points; these are the
+  * standard shapes that word implies: outlier detection, seasonal
+  * baselines, histogram quantiles, conversion funnels).
+  *
+  * Scale notes (100 TB): every operator here aggregates to a bounded
+  * result — hourly buckets × event types, 24 hour-of-day slots, a handful
+  * of histogram buckets, one row per funnel stage. The only shuffles are
+  * keyed aggregations with map-side partials; per-type statistics join
+  * back via broadcast (|event_type| rows). Nothing collects unbounded
+  * data to the driver.
+  */
+object Analytics {
+  import TimeSeries.tsUs
+
+  /** Hourly exact sums per event type: the shared first stage. DECIMAL
+    * sums keep the result order-independent (and oracle-identical). */
+  private def hourlySums(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+
+  /** Global z-score outlier detection: flag hours whose metric sum sits
+    * more than `threshold` sample standard deviations from that event
+    * type's mean. Moment sums (n, Σx, Σx²) are computed exactly in
+    * DECIMAL then cast to double once, so both the mean and the variance
+    * are bit-identical across engines; a zero-variance type yields NULL
+    * (guarded), never NaN. The per-type stats frame is tiny — Catalyst
+    * broadcasts it back onto the hourly frame. */
+  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val hourly = hourlySums(events)
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s")).cast("double").as("sx"),
+        sum(col("s") * col("s")).cast("double").as("sxx"))
+    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    hourly.join(stats, "event_type")
+      .withColumn("z",
+        when(col("n") < 2 || variance <= 0d, lit(null))
+          .otherwise((col("s").cast("double") - col("sx") / col("n")) / sqrt(variance)))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_type"), col("bucket_us"),
+        col("s").as("hourly_sum"), col("z").as("zscore"))
+  }
+
+  /** Seasonal (hour-of-day) baseline: per event type × hour-of-day slot,
+    * the mean hourly sum and how many hours back it — the reference curve
+    * that turns raw anomaly detection into seasonality-aware alerting.
+    * Output is at most |types| × 24 rows. */
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    hourlySums(events)
+      .withColumn("hod", expr("(bucket_us div 3600000000) % 24").cast("int"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_sum"))
+
+  /** Prometheus-style histogram quantile: bucket observations into
+    * cumulative `le` (less-or-equal) buckets with the given upper bounds,
+    * then linearly interpolate the φ-quantile inside the first bucket
+    * whose cumulative count reaches φ·total — `histogram_quantile()`
+    * semantics, including "clamp to the last finite bound" when the
+    * quantile lands in the +Inf bucket. Two keyed aggregations plus a
+    * |types|×|bounds|-row window — the raw data is touched once. */
+  def histogramQuantile(events: DataFrame, phi: Double,
+      bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, "bounds must ascend")
+    val le = bounds.foldRight(lit(Double.PositiveInfinity): Column)(
+      (b, acc) => when(col("value") <= b, lit(b)).otherwise(acc))
+    val counted = events.groupBy(col("event_type"), le.as("le"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("le")
+    counted
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(w), lit(0d)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("event_type")))
+      .filter(col("cum") >= lit(phi) * col("total"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("total").as("n"),
+        // +Inf bucket: clamp to the highest FINITE bound (the Prometheus
+        // convention) — a literal, not lag(le), which is absent when no
+        // finite bucket holds data
+        when(col("le") === Double.PositiveInfinity, lit(bounds.last))
+          .otherwise(col("lo") + (col("le") - col("lo")) *
+            (lit(phi) * col("total") - (col("cum") - col("cnt"))) / col("cnt"))
+          .as("quantile"))
+  }
+
+  /** Ordered conversion funnel: stage 1 admits every user with a
+    * `stages(0)` event; stage i admits a stage-(i-1) user whose earliest
+    * `stages(i)` event falls within `horizonUs` AFTER their stage-(i-1)
+    * completion time. One row per stage with the surviving user count.
+    * Each stage is a user_id-keyed aggregation joined to the previous
+    * stage's (user_id, ts) frame on the same key — co-partitioned, no
+    * extra shuffle beyond the per-stage aggregation. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      horizonUs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val e = events.select(col("user_id"), col("event_type"),
+      tsUs(col("ts")).as("t"))
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+    val sets = stages.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("t") >= col("t_prev") &&
+          col("t") <= col("t_prev") + horizonUs)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+    }
+    sets.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -371,4 +371,16 @@ object Dedup {
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Benchmark decontamination — the eval-leakage scan every training
+    * corpus needs: a train document is contaminated iff it shares ANY
+    * n-token shingle with the eval corpus. The eval shingle set is
+    * distinct-collapsed (it is the small side — benchmark suites are MBs
+    * against a TB-scale corpus, so AQE broadcasts it); the train side
+    * left-semi-joins on the 8-byte shingle hash and a doc survives once —
+    * no pair space, no posting lists, one pass over each corpus. */
+  def contaminatedDocs(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame =
+    shingleEx(train, n)
+      .join(shingleEx(eval, n).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.floorDivCol
+
+/** Multi-resolution rollup store — the continuous-aggregate layer every
+  * production TSDB grows (Influx CQs, Timescale caggs, Prometheus
+  * recording rules): pre-aggregate the event stream at hour and day
+  * grain once at ingest, then answer range queries from the COARSEST
+  * exact decomposition — whole days from the day rollup, ragged edges
+  * from the hour rollup. Counts and DECIMAL sums are decomposable, so
+  * the multi-resolution answer is bit-identical to re-aggregating raw
+  * data, while reading O(days + 48) rollup rows instead of O(points).
+  *
+  * Scale: rollups are one keyed aggregation each (map-side partials);
+  * at 100 TB the day table is ~5 orders of magnitude smaller than the
+  * base, and serving never touches the base at all. */
+object Rollup {
+
+  val HourUs = 3600000000L
+  val DayUs = 86400000000L
+
+  /** One rollup grain: per event_type × bucket, exact count + DECIMAL sum
+    * (decomposable aggregates only — what makes re-serve exact). */
+  def rollup(events: DataFrame, bucketUs: Long): DataFrame =
+    events.groupBy(col("event_type"),
+        (floorDivCol(graft.operators.TimeSeries.tsUs(col("ts")), bucketUs) *
+          bucketUs).as("bucket_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+
+  /** Materialize both grains under `path` (the ingest-time step). */
+  def writeRollups(events: DataFrame, path: String): Unit = {
+    rollup(events, HourUs).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/rollup_hour")
+    rollup(events, DayUs).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/rollup_day")
+  }
+
+  /** Serve an hour-aligned [startUs, endUs) range from rollup frames:
+    * day-aligned middle from `daily`, edge hours from `hourly`, tagged
+    * with the resolution that served them. Exactness: every base row in
+    * the range lands in exactly one emitted bucket. */
+  def multiResRange(hourly: DataFrame, daily: DataFrame,
+      startUs: Long, endUs: Long): DataFrame = {
+    require(startUs % HourUs == 0 && endUs % HourUs == 0,
+      s"range must be hour-aligned, got [$startUs, $endUs)")
+    require(startUs <= endUs, s"empty range [$startUs, $endUs)")
+    val dayStart = Math.floorDiv(startUs + DayUs - 1, DayUs) * DayUs
+    val dayEnd = Math.floorDiv(endUs, DayUs) * DayUs
+    val out =
+      if (dayStart >= dayEnd) // range shorter than one aligned day
+        hourly.filter(col("bucket_us") >= startUs && col("bucket_us") < endUs)
+          .withColumn("resolution", lit("hour"))
+      else
+        hourly.filter(
+            (col("bucket_us") >= startUs && col("bucket_us") < dayStart) ||
+              (col("bucket_us") >= dayEnd && col("bucket_us") < endUs))
+          .withColumn("resolution", lit("hour"))
+          .unionByName(
+            daily.filter(col("bucket_us") >= dayStart && col("bucket_us") < dayEnd)
+              .withColumn("resolution", lit("day")))
+    out.select(col("resolution"), col("event_type"), col("bucket_us"),
+      col("n_events"), col("sum_value"))
+  }
+
+  /** Serve from a materialized store written by [[writeRollups]]. */
+  def serveFromStore(spark: SparkSession, path: String,
+      startUs: Long, endUs: Long): DataFrame =
+    multiResRange(spark.read.parquet(s"$path/rollup_hour"),
+      spark.read.parquet(s"$path/rollup_day"), startUs, endUs)
+
+  /** Derive both grains inline from the base table (the no-store form the
+    * oracle checks; production serves from [[writeRollups]] output). */
+  def multiResRangeFromBase(events: DataFrame,
+      startUs: Long, endUs: Long): DataFrame =
+    multiResRange(rollup(events, HourUs), rollup(events, DayUs),
+      startUs, endUs)
+}

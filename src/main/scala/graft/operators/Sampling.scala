@@ -34,6 +34,21 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic weighted priority sample: the k rows with the smallest
+    * `hash60(key) / weight` — heavier rows draw proportionally smaller
+    * priorities, so inclusion probability scales with weight, and the
+    * sample is a pure function of the keys (reproducible on any engine;
+    * the oracle re-derives it). Projection + TakeOrderedAndProject: no
+    * shuffle of the data, only the per-partition top-k survivors merge.
+    * The (priority, key) sort is a total order — ties on priority are
+    * impossible across distinct keys unless md5 collides. */
+  def weightedPrioritySample(df: DataFrame, keyCol: String,
+      weightCol: String, k: Int): DataFrame =
+    df.withColumn("priority",
+        tokHash(col(keyCol).cast("string")).cast("double") / col(weightCol))
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+
   /** Deterministic stratified sample: exactly `k` rows per stratum (fewer
     * when the stratum is smaller), selected by md5-order of the key — the
     * same rows on every run and engine, unlike `sampleBy`'s RNG. One

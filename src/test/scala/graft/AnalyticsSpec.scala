@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{Analytics, Dedup, Sampling}
+
+/** Hand-computed cases for the analytics + pipeline-hygiene operators:
+  * funnel ordering, histogram-quantile interpolation, PII scrubbing,
+  * repetition scoring, contamination, weighted sampling. */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    // (user_id, event_type, t_seconds) -> events-shaped frame
+    rows.toSeq.toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"),
+        lit(1.0).as("value"))
+
+  test("funnel admits stages only in order and within the horizon") {
+    val events = ev(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L), // full
+      (2L, "click", 50L), (2L, "view", 100L),                          // click BEFORE view: stops at view
+      (3L, "view", 100L), (3L, "click", 99999L),                       // click past horizon
+      (4L, "view", 100L), (4L, "click", 100L))                         // same-ts click admits (>=)
+    val got = Analytics.funnel(events, Seq("view", "click", "purchase"),
+        horizonUs = 1000L * 1000000L)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("histogramQuantile interpolates inside the covering bucket") {
+    // 10 observations of type a: 4 in (0,10], 6 in (10,20] -> p50 rank=5,
+    // bucket (10,20] holds ranks 5..10: est = 10 + 10*(5-4)/6
+    val events = (Seq.fill(4)(5.0) ++ Seq.fill(6)(15.0))
+      .map(v => ("a", v)).toDF("event_type", "value")
+    val got = Analytics.histogramQuantile(events, 0.5, Seq(10d, 20d)).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a" && got(0).getLong(1) == 10L)
+    assert(math.abs(got(0).getDouble(2) - (10.0 + 10.0 * (5.0 - 4.0) / 6.0)) < 1e-12)
+  }
+
+  test("histogramQuantile clamps to the last finite bound in the +Inf bucket") {
+    // all mass above every bound -> quantile bucket is +Inf, answer = last bound
+    val events = Seq(("a", 100.0), ("a", 200.0)).toDF("event_type", "value")
+    val got = Analytics.histogramQuantile(events, 0.9, Seq(10d)).collect()
+    assert(got(0).getDouble(2) == 10.0)
+  }
+
+  test("anomalyZScore flags exactly the constructed outlier hour") {
+    // 10 quiet hours at 10.0 and one 1000.0 spike: z(spike) >> 3
+    val events = ((0 until 10).map(h => (h, 10.0)) :+ (10, 1000.0))
+      .toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.anomalyZScore(events, 3.0).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
+  }
+
+  test("piiScrub redacts emails and phones and counts them") {
+    val docs = Seq((1L, "mail me at jo.doe@test.org or +1-555-123-4567 ok"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).collect()(0)
+    assert(got.getAs[Long]("n_emails") == 1L)
+    assert(got.getAs[Long]("n_phones") == 1L)
+    assert(got.getAs[String]("text") == "mail me at <EMAIL> or <PHONE> ok")
+  }
+
+  test("repetitionScore: all-same trigrams score high, unique ones zero") {
+    val docs = Seq(
+      (1L, "a a a a a a"),       // 4 trigrams, 1 distinct -> 0.75
+      (2L, "w x y z"),           // 2 trigrams, 2 distinct -> 0.0
+      (3L, "a b")).toDF("doc_id", "text") // too short -> 0 grams, ratio 0
+    val got = TextAnalysis.repetitionScore(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 1L, 0.75)))
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("contaminatedDocs flags only train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'quick brown fox' trigram
+      (2L, "entirely different words here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a quick brown fox runs")).toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(train, eval, n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("weightedPrioritySample is deterministic and favors heavy rows") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 10) 10000L else 1L))
+      .toDF("doc_id", "n_chars")
+    val got = Sampling.weightedPrioritySample(docs, "doc_id", "n_chars", 10)
+      .collect().map(_.getLong(0)).toSeq
+    // rerun: identical rows in identical order
+    val again = Sampling.weightedPrioritySample(docs, "doc_id", "n_chars", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == again)
+    // the 10 heavy rows have 10000x the weight -> expect most of the top-10
+    assert(got.count(_ <= 10L) >= 7, s"heavy rows under-sampled: $got")
+  }
+
+  test("bigramCounts counts corpus-wide (no per-doc dedup)") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    // doc1: "x y","y x","x y"; doc2: "x y","y z" -> x y:3, y x:1, y z:1
+    val got = TextAnalysis.bigramCounts(docs, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("x y" -> 3L, "y x" -> 1L, "y z" -> 1L))
+  }
+}
