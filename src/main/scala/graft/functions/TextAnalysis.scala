@@ -226,29 +226,35 @@ object TextAnalysis {
     * dedups per document for Jaccard). Explode feeds a count aggregation
     * whose map-side partials collapse the pair stream to |vocabulary²∩data|
     * rows before the shuffle; top-k is TakeOrderedAndProject. */
-  def bigramCounts(docs: DataFrame, k: Int): DataFrame = {
-    val ws = tokens(col("text"))
+  def bigramCounts(docs: DataFrame, k: Int): DataFrame =
     docs
-      .filter(size(ws) >= 2)
-      .select(explode(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      // materialize the token array FIRST: an inline split() referenced
+      // from inside the lambda re-evaluates per element access —
+      // O(tokens²) (same trap documented in Dedup.shingleEx)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
-  }
 
   /** Within-document n-gram repetition score — the boilerplate/spam signal
     * (a doc whose 3-grams repeat heavily is template or keyword-stuffed
     * text): rep_ratio = 1 - distinct/total n-grams. Per-row projection
     * only; the ratio is one exact-int division (engine-identical). */
   def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ws = tokens(col("text"))
+    // token array materialized before the lambda touches it (see
+    // bigramCounts — inline split() inside a lambda is O(tokens²))
+    val ws = col("toks")
     val grams = when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o + 1))): _*)))
       .otherwise(array().cast("array<string>"))
     docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
         size(col("g")).cast("long").as("n_grams"),
