@@ -73,6 +73,59 @@ object Rollup {
     multiResRange(spark.read.parquet(s"$path/rollup_hour"),
       spark.read.parquet(s"$path/rollup_day"), startUs, endUs)
 
+  /** Streaming rollup maintenance: a foreachBatch sink keeping the
+    * [[writeRollups]] store continuously up to date — the continuous-
+    * aggregate / recording-rule pattern. Each micro-batch is
+    * pre-aggregated to its touched buckets and merged into the store by
+    * re-aggregating (counts and DECIMAL sums are decomposable, so merge =
+    * group-and-sum — exactly the batch result, proven in the spec).
+    *
+    * The merge rewrites the whole rollup table per batch — safe because
+    * the rollup is tiny BY CONSTRUCTION (|types| × |buckets| rows — a
+    * year of hours × 1000 types is ~10M rows, trivial per batch even at
+    * 100 TB of base data); swap via the same aside/rename pattern as
+    * shard rewrites (heal-on-entry makes a crashed swap self-repair). */
+  def mergeRollups(batch: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("rollup_hour" -> HourUs, "rollup_day" -> DayUs).foreach {
+      case (name, bucketUs) =>
+        val dir = new Path(path, name)
+        val tmp = new Path(path, s".${name}_tmp")
+        val old = new Path(path, s".${name}_old")
+        // heal a swap that crashed between its renames
+        if (!fs.exists(dir) && fs.exists(old))
+          require(fs.rename(old, dir), s"could not restore $old")
+        fs.delete(tmp, true)
+        val inc = rollup(batch, bucketUs)
+        val merged =
+          if (fs.exists(dir))
+            spark.read.parquet(dir.toString).unionByName(inc)
+              .groupBy(col("event_type"), col("bucket_us"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+          else inc
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(old, true)
+        if (fs.exists(dir))
+          require(fs.rename(dir, old), s"could not move $dir aside")
+        require(fs.rename(tmp, dir), s"could not swap $tmp into $dir")
+        fs.delete(old, true)
+    }
+  }
+
+  /** The streaming writer over [[mergeRollups]] (events frame: `ts`
+    * timestamp, `event_type`, `value`). Exactly-once per micro-batch via
+    * the checkpoint; the merge itself is idempotent only per completed
+    * batch — the standard foreachBatch contract. */
+  def rollupSink(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => mergeRollups(b, path))
+      .start()
+
   /** Derive both grains inline from the base table (the no-store form the
     * oracle checks; production serves from [[writeRollups]] output). */
   def multiResRangeFromBase(events: DataFrame,

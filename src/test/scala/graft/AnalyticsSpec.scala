@@ -106,6 +106,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_ <= 10L) >= 7, s"heavy rows under-sampled: $got")
   }
 
+  test("funnel matches a brute-force model on randomized event sets") {
+    val stages = Seq("s0", "s1", "s2")
+    val horizon = 50L * 1000000L
+    def brute(rows: Seq[(Long, String, Long)]): Seq[Long] = {
+      // per user: earliest stage0; then earliest stage-i event in
+      // [t_prev, t_prev + horizon]; count survivors per stage
+      val byUser = rows.groupBy(_._1)
+      val reached = stages.indices.map { i =>
+        byUser.count { case (_, evs) =>
+          stages.take(i + 1).foldLeft(Option(Long.MinValue)) {
+            case (Some(tPrev), st) =>
+              val cands = evs.filter(e => e._2 == st &&
+                e._3 * 1000000L >= tPrev &&
+                (tPrev == Long.MinValue || e._3 * 1000000L <= tPrev + horizon))
+                .map(_._3 * 1000000L)
+              if (cands.isEmpty) None else Some(cands.min)
+            case (None, _) => None
+          }.isDefined
+        }.toLong
+      }
+      reached
+    }
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val rows = Seq.fill(60)((
+        rnd.nextInt(6).toLong + 1L,
+        ("s" + rnd.nextInt(4)): String, // s3 = noise type
+        rnd.nextInt(200).toLong))
+      val got = Analytics.funnel(ev(rows: _*), stages, horizon)
+        .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+      assert(got == brute(rows), s"trial $trial: $got vs ${brute(rows)}\n$rows")
+    }
+  }
+
+  test("approx_count_distinct (HLL) stays inside its error bound") {
+    // 10k distinct ids, each duplicated 3x: the sketch must land within
+    // 3x the default 5% rsd of the exact answer (sketch category of the
+    // checklist alongside the CMS spec)
+    val ids = (1 to 10000).flatMap(i => Seq(i, i, i)).toDF("id")
+    val approx = ids.agg(approx_count_distinct(col("id"))).collect()(0).getLong(0)
+    assert(math.abs(approx - 10000.0) / 10000.0 < 0.15,
+      s"HLL estimate $approx outside 15% of 10000")
+  }
+
   test("bigramCounts counts corpus-wide (no per-doc dedup)") {
     val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     // doc1: "x y","y x","x y"; doc2: "x y","y z" -> x y:3, y x:1, y z:1

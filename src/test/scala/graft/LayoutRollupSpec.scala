@@ -103,6 +103,54 @@ class LayoutRollupSpec extends AnyFunSuite with SparkSpec {
     assert(fromStore == inline)
   }
 
+  test("streaming rollup maintenance converges to the batch rollup store") {
+    val src = Files.createTempDirectory("graft_rollsink_src_").toString
+    val store = Files.createTempDirectory("graft_rollsink_store_").toString
+    val ckpt = Files.createTempDirectory("graft_rollsink_ckpt_").toString
+    def batchRows(off: Int) =
+      (for (h <- 0 until 30; t <- Seq("a", "b"))
+        yield (t, (off * 30 + h).toLong, (off * 7 + h) % 5 + 0.5))
+        .toDF("event_type", "hour", "value")
+        .select(col("event_type"),
+          timestamp_micros(col("hour") * Rollup.HourUs).as("ts"), col("value"))
+    batchRows(0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Rollup.rollupSink(
+      spark.readStream.schema(schema).parquet(src), store, ckpt)
+    try {
+      q.processAllAvailable()
+      batchRows(1).write.mode("append").parquet(src) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    // the incrementally-merged store must equal writeRollups over ALL data
+    val batchStore = Files.createTempDirectory("graft_rollsink_batch_").toString
+    Rollup.writeRollups(spark.read.parquet(src), batchStore)
+    for (grain <- Seq("rollup_hour", "rollup_day")) {
+      val streamed = spark.read.parquet(s"$store/$grain")
+        .orderBy("event_type", "bucket_us").collect().toSeq
+      val batch = spark.read.parquet(s"$batchStore/$grain")
+        .orderBy("event_type", "bucket_us").collect().toSeq
+      assert(streamed == batch, s"$grain diverged")
+    }
+  }
+
+  test("mergeRollups heals a swap that crashed between its renames") {
+    val store = Files.createTempDirectory("graft_rollheal_").toString
+    val events = (for (h <- 0 until 24) yield ("a", h.toLong, 1.0))
+      .toDF("event_type", "hour", "value")
+      .select(col("event_type"),
+        timestamp_micros(col("hour") * Rollup.HourUs).as("ts"), col("value"))
+    Rollup.writeRollups(events, store)
+    // simulate the crash state: hour table moved aside, swap never finished
+    val dir = new java.io.File(s"$store/rollup_hour")
+    val aside = new java.io.File(s"$store/.rollup_hour_old")
+    assert(dir.renameTo(aside))
+    // next merge must restore the aside, then apply the increment on top
+    Rollup.mergeRollups(events.limit(0), store)
+    assert(!aside.exists() && dir.exists())
+    assert(spark.read.parquet(s"$store/rollup_hour").count() == 24)
+  }
+
   test("multiResRange rejects unaligned ranges, handles sub-day ranges") {
     val events = Seq(("a", 0L, 1.0)).toDF("event_type", "hour", "value")
       .select(col("event_type"),
