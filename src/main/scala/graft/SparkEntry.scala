@@ -406,6 +406,10 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "n_chars", 50)
         .select(col("doc_id"), col("n_chars"), col("priority"))),
 
+    "q_pq_topk" -> ((s, dir) =>
+      Similarity.pqAnnTopK(Tables.embeddings(s, dir), QueryVecId,
+        m = 4, kCent = 8, rerank = 50, k = TopKSim)),
+
     // --- storage layout & multi-resolution serving ---
     "q_zorder" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_id"),
@@ -1450,6 +1454,37 @@ object SparkEntry {
          |         AS priority
          |FROM documents
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_pq_topk" -> {
+      // PQ-ADC mirrored relationally: codebooks = the 8 smallest vec_ids'
+      // subvectors (list(v ORDER BY vec_id)); per-subspace code = first-
+      // position argmax of left-fold subvector dots (list_position of
+      // list_max — same tie rule as array_position); ADC = LUT lookups
+      // summed left-to-right; exact-cosine re-rank of the ADC top-50
+      val m = 4; val sub = 16
+      // NOTE cbs holds FULL 64-dim centroid vectors — both sides of the
+      // subspace dot use the same offset
+      def subDot(vec: String, off: Int, cb: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[$vec[$off + ii] * $cb[$off + ii] FOR ii IN generate_series(1, $sub)]), " +
+          "(acc, x) -> acc + x)"
+      val adcTerms = (0 until m).map { mi =>
+        val off = mi * sub
+        val dots = s"[${subDot("v", off, "c")} FOR c IN cbs]"
+        val lut = s"[${subDot("qv", off, "c")} FOR c IN cbs]"
+        s"($lut)[list_position($dots, list_max($dots))]"
+      }
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+         |cbl AS (SELECT list(v ORDER BY vec_id) AS cbs FROM e WHERE vec_id < 8),
+         |enc AS (SELECT e.vec_id, e.label, e.v,
+         |               ${adcTerms.mkString(" + ")} AS adc
+         |        FROM e, cbl, q),
+         |top AS (SELECT vec_id, label, v, adc FROM enc
+         |        ORDER BY adc DESC, vec_id LIMIT 50)
+         |SELECT t.vec_id, t.label, t.adc,
+         |       ${sqlCosine("t.v", "q.qv")} AS sim
+         |FROM top t, q ORDER BY sim DESC, t.vec_id LIMIT $TopKSim""".stripMargin
+    },
     "q_zorder" -> {
       // Morton interleave mirrored as plain bit arithmetic (bit j of x at
       // position 2j, of y at 2j+1) — generated to match Layout.zValue

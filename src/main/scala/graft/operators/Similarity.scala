@@ -253,6 +253,66 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `kCent` centroids,
+    * the subvectors of the `kCent` smallest vec_ids (seed-medoid —
+    * deterministic and SQL-reproducible, same convention as the IVF seed
+    * path; production trains per-subspace k-means offline and serves with
+    * the identical literal shape). Returns [subspace][centroid][dim]. */
+  def pqCodebooks(embeddings: DataFrame, m: Int,
+      kCent: Int): Array[Array[Array[Double]]] = {
+    val seeds = embeddings.filter(col("vec_id") < kCent)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val dims = seeds.headOption.map(_.length).getOrElse(0)
+    require(seeds.length == kCent, s"need vec_ids 0..${kCent - 1} as seeds")
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    Array.tabulate(m)(mi => seeds.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** PQ-ADC approximate top-k with exact re-ranking — the
+    * compression-side ANN family (vs the partition-side IVF): each vector
+    * is encoded as `m` small codes (argmax inner product against its
+    * subspace codebook), the query precomputes one `m × kCent` lookup
+    * table of subspace dot products, and the approximate score of any
+    * vector is m table lookups + (m-1) adds — asymmetric distance
+    * computation. The top `rerank` candidates by ADC are re-scored with
+    * exact cosine.
+    *
+    * Scale shape: encoding AND scoring are pure codegen'd projections
+    * over literal codebooks/LUTs (zero shuffle, zero joins); the two
+    * top-k's are TakeOrderedAndProject. At 100 TB the codes (m bytes per
+    * vector vs 4·dims) are what you'd MATERIALIZE as the stored index —
+    * the scan then touches m-byte codes instead of 256-byte vectors. */
+  def pqAnnTopK(embeddings: DataFrame, queryVecId: Long, m: Int,
+      kCent: Int, rerank: Int, k: Int): DataFrame = {
+    val cbs = pqCodebooks(embeddings, m, kCent)
+    val sub = cbs(0)(0).length
+    val qv: Array[Double] = embeddings.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).collect().head.getSeq[Double](0).toArray
+    val v = asDouble(col("embedding"))
+    // per-subspace code: 1-based first-position argmax of subvector·centroid
+    val codeCols: Seq[Column] = (0 until m).map { mi =>
+      val sv = slice(v, mi * sub + 1, sub)
+      val sims = array(cbs(mi).map(c => dot(sv, typedLit(c.toSeq))): _*)
+      array_position(sims, array_max(sims)).cast("int")
+    }
+    // query-side LUT: dot(query subvector, centroid) for every code — the
+    // one-off cost that makes per-vector scoring O(m)
+    val luts: Seq[Seq[Double]] = (0 until m).map { mi =>
+      cbs(mi).map(c => dotl(qv.slice(mi * sub, (mi + 1) * sub), c)).toSeq
+    }
+    val adc = (0 until m)
+      .map(mi => element_at(typedLit(luts(mi)), codeCols(mi)))
+      .reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), col("label"), v.as("v"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id")).limit(rerank)
+      .select(col("vec_id"), col("label"), col("adc"),
+        cosine(col("v"), typedLit(qv.toSeq)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   /** Approximate top-k: restrict the exact cosine scan to the query's LSH
     * bucket. Trades recall for touching only ~corpus/2^planes rows. */
   def annTopK(embeddings: DataFrame, queryVecId: Long, planes: Int, k: Int): DataFrame = {

@@ -59,4 +59,42 @@ class SimilarityRefinedSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("PQ with full rerank equals the exact brute-force top-k") {
+    // rerank = corpus size -> the ADC stage only orders candidates; the
+    // exact-cosine rerank must then reproduce cosineTopK row-for-row
+    val n = emb.count().toInt
+    val pq = Similarity.pqAnnTopK(emb, 0L, m = 4, kCent = 8,
+        rerank = n, k = 10)
+      .select("vec_id", "label", "sim").collect().toSeq
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id", "label", "sim").collect().toSeq
+    assert(pq == exact)
+  }
+
+  test("PQ codes recover the seed centroid for vectors equal to a seed") {
+    import spark.implicits._
+    // corpus: vec_ids 0..3 are the codebook seeds (orthogonal per
+    // subspace); vec_id 10 duplicates seed 2 -> identical codes, so its
+    // ADC against query=seed-2 is maximal and it must top the ranking
+    def oneHot(i: Int, dims: Int): Seq[Double] =
+      Seq.tabulate(dims)(d => if (d % (dims / 2) == i % 2 && (d < dims / 2) == (i < 2)) 1.0 else 0.0)
+    val vecs = (0 until 4).map(i => (i.toLong, oneHot(i, 8), i)) :+
+      (10L, oneHot(2, 8), 2)
+    val df = vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+    val got = Similarity.pqAnnTopK(df, queryVecId = 2L, m = 2, kCent = 4,
+      rerank = 5, k = 2).collect()
+    // both copies of seed 2 rank first with sim = 1.0 (ties by vec_id)
+    assert(got(0).getLong(0) == 2L && math.abs(got(0).getDouble(3) - 1.0) < 1e-12)
+    assert(got(1).getLong(0) == 10L && math.abs(got(1).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("PQ serving plan is shuffle-free (literal codebooks + LUTs)") {
+    val df = Similarity.pqAnnTopK(emb, 0L, m = 4, kCent = 8, rerank = 50, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
