@@ -369,6 +369,8 @@ object SparkEntry {
     // --- ops/product analytics: anomaly detection, baselines, funnels ---
     "q_anomaly_zscore" -> ((s, dir) =>
       operators.Analytics.anomalyZScore(Tables.events(s, dir), 3.0)),
+    "q_anomaly_mad" -> ((s, dir) =>
+      operators.Analytics.anomalyMad(Tables.events(s, dir), 3.0)),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
     "q_histogram_quantile" -> ((s, dir) =>
@@ -1351,6 +1353,32 @@ object SparkEntry {
         |WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
         |  AND abs((CAST(s AS DOUBLE) - sx / n) /
         |          sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY s, bucket_us) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM h),
+        |med AS (SELECT event_type,
+        |               max(CASE WHEN rn = (n * 50 + 99) // 100 THEN s END) AS med
+        |        FROM r GROUP BY 1),
+        |d AS (SELECT h.event_type, bucket_us, s, abs(s - med) AS dev, med
+        |      FROM h JOIN med USING (event_type)),
+        |r2 AS (SELECT *,
+        |              row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY dev, bucket_us) AS rn2,
+        |              count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+        |mad AS (SELECT event_type,
+        |               max(CASE WHEN rn2 = (n2 * 50 + 99) // 100 THEN dev END) AS mad
+        |        FROM r2 GROUP BY 1)
+        |SELECT d.event_type, bucket_us, s AS hourly_sum,
+        |       CAST(s - med AS DOUBLE) / (1.4826e0 * CAST(mad AS DOUBLE)) AS robust_z
+        |FROM d JOIN mad USING (event_type)
+        |WHERE mad > 0
+        |  AND abs(CAST(s - med AS DOUBLE) /
+        |          (1.4826e0 * CAST(mad AS DOUBLE))) > 3.0""".stripMargin,
     "q_seasonal_baseline" ->
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s

@@ -50,6 +50,41 @@ object Analytics {
         col("s").as("hourly_sum"), col("z").as("zscore"))
   }
 
+  /** Robust (MAD-based) outlier detection: flag hours whose sum deviates
+    * from the per-type MEDIAN by more than `threshold` normalized median
+    * absolute deviations (robust z = (x−med)/(1.4826·MAD)) — immune to
+    * the outliers themselves inflating the scale, unlike
+    * [[anomalyZScore]]'s moment statistics. Medians use the integer
+    * quantile-position convention shared with the quantile operators
+    * (rank (n·50+99) div 100 under a total order), so the result is
+    * engine-exact, not interpolation-dependent. Two ranking windows over
+    * the BOUNDED hourly frame (|types| × |hours| rows), then broadcast
+    * joins back — the raw stream is only touched by the first
+    * aggregation. */
+  def anomalyMad(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val hourly = hourlySums(events)
+    def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+      df.withColumn("rn",
+          row_number().over(w.orderBy(col(valueCol), col("bucket_us"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n * 50 + 99) div 100"))
+        .select(col("event_type"), col(valueCol).as(outCol))
+    }
+    val med = medianOf(hourly, "s", "med")
+    val d = hourly.join(med, "event_type")
+      .withColumn("dev", abs(col("s") - col("med")))
+    val mad = medianOf(d.select(col("event_type"), col("bucket_us"),
+      col("dev")), "dev", "mad")
+    d.join(mad, "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("robust_z", (col("s") - col("med")).cast("double") /
+        (lit(1.4826) * col("mad").cast("double")))
+      .filter(abs(col("robust_z")) > threshold)
+      .select(col("event_type"), col("bucket_us"),
+        col("s").as("hourly_sum"), col("robust_z"))
+  }
+
   /** Seasonal (hour-of-day) baseline: per event type × hour-of-day slot,
     * the mean hourly sum and how many hours back it — the reference curve
     * that turns raw anomaly detection into seasonality-aware alerting.

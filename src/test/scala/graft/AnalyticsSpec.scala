@@ -62,6 +62,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
   }
 
+  test("anomalyMad flags planted spikes even when multiple outliers inflate the variance") {
+    // 20 quiet hours around 10 and TWO huge spikes: the spikes inflate the
+    // stddev (masking effect) but not the median/MAD
+    val rows = (0 until 20).map(h => (h, 10.0 + (h % 3))) ++
+      Seq((20, 5000.0), (21, 8000.0))
+    val events = rows.toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.anomalyMad(events, 3.0).collect()
+      .map(_.getAs[java.math.BigDecimal]("hourly_sum").doubleValue()).sorted.toSeq
+    assert(got == Seq(5000.0, 8000.0), s"flagged: $got")
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val docs = Seq((1L, "mail me at jo.doe@test.org or +1-555-123-4567 ok"))
       .toDF("doc_id", "text")
