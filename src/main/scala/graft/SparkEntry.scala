@@ -373,6 +373,9 @@ object SparkEntry {
       operators.Analytics.anomalyMad(Tables.events(s, dir), 3.0)),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
+    "q_holt_forecast" -> ((s, dir) =>
+      operators.Analytics.holtForecast(Tables.events(s, dir),
+        alpha = 0.5, beta = 0.3, horizons = Seq(1, 24))),
     "q_histogram_quantile" -> ((s, dir) =>
       operators.Analytics.histogramQuantile(Tables.events(s, dir), 0.9,
         Seq(1d, 5d, 10d, 20d, 50d, 100d, 200d, 500d))),
@@ -1387,6 +1390,32 @@ object SparkEntry {
         |       count(*) AS n_hours,
         |       CAST(sum(s) AS DOUBLE) / count(*) AS mean_sum
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_holt_forecast" -> {
+      // the smoothing constants are interpolated from the SAME Scala
+      // doubles the operator uses (1-beta is NOT the double nearest 0.7 —
+      // round-tripping the computed value keeps both engines bit-equal);
+      // the fold uses a LIST accumulator: DuckDB 1.0's list_reduce
+      // mis-evaluates struct accumulators (verified), lists fold correctly
+      val (a, a1, b, b1) = (0.5, 1 - 0.5, 0.3, 1 - 0.3)
+      val nl = s"${a}e0 * x[1] + ${a1}e0 * (acc[1] + acc[2])"
+      s"""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+         |           FROM events GROUP BY 1, 2),
+         |ser AS (SELECT event_type,
+         |               list(CAST(s AS DOUBLE) ORDER BY bucket_us) AS vs
+         |        FROM h GROUP BY 1),
+         |f AS (SELECT event_type, vs,
+         |             list_reduce([[v, 0.0e0] FOR v IN vs],
+         |               (acc, x) -> [$nl,
+         |                            ${b}e0 * (($nl) - acc[1]) + ${b1}e0 * acc[2]])
+         |               AS st
+         |      FROM ser WHERE len(vs) >= 2)
+         |SELECT event_type, CAST(len(vs) AS BIGINT) AS n_hours,
+         |       st[1] AS level, st[2] AS trend,
+         |       st[1] + 1 * st[2] AS forecast_1h,
+         |       st[1] + 24 * st[2] AS forecast_24h
+         |FROM f""".stripMargin
+    },
     "q_histogram_quantile" ->
       """WITH b AS (SELECT event_type,
         |                  CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0

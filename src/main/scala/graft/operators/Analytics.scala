@@ -96,6 +96,44 @@ object Analytics {
       .agg(count(lit(1)).as("n_hours"),
         (sum(col("s")).cast("double") / count(lit(1))).as("mean_sum"))
 
+  /** Holt linear (double) exponential smoothing over each type's hourly
+    * series: level/trend recursion folded over the time-ordered array in
+    * ONE `aggregate()` pass — the fold is a fixed left-to-right chain of
+    * IEEE ops, so the result is deterministic and engine-exact (the
+    * oracle reproduces it with the same list fold; smoothing constants
+    * are interpolated from the SAME Scala doubles on both sides).
+    * level seeds from the first observation, trend from 0.
+    *
+    * Scale: state per series is the collected hourly array — bounded by
+    * the retention horizon, not the raw stream (100 TB of points is
+    * still ≤ years×8760 hourly buckets per series after the first
+    * aggregation); cap the history window upstream for unbounded series. */
+  def holtForecast(events: DataFrame, alpha: Double, beta: Double,
+      horizons: Seq[Int]): DataFrame = {
+    val series = hourlySums(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(
+        struct(col("bucket_us"), col("s").cast("double").as("v")))).as("pts"))
+      .select(col("event_type"),
+        transform(col("pts"), p => p.getField("v")).as("vs"))
+    val st = aggregate(
+      slice(col("vs"), lit(2), size(col("vs")) - 1),
+      struct(element_at(col("vs"), 1).as("l"), lit(0d).as("b")),
+      (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val nl = lit(alpha) * x + lit(1 - alpha) * (l + b)
+        struct(nl.as("l"),
+          (lit(beta) * ((lit(alpha) * x + lit(1 - alpha) * (l + b)) - l) +
+            lit(1 - beta) * b).as("b"))
+      })
+    series.filter(size(col("vs")) >= 2)
+      .withColumn("st", st)
+      .select(Seq(col("event_type"), size(col("vs")).cast("long").as("n_hours"),
+        col("st.l").as("level"), col("st.b").as("trend")) ++
+        horizons.map(h =>
+          (col("st.l") + lit(h) * col("st.b")).as(s"forecast_${h}h")): _*)
+  }
+
   /** Prometheus-style histogram quantile: bucket observations into
     * cumulative `le` (less-or-equal) buckets with the given upper bounds,
     * then linearly interpolate the φ-quantile inside the first bucket

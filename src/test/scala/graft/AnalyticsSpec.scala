@@ -76,6 +76,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(5000.0, 8000.0), s"flagged: $got")
   }
 
+  test("holtForecast equals the scalar level/trend recursion bit-for-bit") {
+    val vals = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0)
+    val events = vals.zipWithIndex.map { case (v, h) => (h, v) }
+      .toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val (alpha, beta) = (0.5, 0.3)
+    var (l, b) = (vals.head, 0.0)
+    for (x <- vals.tail) {
+      val nl = alpha * x + (1 - alpha) * (l + b)
+      val nb = beta * ((alpha * x + (1 - alpha) * (l + b)) - l) + (1 - beta) * b
+      l = nl; b = nb
+    }
+    val got = Analytics.holtForecast(events, alpha, beta, Seq(1, 24)).collect()(0)
+    assert(got.getLong(1) == vals.size)
+    assert(got.getDouble(2) == l, "level must match the scalar fold exactly")
+    assert(got.getDouble(3) == b, "trend must match the scalar fold exactly")
+    assert(got.getDouble(4) == l + 1 * b)
+    assert(got.getDouble(5) == l + 24 * b)
+  }
+
+  test("holtForecast tracks a perfectly linear series") {
+    // x_t = 5t: after warmup, level ≈ current value and trend ≈ 5, so the
+    // h-step forecast continues the line
+    val events = (0 until 200).map(h => (h, 5.0 * h)).toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.holtForecast(events, 0.5, 0.3, Seq(24)).collect()(0)
+    val forecast24 = got.getDouble(4)
+    val expected = 5.0 * (199 + 24)
+    assert(math.abs(forecast24 - expected) < 1.0,
+      s"linear-series forecast $forecast24 should be near $expected")
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val docs = Seq((1L, "mail me at jo.doe@test.org or +1-555-123-4567 ok"))
       .toDF("doc_id", "text")
