@@ -34,20 +34,29 @@ object Analytics {
     * are bit-identical across engines; a zero-variance type yields NULL
     * (guarded), never NaN. The per-type stats frame is tiny — Catalyst
     * broadcasts it back onto the hourly frame. */
-  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame = {
-    val hourly = hourlySums(events)
-    val stats = hourly.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("s")).cast("double").as("sx"),
-        sum(col("s") * col("s")).cast("double").as("sxx"))
-    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
-    hourly.join(stats, "event_type")
-      .withColumn("z",
-        when(col("n") < 2 || variance <= 0d, lit(null))
-          .otherwise((col("s").cast("double") - col("sx") / col("n")) / sqrt(variance)))
+  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame =
+    hourlySums(events).join(momentStats(events), "event_type")
+      .withColumn("z", zScore(col("s")))
       .filter(abs(col("z")) > threshold)
       .select(col("event_type"), col("bucket_us"),
         col("s").as("hourly_sum"), col("z").as("zscore"))
+
+  /** Per-type moment statistics (n, Σx, Σx²) of the hourly sums — the
+    * baseline frame [[anomalyZScore]] derives inline and the streaming
+    * flagger ([[graft.streaming.StreamingIngest.anomalyStream]]) takes
+    * precomputed (score live traffic against yesterday's batch stats). */
+  def momentStats(events: DataFrame): DataFrame =
+    hourlySums(events).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s")).cast("double").as("sx"),
+        sum(col("s") * col("s")).cast("double").as("sxx"))
+
+  /** Sample z-score of `s` against in-scope (n, sx, sxx) columns; NULL
+    * when the variance is zero or undefined (never NaN/Inf). */
+  private[graft] def zScore(s: Column): Column = {
+    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    when(col("n") < 2 || variance <= 0d, lit(null))
+      .otherwise((s.cast("double") - col("sx") / col("n")) / sqrt(variance))
   }
 
   /** Robust (MAD-based) outlier detection: flag hours whose sum deviates

@@ -239,4 +239,27 @@ object StreamingIngest {
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Stream-static anomaly flagging: watermarked hourly sums over the
+    * live stream, joined to a PRECOMPUTED per-type baseline (the
+    * stream-static join shape — the tiny baseline frame is broadcast,
+    * the streaming side stays append with windowed state only) and
+    * filtered to |z| > threshold. The baseline is
+    * [[graft.operators.Analytics.momentStats]] output from the batch
+    * engine — score today's traffic against yesterday's statistics;
+    * identical hours produce identical flags to the batch detector
+    * (parity spec). Emitted per closed window in append mode. */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+      threshold: Double, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("bucket_us"),
+        col("s"))
+      .join(broadcast(baseline), "event_type") // fixed-size side: hint is safe
+      .withColumn("z", graft.operators.Analytics.zScore(col("s")))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_type"), col("bucket_us"),
+        col("s").as("hourly_sum"), col("z").as("zscore"))
 }

@@ -99,6 +99,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("stream-static anomaly flagging equals the batch detector on closed windows") {
+    import graft.operators.Analytics
+    val src = Files.createTempDirectory("graft_anom_src_").toString
+    def mkEvents(rows: Seq[(Int, Double)]) = rows.toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val data = (0 until 10).map(h => (h, 10.0)) :+ (10, 1000.0)
+    mkEvents(data).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val baseline = Analytics.momentStats(mkEvents(data))
+
+    val q = StreamingIngest.anomalyStream(
+        spark.readStream.schema(schema).parquet(src), baseline,
+        threshold = 3.0, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_out").start()
+    try {
+      q.processAllAvailable()
+      // a far-future row advances the watermark past every real window
+      mkEvents(Seq((1000, 1.0))).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("anomaly_out")
+      .filter(col("bucket_us") < 1000L * 3600000000L)
+      .orderBy("bucket_us").collect().toSeq
+    val batch = Analytics.anomalyZScore(mkEvents(data), 3.0)
+      .select("event_type", "bucket_us", "hourly_sum", "zscore")
+      .orderBy("bucket_us").collect().toSeq
+    assert(batch.nonEmpty, "batch detector must flag the planted spike")
+    assert(streamed == batch)
+  }
+
   test("late event in a later micro-batch joins the open session without rewinding it") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_late_src_").toString
