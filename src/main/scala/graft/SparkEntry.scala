@@ -411,6 +411,8 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "n_chars", 50)
         .select(col("doc_id"), col("n_chars"), col("priority"))),
 
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "q_pq_topk" -> ((s, dir) =>
       Similarity.pqAnnTopK(Tables.embeddings(s, dir), QueryVecId,
         m = 4, kCent = 8, rerank = 50, k = TopKSim)),
@@ -1511,6 +1513,15 @@ object SparkEntry {
          |         AS priority
          |FROM documents
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_label_centroids" -> {
+      // per-dimension exact decimal sums, ONE double rounding, then IEEE
+      // division — generated to match Similarity.labelCentroids
+      val terms = (1 to 64).map(d =>
+        s"CAST(sum(CAST(v[$d] AS DECIMAL(38,12))) AS DOUBLE) / count(*)")
+      s"""SELECT label, count(*) AS n, [${terms.mkString(", ")}] AS centroid
+         |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+         |GROUP BY label""".stripMargin
+    },
     "q_pq_topk" -> {
       // PQ-ADC mirrored relationally: codebooks = the 8 smallest vec_ids'
       // subvectors (list(v ORDER BY vec_id)); per-subspace code = first-

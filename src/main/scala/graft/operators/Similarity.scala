@@ -253,6 +253,28 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Per-label embedding centroids — the vector-aggregation shape (class
+    * prototypes, cluster summaries, nearest-class-mean classification):
+    * element-wise mean per label computed with per-dimension DECIMAL sum
+    * slots, so the sums are order-independent (double addition is not
+    * associative) and each mean rounds to double exactly once. Same
+    * |labels|-row shuffle shape as the IVF trainer: map-side partials
+    * collapse to one row per label; the array reassembles in the final
+    * projection. DECIMAL division is avoided (sum casts to double BEFORE
+    * the /n) — that is what keeps this one oracle-reproducible where the
+    * refined-IVF decimal means are not. */
+  def labelCentroids(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val sums = (0 until dims).map(d =>
+      sum(element_at(col("v"), d + 1).cast("decimal(38,12)")).as(s"s$d"))
+    embeddings
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("label"), col("n"),
+        array((0 until dims).map(d =>
+          col(s"s$d").cast("double") / col("n")): _*).as("centroid"))
+  }
+
   /** Product-quantization codebooks: `m` subspaces × `kCent` centroids,
     * the subvectors of the `kCent` smallest vec_ids (seed-medoid —
     * deterministic and SQL-reproducible, same convention as the IVF seed

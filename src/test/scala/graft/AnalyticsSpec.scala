@@ -190,6 +190,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("percentile_approx sketch stays near the exact quantile") {
+    // completes the sketch family (CMS: frequency, HLL: distinct,
+    // this: quantiles) — 10k uniform values, p50/p99 within 2% relative
+    val vals = (1 to 10000).map(_.toDouble).toDF("v")
+    val r = vals.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000)),
+      percentile_approx(col("v"), lit(0.99), lit(1000))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 5000.0) / 5000.0 < 0.02, r.toString)
+    assert(math.abs(r.getDouble(1) - 9900.0) / 9900.0 < 0.02, r.toString)
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // one hot key owning ~100k rows against a uniform build side; with
+    // aggressive skew thresholds AQE must rewrite the sort-merge join's
+    // hot partition into split sub-partitions
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val skewed = spark.range(100000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 0 ELSE id END AS k", "id AS payload")
+      val dim = spark.range(2000).selectExpr("id AS k", "id * 2 AS d")
+      val joined = skewed.join(dim, "k")
+      // materialize THIS query execution — AQE only finalizes (and
+      // skew-splits) the plan of the job that actually ran
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split in final plan:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("approx_count_distinct (HLL) stays inside its error bound") {
     // 10k distinct ids, each duplicated 3x: the sketch must land within
     // 3x the default 5% rsd of the exact answer (sketch category of the
