@@ -391,7 +391,7 @@ object SparkEntry {
       val aug = Tables.documents(s, dir).withColumn("text",
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or +1-"),
-          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-555-"),
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
       TextAnalysis.piiScrub(aug)
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("text"))
@@ -1430,8 +1430,11 @@ object SparkEntry {
         |w AS (SELECT event_type, le, cnt,
         |             sum(cnt) OVER (PARTITION BY event_type ORDER BY le
         |                            ROWS UNBOUNDED PRECEDING) AS cum,
-        |             coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le),
-        |                      0.0) AS lo,
+        |             CASE WHEN isinf(le) THEN 500.0e0 WHEN le = 1 THEN 0.0e0
+        |                  WHEN le = 5 THEN 1.0e0 WHEN le = 10 THEN 5.0e0
+        |                  WHEN le = 20 THEN 10.0e0 WHEN le = 50 THEN 20.0e0
+        |                  WHEN le = 100 THEN 50.0e0 WHEN le = 200 THEN 100.0e0
+        |                  ELSE 200.0e0 END AS lo,
         |             sum(cnt) OVER (PARTITION BY event_type) AS total
         |      FROM b),
         |f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
@@ -1461,16 +1464,16 @@ object SparkEntry {
       """WITH aug AS (SELECT doc_id,
         |                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
         |                    '@example.com or +1-' ||
-        |                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
         |                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         |             FROM documents)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(text,
-        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(text,
         |         '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |       regexp_replace(
-        |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |         regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
         |                        '<EMAIL>', 'g'),
         |         '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
         |FROM aug""".stripMargin,
@@ -1511,7 +1514,7 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars,
          |       CAST(${sqlTokHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / n_chars
          |         AS priority
-         |FROM documents
+         |FROM documents WHERE n_chars > 0
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "q_label_centroids" -> {
       // per-dimension exact decimal sums, ONE double rounding, then IEEE

@@ -197,10 +197,10 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
-  /** Email pattern shared by scrub and count — character classes and
-    * bounded quantifiers only, so Java regex (Spark) and RE2 (DuckDB)
-    * agree on every match. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** Email pattern shared by scrub and count — case-insensitive ((?i) is
+    * honored identically by Java regex and RE2), character classes and
+    * bounded quantifiers only, so both engines agree on every match. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
   /** NANP-style phone pattern (+1-NNN-NNN-NNNN). */
   val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"

@@ -34,19 +34,28 @@ object Analytics {
     * are bit-identical across engines; a zero-variance type yields NULL
     * (guarded), never NaN. The per-type stats frame is tiny — Catalyst
     * broadcasts it back onto the hourly frame. */
-  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame =
-    hourlySums(events).join(momentStats(events), "event_type")
+  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    // materialize the BOUNDED hourly frame once (localCheckpoint, same
+    // caveat as dedup clusters: recompute-on-executor-loss is lost) —
+    // referencing the aggregation subtree from both the stats and the
+    // flagging branch still re-scanned the raw table 3x (measured; plan
+    // exchange reuse only dedupes one branch pair)
+    val hourly = hourlySums(events).localCheckpoint()
+    hourly.join(statsOf(hourly), "event_type")
       .withColumn("z", zScore(col("s")))
       .filter(abs(col("z")) > threshold)
       .select(col("event_type"), col("bucket_us"),
         col("s").as("hourly_sum"), col("z").as("zscore"))
+  }
 
   /** Per-type moment statistics (n, Σx, Σx²) of the hourly sums — the
     * baseline frame [[anomalyZScore]] derives inline and the streaming
     * flagger ([[graft.streaming.StreamingIngest.anomalyStream]]) takes
     * precomputed (score live traffic against yesterday's batch stats). */
-  def momentStats(events: DataFrame): DataFrame =
-    hourlySums(events).groupBy(col("event_type"))
+  def momentStats(events: DataFrame): DataFrame = statsOf(hourlySums(events))
+
+  private def statsOf(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("s")).cast("double").as("sx"),
         sum(col("s") * col("s")).cast("double").as("sxx"))
@@ -71,7 +80,9 @@ object Analytics {
     * joins back — the raw stream is only touched by the first
     * aggregation. */
   def anomalyMad(events: DataFrame, threshold: Double = 3.0): DataFrame = {
-    val hourly = hourlySums(events)
+    // hourly referenced by three branches (median, deviations, flagging
+    // join) — materialize once so the raw stream is scanned once
+    val hourly = hourlySums(events).localCheckpoint()
     def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy("event_type")
       df.withColumn("rn",
@@ -158,9 +169,19 @@ object Analytics {
     val counted = events.groupBy(col("event_type"), le.as("le"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("event_type").orderBy("le")
+    // each bucket's lower edge is the ADJACENT CONFIGURED bound (a literal
+    // lookup), NOT lag(le) over buckets present in the data — with an
+    // empty intermediate bucket, lag would stretch the interpolation
+    // interval below the bucket's true range and the estimate could land
+    // where provably no observation exists (Prometheus uses the bound)
+    val loOf = bounds.zipWithIndex.foldLeft(
+        when(col("le") === Double.PositiveInfinity, lit(bounds.last))) {
+      case (acc, (b, i)) =>
+        acc.when(col("le") === b, lit(if (i == 0) 0d else bounds(i - 1)))
+    }
     counted
       .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("lo", coalesce(lag(col("le"), 1).over(w), lit(0d)))
+      .withColumn("lo", loOf)
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy("event_type")))
       .filter(col("cum") >= lit(phi) * col("total"))
       .withColumn("rn", row_number().over(w))

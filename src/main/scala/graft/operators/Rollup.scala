@@ -85,7 +85,21 @@ object Rollup {
     * year of hours × 1000 types is ~10M rows, trivial per batch even at
     * 100 TB of base data); swap via the same aside/rename pattern as
     * shard rewrites (heal-on-entry makes a crashed swap self-repair). */
-  def mergeRollups(batch: DataFrame, path: String): Unit = {
+  /** Unconditional merge (no replay guard) — for batch callers that
+    * manage their own delivery semantics. The streaming sink passes the
+    * micro-batch id instead. */
+  def mergeRollups(batch: DataFrame, path: String): Unit =
+    mergeRollups(batch, path, batchId = -1L)
+
+  /** Merge with a replay guard: foreachBatch is AT-LEAST-once — a crash
+    * after the merge lands but before the checkpoint commits re-delivers
+    * the same micro-batch, and an additive merge applied twice
+    * double-counts. The applied batch id is written INSIDE the grain
+    * directory before the swap, so data + marker commit atomically in
+    * the same rename; a re-delivered id (≤ the recorded one) is skipped.
+    * (`_`-prefixed files are metadata to Spark's parquet reader, like
+    * `_SUCCESS`.) */
+  def mergeRollups(batch: DataFrame, path: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -97,33 +111,47 @@ object Rollup {
         // heal a swap that crashed between its renames
         if (!fs.exists(dir) && fs.exists(old))
           require(fs.rename(old, dir), s"could not restore $old")
-        fs.delete(tmp, true)
-        val inc = rollup(batch, bucketUs)
-        val merged =
+        val marker = new Path(dir, "_last_batch")
+        val lastApplied: Long =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId < 0 || batchId > lastApplied) {
+          fs.delete(tmp, true)
+          val inc = rollup(batch, bucketUs)
+          val merged =
+            if (fs.exists(dir))
+              spark.read.parquet(dir.toString).unionByName(inc)
+                .groupBy(col("event_type"), col("bucket_us"))
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+            else inc
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (batchId >= 0) {
+            val out = fs.create(new Path(tmp, "_last_batch"), true)
+            try out.write(batchId.toString.getBytes("UTF-8"))
+            finally out.close()
+          }
+          fs.delete(old, true)
           if (fs.exists(dir))
-            spark.read.parquet(dir.toString).unionByName(inc)
-              .groupBy(col("event_type"), col("bucket_us"))
-              .agg(sum(col("n_events")).as("n_events"),
-                sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
-          else inc
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(old, true)
-        if (fs.exists(dir))
-          require(fs.rename(dir, old), s"could not move $dir aside")
-        require(fs.rename(tmp, dir), s"could not swap $tmp into $dir")
-        fs.delete(old, true)
+            require(fs.rename(dir, old), s"could not move $dir aside")
+          require(fs.rename(tmp, dir), s"could not swap $tmp into $dir")
+          fs.delete(old, true)
+        }
     }
   }
 
   /** The streaming writer over [[mergeRollups]] (events frame: `ts`
-    * timestamp, `event_type`, `value`). Exactly-once per micro-batch via
-    * the checkpoint; the merge itself is idempotent only per completed
-    * batch — the standard foreachBatch contract. */
+    * timestamp, `event_type`, `value`): the checkpoint makes delivery
+    * at-least-once, the in-directory batch-id marker makes the merge
+    * idempotent per batch — together, effectively-once. */
   def rollupSink(events: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) => mergeRollups(b, path))
+      .foreachBatch((b: DataFrame, id: Long) => mergeRollups(b, path, id))
       .start()
 
   /** Derive both grains inline from the base table (the no-store form the

@@ -34,17 +34,23 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
-  /** Deterministic weighted priority sample: the k rows with the smallest
-    * `hash60(key) / weight` — heavier rows draw proportionally smaller
-    * priorities, so inclusion probability scales with weight, and the
-    * sample is a pure function of the keys (reproducible on any engine;
-    * the oracle re-derives it). Projection + TakeOrderedAndProject: no
-    * shuffle of the data, only the per-partition top-k survivors merge.
-    * The (priority, key) sort is a total order — ties on priority are
-    * impossible across distinct keys unless md5 collides. */
+  /** Deterministic weighted priority sample: among rows with POSITIVE
+    * weight, the k with the smallest `hash60(key) / weight` — heavier
+    * rows draw proportionally smaller priorities, so inclusion
+    * probability scales with weight, and the sample is a pure function
+    * of the keys (reproducible on any engine; the oracle re-derives it).
+    * Non-positive weights are excluded up front: a zero weight divides
+    * to NULL under Spark's non-ANSI division but +Inf under IEEE engines
+    * — the two would sort to OPPOSITE ends, so the guard is a
+    * correctness condition, not a nicety. Projection +
+    * TakeOrderedAndProject: no shuffle of the data, only per-partition
+    * top-k survivors merge. The (priority, key) suffix makes the order
+    * total — distinct keys CAN tie on the ratio (h=2/w=2 equals h=1/w=1),
+    * the key breaks it. */
   def weightedPrioritySample(df: DataFrame, keyCol: String,
       weightCol: String, k: Int): DataFrame =
-    df.withColumn("priority",
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority",
         tokHash(col(keyCol).cast("string")).cast("double") / col(weightCol))
       .orderBy(col("priority"), col(keyCol))
       .limit(k)

@@ -43,6 +43,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(0).getDouble(2) - (10.0 + 10.0 * (5.0 - 4.0) / 6.0)) < 1e-12)
   }
 
+  test("histogramQuantile interpolates from the configured bound across empty buckets") {
+    // 10 obs at 0.5 and 10 at 300: rank 18 falls in the (200,500] bucket;
+    // its lower edge must be the CONFIGURED 200 (Prometheus), not the
+    // previous non-empty bucket's le=1 — that would place the estimate in
+    // a range provably holding no observations
+    val events = (Seq.fill(10)(0.5) ++ Seq.fill(10)(300.0))
+      .map(v => ("a", v)).toDF("event_type", "value")
+    val got = Analytics.histogramQuantile(events, 0.9,
+      Seq(1d, 5d, 10d, 20d, 50d, 100d, 200d, 500d)).collect()(0)
+    assert(got.getDouble(2) == 200.0 + (500.0 - 200.0) * (18.0 - 10.0) / 10.0,
+      s"got ${got.getDouble(2)}, want 440.0")
+  }
+
   test("histogramQuantile clamps to the last finite bound in the +Inf bucket") {
     // all mass above every bound -> quantile bucket is +Inf, answer = last bound
     val events = Seq(("a", 100.0), ("a", 200.0)).toDF("event_type", "value")
@@ -112,8 +125,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"linear-series forecast $forecast24 should be near $expected")
   }
 
-  test("piiScrub redacts emails and phones and counts them") {
-    val docs = Seq((1L, "mail me at jo.doe@test.org or +1-555-123-4567 ok"))
+  test("piiScrub redacts emails (mixed case) and phones and counts them") {
+    val docs = Seq((1L, "mail me at Jo.Doe@Example.COM or +1-555-123-4567 ok"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiScrub(docs).collect()(0)
     assert(got.getAs[Long]("n_emails") == 1L)

@@ -134,6 +134,25 @@ class LayoutRollupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeRollups skips a re-delivered micro-batch id (replay guard)") {
+    val store = Files.createTempDirectory("graft_rollreplay_").toString
+    val events = (for (h <- 0 until 12) yield ("a", h.toLong, 2.0))
+      .toDF("event_type", "hour", "value")
+      .select(col("event_type"),
+        timestamp_micros(col("hour") * Rollup.HourUs).as("ts"), col("value"))
+    Rollup.mergeRollups(events, store, batchId = 0L)
+    def total(): Long = spark.read.parquet(s"$store/rollup_hour")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total() == 12L)
+    // at-least-once replay of the SAME batch id: must be a no-op, not a
+    // double-count
+    Rollup.mergeRollups(events, store, batchId = 0L)
+    assert(total() == 12L, "replayed batch double-counted")
+    // a NEW batch id merges additively as usual
+    Rollup.mergeRollups(events, store, batchId = 1L)
+    assert(total() == 24L)
+  }
+
   test("mergeRollups heals a swap that crashed between its renames") {
     val store = Files.createTempDirectory("graft_rollheal_").toString
     val events = (for (h <- 0 until 24) yield ("a", h.toLong, 1.0))
