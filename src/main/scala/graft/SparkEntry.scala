@@ -167,6 +167,9 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, dir) =>
       Relational.largeVolumeCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 150.0)),
+    "q_tpch_q21" -> ((s, dir) =>
+      Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 20)),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -870,6 +873,20 @@ object SparkEntry {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 150""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_theta_band" ->
       """WITH bands AS (
         |  SELECT CAST(r_regionkey AS BIGINT) AS band,

@@ -419,6 +419,37 @@ object Relational {
         TimeSeries.tsUs(col("o_orderdate")).as("o_orderdate_us"),
         col("o_totalprice"), col("total_qty"))
 
+  /** TPC-H Q21 SHAPE (adapted to this schema — no receipt/commit dates in
+    * the synthetic lineitem, so "waiting" becomes "returned"): suppliers
+    * who were the ONLY supplier with returned items in a finished
+    * multi-supplier order. The double correlated subquery (EXISTS another
+    * supplier, NOT EXISTS another flagged supplier) becomes a left-semi
+    * plus a left-anti on (orderkey, suppkey≠) — both shuffle on
+    * l_orderkey, co-partitioned with the fact join; the supplier dim join
+    * is AQE size-based (scale-variant side, no forced broadcast). */
+  def loneFlaggedSuppliers(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int): DataFrame = {
+    val flagged = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val othersOfAny = lineitem.select(
+      col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val othersFlagged = flagged.select(
+      col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    flagged
+      .join(othersOfAny,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(othersFlagged,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** Data-profiling surface: per requested column, row/non-null/distinct
     * counts and min/max (rendered as strings AFTER the typed min/max, so
     * numeric columns compare numerically). ONE aggregation pass over the
