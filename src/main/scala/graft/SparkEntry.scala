@@ -376,6 +376,8 @@ object SparkEntry {
       operators.Analytics.anomalyMad(Tables.events(s, dir), 3.0)),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
+    "q_bollinger" -> ((s, dir) =>
+      operators.Analytics.bollingerBands(Tables.events(s, dir), 24, 2.0)),
     "q_holt_forecast" -> ((s, dir) =>
       operators.Analytics.holtForecast(Tables.events(s, dir),
         alpha = 0.5, beta = 0.3, horizons = Seq(1, 24))),
@@ -1409,6 +1411,26 @@ object SparkEntry {
         |       count(*) AS n_hours,
         |       CAST(sum(s) AS DOUBLE) / count(*) AS mean_sum
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_bollinger" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket_us, s,
+        |             count(*) OVER fr AS n,
+        |             CAST(sum(s) OVER fr AS DOUBLE) AS sx,
+        |             CAST(sum(s * s) OVER fr AS DOUBLE) AS sxx
+        |      FROM h
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+        |                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket_us, s AS hourly_sum,
+        |       CASE WHEN n < 24 THEN NULL ELSE sx / n END AS mean_w,
+        |       CASE WHEN n < 24 OR (sxx - sx * sx / n) / (n - 1) <= 0 THEN NULL
+        |            ELSE sqrt((sxx - sx * sx / n) / (n - 1)) END AS sd_w,
+        |       CASE WHEN n >= 24 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |            THEN abs(CAST(s AS DOUBLE) - sx / n) >
+        |                 2.0e0 * sqrt((sxx - sx * sx / n) / (n - 1))
+        |            ELSE FALSE END AS breakout
+        |FROM w""".stripMargin,
     "q_holt_forecast" -> {
       // the smoothing constants are interpolated from the SAME Scala
       // doubles the operator uses (1-beta is NOT the double nearest 0.7 —

@@ -116,6 +116,35 @@ object Analytics {
       .agg(count(lit(1)).as("n_hours"),
         (sum(col("s")).cast("double") / count(lit(1))).as("mean_sum"))
 
+  /** Bollinger bands: rolling mean ± k·σ over the trailing `window`
+    * hourly buckets (ROWS frame over present buckets), with a breakout
+    * flag per hour. Moment sums stay DECIMAL inside the frame (exact,
+    * order-free) and round to double once; bands are NULL until the
+    * frame is full (and for zero variance) — never NaN. One partitioned
+    * window over the bounded hourly frame. */
+  def bollingerBands(events: DataFrame, window: Int = 24,
+      k: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(-(window - 1), 0)
+    val base = hourlySums(events)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("s")).over(w).cast("double"))
+      .withColumn("sxx", sum(col("s") * col("s")).over(w).cast("double"))
+    val mean = col("sx") / col("n")
+    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    base
+      .withColumn("mean_w",
+        when(col("n") < window, lit(null)).otherwise(mean))
+      .withColumn("sd_w",
+        when(col("n") < window || variance <= 0d, lit(null))
+          .otherwise(sqrt(variance)))
+      .withColumn("breakout",
+        col("sd_w").isNotNull &&
+          abs(col("s").cast("double") - col("mean_w")) > lit(k) * col("sd_w"))
+      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+        col("mean_w"), col("sd_w"), col("breakout"))
+  }
+
   /** Holt linear (double) exponential smoothing over each type's hourly
     * series: level/trend recursion folded over the time-ordered array in
     * ONE `aggregate()` pass — the fold is a fixed left-to-right chain of

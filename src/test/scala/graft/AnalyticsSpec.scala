@@ -75,6 +75,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
   }
 
+  test("histogramQuantile matches an independent scalar model on random data") {
+    val rnd = new scala.util.Random(77)
+    val bounds = Seq(1d, 5d, 10d, 20d, 50d)
+    for (trial <- 1 to 6) {
+      val vals = Seq.fill(80)(rnd.nextDouble() * 60.0)
+      val phi = Seq(0.5, 0.9, 0.99)(trial % 3)
+      def model: Double = {
+        val les = bounds :+ Double.PositiveInfinity
+        val cnts = les.map(b => vals.count(v =>
+          v <= b && !bounds.exists(lo => lo < b && v <= lo)))
+        val total = vals.size
+        val rank = phi * total
+        var cum = 0L
+        val idx = les.indices.find { i => cum += cnts(i); cum >= rank }.get
+        val prevCum = cum - cnts(idx)
+        if (les(idx).isInfinity) bounds.last
+        else {
+          val lo = if (idx == 0) 0d else bounds(idx - 1)
+          lo + (les(idx) - lo) * (phi * total - prevCum) / cnts(idx)
+        }
+      }
+      val events = vals.map(("a", _)).toDF("event_type", "value")
+      val got = Analytics.histogramQuantile(events, phi, bounds)
+        .collect()(0).getDouble(2)
+      assert(math.abs(got - model) < 1e-9, s"trial $trial phi=$phi: $got vs $model")
+    }
+  }
+
+  test("bollingerBands: bands open after a full window, planted spike breaks out") {
+    val rows = (0 until 30).map(h => (h, 10.0 + (h % 5))) :+ (30, 1000.0)
+    val events = rows.toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.bollingerBands(events, window = 24, k = 2.0)
+      .orderBy("bucket_us").collect()
+    assert(got.length == 31)
+    // bands NULL until 24 buckets accumulated
+    assert(got.take(23).forall(r => r.isNullAt(3) && r.isNullAt(4) && !r.getBoolean(5)))
+    assert(!got(23).isNullAt(3) && !got(23).isNullAt(4))
+    // exactly one breakout: the planted spike
+    val breakouts = got.filter(_.getBoolean(5))
+    assert(breakouts.length == 1 &&
+      breakouts(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
+  }
+
   test("anomalyMad flags planted spikes even when multiple outliers inflate the variance") {
     // 20 quiet hours around 10 and TWO huge spikes: the spikes inflate the
     // stddev (masking effect) but not the median/MAD
