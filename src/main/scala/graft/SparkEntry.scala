@@ -407,6 +407,9 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), n = 4)
     }),
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), minDf = 100,
+        maxPostings = 100)),
     "q_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(Tables.documents(s, dir), 30)),
     "q_repetition" -> ((s, dir) =>
@@ -1528,6 +1531,12 @@ object SparkEntry {
          |tr AS (SELECT doc_id, ${sqlTokHash("g")} AS h FROM sh
          |       WHERE source <> 'src0')
          |SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (h)""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents)
+        |SELECT term, count(*) AS df,
+        |       (list(doc_id ORDER BY doc_id))[1:100] AS postings
+        |FROM tok GROUP BY term HAVING count(*) >= 100""".stripMargin,
     "q_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |p AS (SELECT t.w[1] || ' ' || t.w[2] AS bigram

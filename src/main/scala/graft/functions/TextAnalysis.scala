@@ -265,6 +265,23 @@ object TextAnalysis {
           .otherwise(lit(0d)))
   }
 
+  /** Inverted-index build — the text-search index shape: term → sorted
+    * posting list of containing doc_ids, with exact document frequency.
+    * Postings are CAPPED at `maxPostings` per term (hot stopword terms
+    * would otherwise make single rows unbounded — the same hot-key
+    * discipline as the Jaccard DF cap; df stays exact so the caller
+    * knows truncation happened when df > cap). Explode → distinct →
+    * one aggregation; postings sort deterministically. */
+  def invertedIndex(docs: DataFrame, minDf: Long,
+      maxPostings: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings)
+          .as("postings"))
+      .filter(col("df") >= minDf)
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
     * Order-sensitive by construction (it is a sequence fingerprint). */

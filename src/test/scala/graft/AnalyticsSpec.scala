@@ -298,6 +298,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"HLL estimate $approx outside 15% of 10000")
   }
 
+  test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
+    val docs = Seq(
+      (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
+      (4L, "hot w"), (2L, "hot rare v")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, minDf = 2, maxPostings = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    // df stays EXACT (5) even though postings truncate to the cap,
+    // postings are the smallest doc_ids in sorted order
+    assert(got("hot") == ((5L, Seq(1L, 2L, 3L))))
+    assert(got("rare") == ((2L, Seq(2L, 5L))))
+    assert(got.size == 2) // single-doc terms fall under minDf
+  }
+
   test("bigramCounts counts corpus-wide (no per-doc dedup)") {
     val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     // doc1: "x y","y x","x y"; doc2: "x y","y z" -> x y:3, y x:1, y z:1
