@@ -167,6 +167,12 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, dir) =>
       Relational.largeVolumeCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 150.0)),
+    "q_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(
+        operators.Graph.customerSupplierEdges(
+          Tables.orders(s, dir), Tables.lineitem(s, dir)),
+        iters = 3, damping = 0.85)
+        .orderBy(col("pr").desc, col("node")).limit(20)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -878,6 +884,44 @@ object SparkEntry {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 150""".stripMargin,
+    "q_pagerank" ->
+      """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |      UNION SELECT b AS src, a AS dst FROM base),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes, nn),
+        |c1 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
+        |      FROM e JOIN pr0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
+        |s1 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS msum
+        |      FROM c1 GROUP BY 1),
+        |pr1 AS (SELECT n.node,
+        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN s1 s ON s.dst = n.node),
+        |c2 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
+        |      FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
+        |s2 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS msum
+        |      FROM c2 GROUP BY 1),
+        |pr2 AS (SELECT n.node,
+        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN s2 s ON s.dst = n.node),
+        |c3 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
+        |      FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
+        |s3 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS msum
+        |      FROM c3 GROUP BY 1),
+        |pr3 AS (SELECT n.node,
+        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node),
+        |dummy AS (SELECT 1)
+        |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier s

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational edge sets — the second graph
+  * operator family next to [[Dedup.dedupClusters]]' connected components:
+  * fixed-iteration PageRank, engine-exact.
+  *
+  * Determinism: the per-node message sum is a LEFT FOLD over
+  * contributions sorted by source id (double addition is not
+  * associative; a plain `sum()` would drift across partitionings and
+  * engines — same discipline as the dot-product fold). The damping
+  * constants are computed once in Scala and reused verbatim by the
+  * oracle, so three iterations reproduce bit-for-bit in DuckDB.
+  *
+  * Scale: per iteration one src-keyed join (edges co-partitioned with
+  * ranks) and one dst-keyed aggregation; the collected contribution list
+  * is bounded by in-degree — for power-law graphs, salt the hot
+  * destinations the same way the skewed aggregations do. Iteration count
+  * is fixed (an offline-analytics setting), not convergence-driven. */
+object Graph {
+
+  /** Undirected customer↔supplier co-transaction graph from the order
+    * lineage: node ids are disjoint (customer 2k, supplier 2k+1), each
+    * relationship contributes both directed edges, multi-edges collapse. */
+  def customerSupplierEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    base.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** `iters` PageRank steps over a simple directed edge set
+    * (src, dst): pr' = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u), seeded
+    * uniformly. Returns (node, pr) for every node. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // driver scalar: |V| is bounded metadata
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), col("src"), (col("pr") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy(col("dst"))
+        .agg(aggregate(
+          transform(sort_array(collect_list(struct(col("src"), col("c")))),
+            p => p.getField("c")),
+          lit(0d), (acc, x) => acc + x).as("msum"))
+      pr = nodes
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("msum"), lit(0d)))
+            .as("pr"))
+    }
+    pr
+  }
+}

@@ -298,6 +298,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"HLL estimate $approx outside 15% of 10000")
   }
 
+  test("pageRank: uniform on a cycle, hub-heavy on a star, mass conserved") {
+    import graft.operators.Graph
+    // directed 4-cycle: symmetric, so every node keeps pr = 1/4 exactly
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val prC = Graph.pageRank(cycle, iters = 3, damping = 0.85)
+      .collect().map(_.getDouble(1))
+    assert(prC.forall(_ == 0.25), prC.toSeq.toString)
+    // star: spokes all point at the hub (hub points back so nothing dangles)
+    val star = (Seq((10L, 1L), (10L, 2L), (10L, 3L)) ++
+      Seq(1L, 2L, 3L).map(s => (s, 10L))).toDF("src", "dst")
+    val prS = Graph.pageRank(star, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prS(10L) > prS(1L) && prS(1L) == prS(2L) && prS(2L) == prS(3L))
+    // no dangling nodes -> total rank mass stays 1
+    assert(math.abs(prS.values.sum - 1.0) < 1e-9)
+  }
+
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
     val docs = Seq(
       (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
