@@ -382,6 +382,10 @@ object SparkEntry {
       operators.Analytics.anomalyMad(Tables.events(s, dir), 3.0)),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
+    "q_seasonal_decompose" -> ((s, dir) =>
+      operators.Analytics.seasonalDecompose(Tables.events(s, dir))),
+    "q_cusum" -> ((s, dir) =>
+      operators.Analytics.cusum(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) =>
       operators.Analytics.bollingerBands(Tables.events(s, dir), 24, 2.0)),
     "q_holt_forecast" -> ((s, dir) =>
@@ -1458,6 +1462,43 @@ object SparkEntry {
         |       count(*) AS n_hours,
         |       CAST(sum(s) AS DOUBLE) / count(*) AS mean_sum
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, bucket_us, s,
+        |             CASE WHEN count(*) OVER fr < 24 THEN NULL
+        |                  ELSE CAST(sum(s) OVER fr AS DOUBLE) / (count(*) OVER fr)
+        |             END AS trend,
+        |             CAST((bucket_us // 3600000000) % 24 AS INTEGER) AS hod
+        |      FROM h
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+        |                    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |t2 AS (SELECT *, CAST(s AS DOUBLE) - trend AS detr FROM t),
+        |se AS (SELECT event_type, hod,
+        |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                            list(detr ORDER BY bucket_us)),
+        |                          (acc, x) -> acc + x) / count(*) AS seasonal
+        |       FROM t2 WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT t2.event_type, bucket_us, s AS hourly_sum, trend, seasonal,
+        |       detr - seasonal AS residual
+        |FROM t2 LEFT JOIN se USING (event_type, hod)""".stripMargin,
+    "q_cusum" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(s) AS DECIMAL(28,6)) AS tot,
+        |               count(*) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.event_type, bucket_us, s,
+        |             CAST(n * CAST(sum(s) OVER fr AS DECIMAL(28,6)) -
+        |                  (count(*) OVER fr) * tot AS DOUBLE) / n AS cusum
+        |      FROM h JOIN tot USING (event_type)
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+        |                    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, bucket_us, s AS hourly_sum, cusum,
+        |       abs(cusum) AS cusum_abs
+        |FROM c""".stripMargin,
     "q_bollinger" ->
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s

@@ -116,6 +116,66 @@ object Analytics {
       .agg(count(lit(1)).as("n_hours"),
         (sum(col("s")).cast("double") / count(lit(1))).as("mean_sum"))
 
+  /** Additive seasonal decomposition (STL-lite): per event type,
+    * trend = centered 24-bucket moving average over present hourly
+    * buckets (NULL at the edges where the window is ragged — honest,
+    * no padding), seasonal = per hour-of-day mean of the detrended
+    * series, residual = observed − trend − seasonal. DECIMAL sums feed
+    * each component; the trend/seasonal means divide once in double.
+    * Two window/group passes over the bounded hourly frame. */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(-12, 11)
+    val trended = hourlySums(events)
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("wn") < 24, lit(null))
+          .otherwise(sum(col("s")).over(w).cast("double") / col("wn")))
+      .withColumn("hod", expr("(bucket_us div 3600000000) % 24").cast("int"))
+      .withColumn("detr", col("s").cast("double") - col("trend"))
+    // seasonal mean via a SORTED LEFT FOLD, not a decimal sum: detrended
+    // values are arbitrary doubles, and double→decimal casts round via
+    // different rules across engines (Spark: shortest-repr string;
+    // DuckDB: exact binary expansion) — the fold keeps pure IEEE ops
+    val seasonal = trended.filter(col("detr").isNotNull)
+      .groupBy(col("event_type"), col("hod"))
+      .agg((aggregate(
+        transform(sort_array(collect_list(struct(col("bucket_us"), col("detr")))),
+          p => p.getField("detr")),
+        lit(0d), (acc, x) => acc + x) / count(lit(1))).as("seasonal"))
+    trended.join(seasonal, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+        col("trend"), col("seasonal"),
+        (col("detr") - col("seasonal")).as("residual"))
+  }
+
+  /** CUSUM change-point detection: per event type, the cumulative sum of
+    * deviations from the series mean (EXACT — both the running sum and
+    * the global mean come from DECIMAL arithmetic; the single double
+    * conversion happens on the final statistic), plus the magnitude
+    * `|cusum|` whose per-type maximum locates the most likely level
+    * shift. Emits every bucket; the caller reduces to argmax or
+    * thresholds. One ranking window over the bounded hourly frame. */
+  def cusum(events: DataFrame): DataFrame = {
+    val hourly = hourlySums(events).localCheckpoint()
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("s")).cast("decimal(28,6)").as("tot"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourly.join(totals, "event_type")
+      .withColumn("k", count(lit(1)).over(w))
+      // Σ_{i≤t} (x_i − mean) = (n·Σx_{≤t} − t·Σx_all) / n: the numerator
+      // stays EXACT decimal, converts to double once, and the division
+      // is IEEE by an exact integer (decimal division is never used —
+      // its rounding rules differ across engines)
+      .withColumn("cusum",
+        (col("n") * sum(col("s")).over(w).cast("decimal(28,6)") -
+          col("k") * col("tot")).cast("double") / col("n"))
+      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+        col("cusum"), abs(col("cusum")).as("cusum_abs"))
+  }
+
   /** Bollinger bands: rolling mean ± k·σ over the trailing `window`
     * hourly buckets (ROWS frame over present buckets), with a breakout
     * flag per hour. Moment sums stay DECIMAL inside the frame (exact,

@@ -298,6 +298,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"HLL estimate $approx outside 15% of 10000")
   }
 
+  test("seasonalDecompose: components reconstruct exactly; pure seasonality absorbed") {
+    // x(d,h) = 100 + 10*(h%4): no trend, a clean 4-hour seasonal pattern
+    val events = (for (d <- 0 until 10; h <- 0 until 24)
+      yield (d * 24 + h, 100.0 + 10.0 * (h % 4)))
+      .toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.seasonalDecompose(events).collect()
+    val full = got.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    assert(full.nonEmpty)
+    // identity: residual == observed - trend - seasonal, bit-for-bit
+    assert(full.forall { r =>
+      val s = r.getAs[java.math.BigDecimal]("hourly_sum").doubleValue()
+      r.getDouble(5) == s - r.getDouble(3) - r.getDouble(4)
+    })
+    // the centered MA sees every phase equally -> residuals collapse
+    assert(full.forall(r => math.abs(r.getDouble(5)) < 1e-9),
+      s"max residual ${full.map(r => math.abs(r.getDouble(5))).max}")
+  }
+
+  test("cusum: argmax |cusum| locates a planted level shift; final cusum is zero") {
+    // mean 10 for 50 hours, then mean 50: the cumulative deviation peaks
+    // exactly at the last pre-shift bucket
+    val events = ((0 until 50).map(h => (h, 10.0)) ++
+      (50 until 100).map(h => (h, 50.0)))
+      .toDF("hour", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.cusum(events).orderBy("bucket_us").collect()
+    val peak = got.maxBy(_.getDouble(4))
+    assert(peak.getLong(1) == 49L * 3600000000L,
+      s"peak at ${peak.getLong(1) / 3600000000L}, want 49")
+    assert(got.last.getDouble(3) == 0.0,
+      "total deviation from the mean must cancel exactly")
+  }
+
   test("pageRank: uniform on a cycle, hub-heavy on a star, mass conserved") {
     import graft.operators.Graph
     // directed 4-cycle: symmetric, so every node keeps pr = 1/4 exactly
