@@ -137,11 +137,37 @@ case class DoubleBits(child: Expression) extends UnaryExpression {
 }
 
 /** Column-level API for the graft-native expressions. */
+/** Floor-aligned time bucket of an epoch-micros long:
+  * `floorDiv(ts, width) · width`. A plain codegen'd integer projection —
+  * and the MARKER the [[graft.plans.RollupRewrite]] aggregate navigator
+  * pattern-matches to recognize re-bucketing aggregates (the same
+  * match-our-own-node technique as [[FuseCosine]]/[[DotProduct]]). */
+case class TimeBucket(child: Expression, widthUs: Long)
+    extends UnaryExpression {
+  require(widthUs > 0, s"bucket width must be positive, got $widthUs")
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"graft_time_bucket($widthUs)"
+
+  override def nullSafeEval(v: Any): Any =
+    Math.floorDiv(v.asInstanceOf[Long], widthUs) * widthUs
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Math.floorDiv($c, ${widthUs}L) * ${widthUs}L;")
+
+  override protected def withNewChildInternal(newChild: Expression): TimeBucket =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Codegen'd sequential dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Floor-aligned time bucket (the rollup-navigator marker). */
+  def time_bucket(c: Column, widthUs: Long): Column =
+    GraftColumnBridge.column(TimeBucket(GraftColumnBridge.expression(c), widthUs))
 
   /** Raw bit pattern of a double column as a long. */
   def double_bits(c: Column): Column =
@@ -192,7 +218,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_time_bucket"),
+      new ExpressionInfo(classOf[TimeBucket].getName, "graft_time_bucket"),
+      (exprs: Seq[Expression]) => TimeBucket(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].longValue())))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FuseCosine)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
   }
 }

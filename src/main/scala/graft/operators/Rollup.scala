@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.floorDivCol
-
 /** Multi-resolution rollup store — the continuous-aggregate layer every
   * production TSDB grows (Influx CQs, Timescale caggs, Prometheus
   * recording rules): pre-aggregate the event stream at hour and day
@@ -23,14 +21,30 @@ object Rollup {
   val DayUs = 86400000000L
 
   /** One rollup grain: per event_type × bucket, exact count + DECIMAL sum
-    * (decomposable aggregates only — what makes re-serve exact). */
+    * (decomposable aggregates only — what makes re-serve exact). The
+    * bucket uses the native [[graft.functions.TimeBucket]] expression
+    * (codegen'd integer floor-div — same values as the decimal
+    * [[graft.model.floorDivCol]] form for any epoch). */
   def rollup(events: DataFrame, bucketUs: Long): DataFrame =
     events.groupBy(col("event_type"),
-        (floorDivCol(graft.operators.TimeSeries.tsUs(col("ts")), bucketUs) *
-          bucketUs).as("bucket_us"))
+        graft.functions.GraftFunctions
+          .time_bucket(graft.operators.TimeSeries.tsUs(col("ts")), bucketUs)
+          .as("bucket_us"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .as("sum_value"))
+
+  /** Re-bucket a rollup frame to a coarser grain (sums of sums). Written
+    * with the [[graft.functions.TimeBucket]] marker, so when the input
+    * scans a REGISTERED hour-rollup path and the target grain is
+    * day-aligned, the [[graft.plans.RollupRewrite]] navigator answers it
+    * from the day rollup instead — same rows, ~1/24 the reads. */
+  def rebucket(rollupDf: DataFrame, bucketUs: Long): DataFrame =
+    rollupDf.groupBy(col("event_type"),
+        graft.functions.GraftFunctions.time_bucket(col("bucket_us"), bucketUs)
+          .as("bucket_us"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
 
   /** Materialize both grains under `path` (the ingest-time step). */
   def writeRollups(events: DataFrame, path: String): Unit = {
