@@ -411,6 +411,9 @@ object SparkEntry {
       TextAnalysis.piiScrub(aug)
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("text"))
     }),
+    "q_edit_neardup" -> ((s, dir) =>
+      operators.Dedup.editDistancePairs(Tables.documents(s, dir),
+        maxHamming = 4, maxDist = 100)),
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       operators.Dedup.contaminatedDocs(
@@ -1604,6 +1607,24 @@ object SparkEntry {
         |                        '<EMAIL>', 'g'),
         |         '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
         |FROM aug""".stripMargin,
+    "q_edit_neardup" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |h AS (SELECT doc_id, ${sqlTokHash("tok")} h FROM t),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j) jj
+         |      GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM b GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4)
+         |SELECT doc_id_1, doc_id_2, hamming,
+         |       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+         |FROM pairs JOIN documents x ON x.doc_id = doc_id_1
+         |           JOIN documents y ON y.doc_id = doc_id_2
+         |WHERE levenshtein(x.text, y.text) <= 100""".stripMargin,
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
          |              FROM documents),

@@ -372,6 +372,24 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Edit-distance near-dup — character-level verification on top of the
+    * simhash pigeonhole candidates: a pair survives iff its exact
+    * Levenshtein distance is within `maxDist`. The O(len²) DP only ever
+    * runs on candidate pairs (never corpus²), and the candidate texts
+    * arrive via two doc_id equi-joins — the same candidates-only
+    * discipline as the MinHash verifier. Spark's `levenshtein` and the
+    * oracle engine's agree exactly (standard unit-cost DP). */
+  def editDistancePairs(docs: DataFrame, maxHamming: Int,
+      maxDist: Int): DataFrame =
+    simhashNearDupPairs(docs, maxHamming)
+      .join(docs.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
+        "doc_id_1")
+      .join(docs.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
+        "doc_id_2")
+      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"), col("edit_dist"))
+
   /** Benchmark decontamination — the eval-leakage scan every training
     * corpus needs: a train document is contaminated iff it shares ANY
     * n-token shingle with the eval corpus. The eval shingle set is

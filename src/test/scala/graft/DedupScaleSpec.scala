@@ -67,6 +67,20 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
       Dedup.ngramJaccardPairs(hotShingleCorpus, 3, 0.1, maxDocFreq = 1L))
   }
 
+  test("editDistancePairs verifies simhash candidates with exact Levenshtein") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w7", "q7")),          // one substitution, same shape
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxHamming = 8, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)),
+      s"expected only the near-identical pair, got ${got.toSeq}")
+  }
+
   test("distributed CC converges on a 40-deep chain (multi-round pointer jumping)") {
     import spark.implicits._
     // path graph 1-2-3-...-40: diameter 39 forces several label-propagation
