@@ -926,8 +926,7 @@ object SparkEntry {
         |      FROM c3 GROUP BY 1),
         |pr3 AS (SELECT n.node,
         |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
-        |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node),
-        |dummy AS (SELECT 1)
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node)
         |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait

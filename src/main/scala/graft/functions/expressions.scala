@@ -148,8 +148,23 @@ case class TimeBucket(child: Expression, widthUs: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = s"graft_time_bucket($widthUs)"
 
+  // integral child only — declared via checkInputDataTypes (ExpectsInputTypes
+  // needs the private[sql] AbstractDataType); without the check a string
+  // child would fail codegen compilation instead of analysis
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | org.apache.spark.sql.types.IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_time_bucket needs an integral timestamp column, got $other")
+    }
+
   override def nullSafeEval(v: Any): Any =
-    Math.floorDiv(v.asInstanceOf[Long], widthUs) * widthUs
+    // Number, not Long: ints promote here exactly as they do in the
+    // generated Math.floorDiv call — interpreted and codegen agree
+    Math.floorDiv(v.asInstanceOf[Number].longValue(), widthUs) * widthUs
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
@@ -221,8 +236,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_time_bucket"),
       new ExpressionInfo(classOf[TimeBucket].getName, "graft_time_bucket"),
-      (exprs: Seq[Expression]) => TimeBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].longValue())))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_time_bucket(ts, width) needs a LITERAL width")
+        TimeBucket(exprs(0), exprs(1).eval().asInstanceOf[Number].longValue())
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FuseCosine)
     e.injectOptimizerRule(_ => graft.plans.RollupRewrite)

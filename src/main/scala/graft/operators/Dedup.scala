@@ -386,8 +386,11 @@ object Dedup {
         "doc_id_1")
       .join(docs.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
         "doc_id_2")
-      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      // threshold form: the DP short-circuits at O(len·maxDist) and
+      // returns -1 above the bound (vs O(len²) for the unbounded form)
+      .withColumn("edit_dist",
+        levenshtein(col("t1"), col("t2"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
       .select(col("doc_id_1"), col("doc_id_2"), col("hamming"), col("edit_dist"))
 
   /** Benchmark decontamination — the eval-leakage scan every training

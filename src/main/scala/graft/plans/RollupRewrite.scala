@@ -35,12 +35,22 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   val DayUs: Long = 86400000000L
 
-  private val mappings = new ConcurrentHashMap[String, () => LogicalPlan]()
+  /** A registered routing: the day table's path plus the GRAIN-INVARIANT
+    * dimension columns (part of both tables' grouping key — the only
+    * plain columns safe to group by; grouping by a measure like
+    * `n_events` would form different groups at different grains). */
+  private final case class Target(dayPath: String, dims: Set[String])
 
-  /** Route day-or-coarser aggregates over `hourPath` to `dayPath`. */
-  def register(spark: SparkSession, hourPath: String, dayPath: String): Unit =
-    mappings.put(qualify(spark, hourPath),
-      () => spark.read.parquet(dayPath).queryExecution.analyzed)
+  private val mappings = new ConcurrentHashMap[String, Target]()
+
+  /** Route day-or-coarser aggregates over `hourPath` to `dayPath`.
+    * `dims` are the dimension columns shared by both grouping keys
+    * (default matches [[graft.operators.Rollup]]'s layout). The day plan
+    * is resolved through the ACTIVE session at rewrite time — nothing
+    * captures or pins the registering session. */
+  def register(spark: SparkSession, hourPath: String, dayPath: String,
+      dims: Set[String] = Set("event_type")): Unit =
+    mappings.put(qualify(spark, hourPath), Target(dayPath, dims))
 
   def clear(): Unit = mappings.clear()
 
@@ -69,10 +79,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def groupingOk(gs: Seq[Expression]): Boolean =
+  private def groupingOk(gs: Seq[Expression], dims: Set[String]): Boolean =
     gs.nonEmpty && gs.exists(isDayBucket(_, Set("bucket_us"))) &&
       gs.forall {
-        case a: AttributeReference => a.name != "bucket_us"
+        // plain grouping columns must be registered GRAIN-INVARIANT
+        // dimensions — a measure column (n_events, sum_value) groups
+        // differently at hour vs day grain and must refuse the rewrite
+        case a: AttributeReference => dims.contains(a.name)
         case e => isDayBucket(e, Set("bucket_us"))
       }
 
@@ -91,7 +104,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
         gs.exists(_.semanticEquals(stripped)) || (stripped match {
           case ae: AggregateExpression =>
             !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-              case Sum(attr: AttributeReference, _) => attr.name != "bucket_us"
+              case Sum(attr: AttributeReference, _) =>
+                // only EXACT types compose across grains — double
+                // addition is non-associative, so sum-of-day-sums can
+                // differ in the last ulps from sum-over-hours
+                attr.name != "bucket_us" && (attr.dataType match {
+                  case org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.IntegerType |
+                       (_: org.apache.spark.sql.types.DecimalType) => true
+                  case _ => false
+                })
               case _ => false
             })
           case _ => false
@@ -133,9 +155,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
         }
         (for {
           root <- relationRoot(child)
-          dayPlanF <- Option(mappings.get(root))
-          if groupingOk(gsIn) && aesIn.forall(aggOk(_, gsIn))
-          dayPlan = dayPlanF()
+          target <- Option(mappings.get(root))
+          if groupingOk(gsIn, target.dims) && aesIn.forall(aggOk(_, gsIn))
+          session <- SparkSession.getActiveSession
+          dayPlan = session.read.parquet(target.dayPath).queryExecution.analyzed
           attrMap <- {
             val m = child.output.flatMap { a =>
               dayPlan.output.find(d => d.name == a.name && d.dataType == a.dataType)

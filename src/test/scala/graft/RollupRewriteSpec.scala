@@ -89,6 +89,28 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
       val raw = hourDf(store).groupBy(col("event_type"), col("bucket_us"))
         .agg(sum(col("n_events")).as("n_events"))
       assert(!scannedPaths(raw).contains("rollup_day"))
+      // grouping by a MEASURE column: hour rows group differently than
+      // day rows — only registered dimension columns may group
+      val byMeasure = hourDf(store).groupBy(
+          graft.functions.GraftFunctions.time_bucket(col("bucket_us"), Rollup.DayUs)
+            .as("bucket_us"), col("n_events"))
+        .agg(sum(col("sum_value")).as("sum_value"))
+      assert(!scannedPaths(byMeasure).contains("rollup_day"))
+      // sum over a DOUBLE column: IEEE sums don't compose across grains —
+      // a registered table pair carrying a native double measure must
+      // refuse even though every other condition matches
+      val dStore = Files.createTempDirectory("graft_nav_double_").toString
+      val dRows = Seq(("a", 0L, 1.1), ("a", Rollup.HourUs, 2.2))
+        .toDF("event_type", "bucket_us", "dval")
+      dRows.write.parquet(s"$dStore/rollup_hour")
+      dRows.limit(1).write.parquet(s"$dStore/rollup_day")
+      RollupRewrite.register(spark, s"$dStore/rollup_hour", s"$dStore/rollup_day")
+      val doubleSum = spark.read.parquet(s"$dStore/rollup_hour")
+        .groupBy(col("event_type"),
+          graft.functions.GraftFunctions.time_bucket(col("bucket_us"), Rollup.DayUs)
+            .as("bucket_us"))
+        .agg(sum(col("dval")).as("dval"))
+      assert(!scannedPaths(doubleSum).contains("rollup_day"))
       // a filter between scan and aggregate: conservative refusal
       val filtered = Rollup.rebucket(
         hourDf(store).filter(col("bucket_us") >= Rollup.DayUs), Rollup.DayUs)
