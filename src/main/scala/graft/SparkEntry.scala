@@ -222,6 +222,33 @@ object SparkEntry {
           col("err_value"))
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOfForward(purchases, errors, "user_id", "ts",
+          Seq("ts" -> "next_ts", "value" -> "next_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("next_ts")).as("next_ts_us"),
+          col("next_value"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOfNearest(purchases, errors, "user_id", "ts",
+          Seq("ts" -> "near_ts", "value" -> "near_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("near_ts")).as("near_ts_us"),
+          col("near_value"))
+    }),
+
     // same semantics as q_asof_join, through the NATIVE custom operator
     // (AsOfJoinPlan + AsOfJoinStrategy + AsOfJoinExec) — same DuckDB oracle
     "q_asof_native" -> ((s, dir) => {
@@ -1026,6 +1053,32 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       epoch_us(e.ts) AS next_ts_us, e.value AS next_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts >= p.ts""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts,
+        |             e.ts AS bts, e.value AS bval
+        |      FROM p ASOF LEFT JOIN e
+        |        ON p.user_id = e.user_id AND e.ts <= p.ts),
+        |f AS (SELECT p.event_id, e.ts AS fts, e.value AS fval
+        |      FROM p ASOF LEFT JOIN e
+        |        ON p.user_id = e.user_id AND e.ts >= p.ts)
+        |SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+        |       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+        |                 epoch_us(b.ts) - epoch_us(bts) <=
+        |                 epoch_us(fts) - epoch_us(b.ts))
+        |            THEN epoch_us(bts) ELSE epoch_us(fts) END AS near_ts_us,
+        |       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+        |                 epoch_us(b.ts) - epoch_us(bts) <=
+        |                 epoch_us(fts) - epoch_us(b.ts))
+        |            THEN bval ELSE fval END AS near_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |       length(text) AS n_chars_calc,

@@ -39,7 +39,63 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       ts: String,
+      rightPayload: Seq[(String, String)]): DataFrame =
+    asOfDirectional(left, right, key, ts, rightPayload, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` (pandas `merge_asof(direction='forward')`).
+    * Same one-shuffle union-window plan, mirrored: left rows sort before
+    * equal-ts right rows and `first(ignoreNulls)` scans the FOLLOWING
+    * frame. Among duplicate right (key, ts) rows the winner is the MIN
+    * payload struct (first in ascending tiebreak order) — deterministic,
+    * the mirror of the backward operator's max. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[(String, String)]): DataFrame =
+    asOfDirectional(left, right, key, ts, rightPayload, forward = true)
+
+  /** Nearest as-of (pandas `direction='nearest'`): the closer of the
+    * backward and forward matches by |Δts|; exact ties (including the
+    * Δ=0 equal-timestamp case, which the backward pass already matches)
+    * resolve BACKWARD. Two union-window passes — still shuffle-bound on
+    * the key, no range explosion. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
       rightPayload: Seq[(String, String)]): DataFrame = {
+    def tsNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c
+      }
+    val tsType = left.schema(ts).dataType
+    val bPay = rightPayload.map { case (in, out) => in -> s"__b_$out" } :+
+      (ts -> "__b_ts")
+    val fPay = rightPayload.map { case (in, out) => in -> s"__f_$out" } :+
+      (ts -> "__f_ts")
+    val both = asOfDirectional(
+      asOfDirectional(left, right, key, ts, bPay, forward = false),
+      right, key, ts, fPay, forward = true)
+    val chooseBack = col("__b_ts").isNotNull && (col("__f_ts").isNull ||
+      (tsNum(col(ts), tsType) - tsNum(col("__b_ts"), tsType)) <=
+        (tsNum(col("__f_ts"), tsType) - tsNum(col(ts), tsType)))
+    both.select(left.columns.map(col) ++ rightPayload.map { case (_, out) =>
+      when(chooseBack, col(s"__b_$out")).otherwise(col(s"__f_$out")).as(out)
+    }: _*)
+  }
+
+  private def asOfDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[(String, String)],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns
     // The whole right payload travels as ONE struct: `last(ignoreNulls)`
@@ -50,16 +106,19 @@ object AsOfJoin {
       struct(rightPayload.map { case (in, out) => col(in).as(out) }: _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
 
-    // side: 0 = right (reference), 1 = left (probe) — right sorts first at
-    // equal ts so an exactly-simultaneous reference row IS matched (<=).
+    // side ordering makes the inclusive bound work at EQUAL timestamps:
+    // backward (<=) sorts reference rows first so the preceding frame of a
+    // left row contains the simultaneous reference; forward (>=) sorts
+    // probe rows first so the following frame does.
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val taggedLeft = left
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .select(
         col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
           leftCols.map(c => col(c).as(s"__l_$c")) :+
           lit(null).cast(payloadType).as("__r"): _*)
     val taggedRight = right
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .select(
         col(key).as("__key") +: col(ts).as("__ts") +: col("__side") +:
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
@@ -75,13 +134,19 @@ object AsOfJoin {
       if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
         Seq(col("__r"))
       else Seq.empty
-    val w = Window.partitionBy(col("__key"))
+    val ordered = Window.partitionBy(col("__key"))
       .orderBy(col("__ts") +: col("__side") +: tiebreak: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward)
+        first(col("__r"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     taggedLeft.unionByName(taggedRight)
-      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__carried", carried)
+      .filter(col("__side") === leftSide)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         rightPayload.map { case (_, out) => col("__carried").getField(out).as(out) }: _*)
   }

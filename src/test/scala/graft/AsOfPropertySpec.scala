@@ -41,6 +41,56 @@ class AsOfPropertySpec extends AnyFunSuite with SparkSpec {
       }
     }.toSet
 
+  /** Forward model: earliest right at-or-after; ties on ts -> MIN payload
+    * (the forward operator's documented mirror tiebreak). */
+  private def bruteForward(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Double)]): Set[(Long, Option[Long], Option[Double])] =
+    left.map { case (k, ts, id) =>
+      val cands = right.filter(r => r._1 == k && r._2 >= ts)
+      if (cands.isEmpty) (id, None, None)
+      else {
+        val best = cands.minBy(r => (r._2, r._3))
+        (id, Some(best._2), Some(best._3))
+      }
+    }.toSet
+
+  /** Nearest model: smaller |Δts| of the two directional winners, exact
+    * ties resolve backward. */
+  private def bruteNearest(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Double)]): Set[(Long, Option[Long], Option[Double])] = {
+    val b = brute(left, right).map(x => x._1 -> (x._2, x._3)).toMap
+    val f = bruteForward(left, right).map(x => x._1 -> (x._2, x._3)).toMap
+    left.map { case (_, ts, id) =>
+      (b(id), f(id)) match {
+        case ((Some(bt), bv), (Some(ft), fv)) =>
+          if (ts - bt <= ft - ts) (id, Some(bt), bv) else (id, Some(ft), fv)
+        case ((Some(bt), bv), (None, _)) => (id, Some(bt), bv)
+        case ((None, _), (Some(ft), fv)) => (id, Some(ft), fv)
+        case _ => (id, None, None)
+      }
+    }.toSet
+  }
+
+  private def runOp(op: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Seq[(String, String)]) => org.apache.spark.sql.DataFrame,
+      l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Double)]) =
+    op(l.toDF("key", "ts", "id"), r.toDF("key", "ts", "value"), "key", "ts",
+      Seq("ts" -> "m_ts", "value" -> "m_value"))
+      .select(col("id"), col("m_ts"), col("m_value")).collect()
+      .map(x => (x.getAs[Long]("id"),
+        Option(x.getAs[Any]("m_ts")).map(_.asInstanceOf[Long]),
+        Option(x.getAs[Any]("m_value")).map(_.asInstanceOf[Double]))).toSet
+
+  test("forward and nearest as-of equal their brute-force models on random inputs") {
+    (1 to 4).foreach { round =>
+      val (l, r) = randomCase()
+      assert(runOp(AsOfJoin.asOfForward, l, r) == bruteForward(l, r),
+        s"forward diverged in round $round")
+      assert(runOp(AsOfJoin.asOfNearest, l, r) == bruteNearest(l, r),
+        s"nearest diverged in round $round")
+    }
+  }
+
   test("composed and native as-of equal the brute-force model on random inputs") {
     (1 to 4).foreach { round =>
       val (l, r) = randomCase()
