@@ -413,6 +413,8 @@ object SparkEntry {
       operators.Analytics.seasonalDecompose(Tables.events(s, dir))),
     "q_cusum" -> ((s, dir) =>
       operators.Analytics.cusum(Tables.events(s, dir))),
+    "q_rolling_median" -> ((s, dir) =>
+      operators.Analytics.rollingMedian(Tables.events(s, dir), 24)),
     "q_bollinger" -> ((s, dir) =>
       operators.Analytics.bollingerBands(Tables.events(s, dir), 24, 2.0)),
     "q_holt_forecast" -> ((s, dir) =>
@@ -1554,6 +1556,17 @@ object SparkEntry {
         |SELECT event_type, bucket_us, s AS hourly_sum, cusum,
         |       abs(cusum) AS cusum_abs
         |FROM c""".stripMargin,
+    "q_rolling_median" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket_us, s AS hourly_sum,
+        |       (list_sort(list(s) OVER fr))[
+        |         CAST((count(*) OVER fr * 50 + 99) // 100 AS INTEGER)]
+        |         AS rolling_median
+        |FROM h
+        |WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+        |              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_bollinger" ->
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s

@@ -205,6 +205,26 @@ object Analytics {
         col("mean_w"), col("sd_w"), col("breakout"))
   }
 
+  /** Rolling median over the trailing `window` hourly buckets — the
+    * robust counterpart of the Bollinger mean band (a single spike moves
+    * a rolling mean for a full window length but barely moves the rolling
+    * median). Spark has no median window function; the frame's values are
+    * collected, sorted, and indexed at the shared integer quantile
+    * position ((n·50+99) div 100 — same convention as every quantile
+    * operator here, mirrored exactly by the oracle's list window).
+    * O(w log w) per row on a BOUNDED frame — fine for hourly grains;
+    * for high-frequency frames use the sketch path instead. */
+  def rollingMedian(events: DataFrame, window: Int = 24): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(-(window - 1), 0)
+    hourlySums(events)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("arr", sort_array(collect_list(col("s")).over(w)))
+      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+        element_at(col("arr"), expr("(n * 50 + 99) div 100").cast("int"))
+          .as("rolling_median"))
+  }
+
   /** Holt linear (double) exponential smoothing over each type's hourly
     * series: level/trend recursion folded over the time-ordered array in
     * ONE `aggregate()` pass — the fold is a fixed left-to-right chain of

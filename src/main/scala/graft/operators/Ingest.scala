@@ -237,6 +237,39 @@ object Ingest {
     fs.delete(old, true)
   }
 
+  /** Operational store report: one row per hour shard with its file
+    * count, byte size (pure FileSystem metadata — zero data read), and
+    * row count (one grouped count over the partition column — parquet
+    * reads row-group headers, not value pages). The health check behind
+    * compaction policy: shards with many small files are compaction
+    * candidates, byte sizes drive retention budgeting. */
+  def describeStore(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta: Seq[(Long, Long, Long)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("shard_hour=")) {
+          val files = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
+            .map(h => (h, files.length.toLong, files.map(_.getLen).sum))
+        } else None
+      }
+    val metaDf = spark.createDataFrame(meta)
+      .toDF("shard_hour", "n_files", "bytes")
+    val rows =
+      if (meta.isEmpty) metaDf.select(col("shard_hour"), lit(0L).as("n_rows"))
+      else readPoints(spark, path)
+        .groupBy(col("shard_hour").cast("long").as("shard_hour"))
+        .agg(count(lit(1)).as("n_rows"))
+    metaDf.join(rows, Seq("shard_hour"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .orderBy(col("shard_hour"))
+  }
+
   /** The reference's core read path (O3-O6): inclusive range scan with an
     * ordered cap. The shard_hour predicate triggers partition pruning (the
     * shard loop); the timestamp predicate is pushed to row-group stats;

@@ -129,6 +129,24 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(store).count() == 40)
   }
 
+  test("describeStore reports per-shard files, bytes, and rows from metadata") {
+    val store = Files.createTempDirectory("graft_describe_").toString
+    Ingest.ingestBatch(hourPts(1L, 30).toDS(), store)
+    Ingest.ingestBatch(hourPts(1L, 20).toDS(), store) // second file, same hour
+    Ingest.ingestBatch(hourPts(2L, 40).toDS(), store)
+    val got = Ingest.describeStore(spark, store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 >= 2L, "two appends must leave at least two files")
+    assert(got(1L)._3 == 50L && got(2L)._3 == 40L)
+    assert(got.values.forall(_._2 > 0L), "byte sizes must be positive")
+    // after compaction the report reflects the collapsed layout
+    Ingest.compactShard(spark, store, 1L)
+    val after = Ingest.describeStore(spark, store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(after(1L) == ((1L, 50L)))
+  }
+
   test("compactShard retry heals a crash between the two swap renames") {
     val store = Files.createTempDirectory("graft_heal_").toString
     Ingest.ingestBatch(hourPts(1L, 60).toDS(), store)
