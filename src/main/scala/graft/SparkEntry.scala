@@ -1564,7 +1564,7 @@ object SparkEntry {
         |       (list_sort(list(s) OVER fr))[
         |         CAST((count(*) OVER fr * 50 + 99) // 100 AS INTEGER)]
         |         AS rolling_median
-        |FROM h
+        |FROM h WHERE s IS NOT NULL
         |WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
         |              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_bollinger" ->

@@ -218,6 +218,11 @@ object Analytics {
     val w = Window.partitionBy("event_type").orderBy("bucket_us")
       .rowsBetween(-(window - 1), 0)
     hourlySums(events)
+      // all-NULL buckets (sum of only-NULL values) are excluded: Spark's
+      // collect_list drops NULLs while count(1) would still count the
+      // row, desynchronizing the index — and DuckDB's list() KEEPS the
+      // NULL, so the two engines would pick different elements
+      .filter(col("s").isNotNull)
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("arr", sort_array(collect_list(col("s")).over(w)))
       .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),

@@ -44,11 +44,10 @@ object AsOfJoin {
 
   /** Forward as-of: for each left row, the EARLIEST right row with
     * `right.ts >= left.ts` (pandas `merge_asof(direction='forward')`).
-    * Same one-shuffle union-window plan, mirrored: left rows sort before
-    * equal-ts right rows and `first(ignoreNulls)` scans the FOLLOWING
-    * frame. Among duplicate right (key, ts) rows the winner is the MIN
-    * payload struct (first in ascending tiebreak order) — deterministic,
-    * the mirror of the backward operator's max. */
+    * Same one-shuffle union-window plan traversed in REVERSE time order,
+    * so the frame stays a running aggregate (linear per key). Among
+    * duplicate right (key, ts) rows the winner is the MIN payload struct
+    * — deterministic, the mirror of the backward operator's max. */
   def asOfForward(
       left: DataFrame,
       right: DataFrame,
@@ -106,11 +105,12 @@ object AsOfJoin {
       struct(rightPayload.map { case (in, out) => col(in).as(out) }: _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
 
-    // side ordering makes the inclusive bound work at EQUAL timestamps:
-    // backward (<=) sorts reference rows first so the preceding frame of a
-    // left row contains the simultaneous reference; forward (>=) sorts
-    // probe rows first so the following frame does.
-    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
+    // side: 0 = right (reference), 1 = left (probe) — with `__side`
+    // ascending SECOND in the sort, the reference row at an EXACTLY equal
+    // timestamp lands inside the probe row's running frame in both
+    // directions (backward sorts ts ascending, forward ts DESCENDING —
+    // either way right-before-left at equal ts).
+    val (leftSide, rightSide) = (1, 0)
     val taggedLeft = left
       .withColumn("__side", lit(leftSide))
       .select(
@@ -134,15 +134,18 @@ object AsOfJoin {
       if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
         Seq(col("__r"))
       else Seq.empty
-    val ordered = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts") +: col("__side") +: tiebreak: _*)
-    val carried =
-      if (forward)
-        first(col("__r"), ignoreNulls = true).over(
-          ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-      else
-        last(col("__r"), ignoreNulls = true).over(
-          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // BOTH directions use the GROWING (unboundedPreceding, currentRow)
+    // frame — Spark evaluates it as a running aggregate, O(rows) per key.
+    // Forward simply traverses time in reverse: ts descending, so the
+    // "latest seen" reference is the EARLIEST at-or-after one, and the
+    // tiebreak flips to descending so the last-seen duplicate is the MIN
+    // payload. (A (currentRow, unboundedFollowing) frame would recompute
+    // per row — O(rows²) on a hot key.)
+    val ordered = Window.partitionBy(col("__key")).orderBy(
+      (if (forward) col("__ts").desc else col("__ts")) +:
+        col("__side") +: tiebreak.map(c => if (forward) c.desc else c): _*)
+    val carried = last(col("__r"), ignoreNulls = true).over(
+      ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     taggedLeft.unionByName(taggedRight)
       .withColumn("__carried", carried)

@@ -69,20 +69,27 @@ object Ingest {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0L
-    // a rewrite that crashed between its swap renames leaves an hour's only
-    // copy under `.compact_old_N` with no partition dir — restore those
-    // first so retention sees (and can expire) every hour that exists
-    healDebris(fs, path)
-    val expired = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("shard_hour="))
-        scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
-          .filter(_ < cutoffHour).map(_ => st.getPath)
-      else None
-    }
+    val expired = listShardHours(fs, path).filter(_._1 < cutoffHour)
     // count only deletes that actually succeeded — a false return (lease
     // held, permissions) must not be reported as dropped
-    expired.count(fs.delete(_, true)).toLong
+    expired.count { case (_, p) => fs.delete(p, true) }.toLong
+  }
+
+  /** Heal crash debris, then enumerate (hour, dir) for every shard — the
+    * ONE place the partition layout is parsed, shared by retention,
+    * range delete, and the health report (all of which must see a
+    * crashed-rewrite hour, not silently skip it). */
+  private def listShardHours(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    healDebris(fs, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("shard_hour="))
+          scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
   }
 
   /** Compaction: rewrite ONE hour shard's accumulated small append files
@@ -157,14 +164,7 @@ object Ingest {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val root = new Path(path)
     if (!fs.exists(root)) return
-    healDebris(fs, path) // crashed-rewrite hours must be visible to the delete
-    val hours = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("shard_hour="))
-        scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
-      else None
-    }
-    hours.foreach { h =>
+    listShardHours(fs, path).map(_._1).foreach { h =>
       val shardLo = h * ShardDurationMs
       val shardHi = shardLo + ShardDurationMs - 1
       if (shardHi >= startMs && shardLo <= endMs) {
@@ -249,14 +249,13 @@ object Ingest {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val meta: Seq[(Long, Long, Long)] =
       if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("shard_hour=")) {
-          val files = fs.listStatus(st.getPath)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          scala.util.Try(n.stripPrefix("shard_hour=").toLong).toOption
-            .map(h => (h, files.length.toLong, files.map(_.getLen).sum))
-        } else None
+      else listShardHours(fs, path).map { case (h, dir) =>
+        // listShardHours heals crash debris first: an hour whose only
+        // copy sat under `.compact_old_N` must appear in the health
+        // report, not silently vanish from it
+        val files = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (h, files.length.toLong, files.map(_.getLen).sum)
       }
     val metaDf = spark.createDataFrame(meta)
       .toDF("shard_hour", "n_files", "bytes")

@@ -145,6 +145,13 @@ class StoreLifecycleSpec extends AnyFunSuite with SparkSpec {
     val after = Ingest.describeStore(spark, store).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(after(1L) == ((1L, 50L)))
+    // a crashed-rewrite hour (only copy under the aside dir) must appear
+    // in the health report, not silently vanish from it
+    assert(new java.io.File(s"$store/shard_hour=2")
+      .renameTo(new java.io.File(s"$store/.compact_old_2")))
+    val healed = Ingest.describeStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(healed(2L) == 40L, s"crashed hour missing from report: $healed")
   }
 
   test("compactShard retry heals a crash between the two swap renames") {
