@@ -146,6 +146,77 @@ object StreamingIngest {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelEventT(user_id: Long, event_type: String,
+      ts_us: Long, event_time: java.sql.Timestamp)
+  final case class FunnelProgress(stage_idx: Int, reached_at_us: Long)
+  final case class StageReached(user_id: Long, stage_idx: Int, stage: String,
+      reached_at_us: Long)
+
+  /** Streaming conversion funnel — a per-user STAGE MACHINE in
+    * flatMapGroupsWithState: state is (stage reached, when); each batch
+    * folds the user's events in event-time order and emits one
+    * [[StageReached]] row per NEW stage completed (stage i admits an
+    * event of `stages(i)` within `horizonUs` after stage i−1). Counting
+    * emitted rows per stage therefore reproduces the batch
+    * [[graft.operators.Analytics.funnel]] counts over the same closed
+    * data (parity spec). Cross-batch ordering follows arrival: an event
+    * delivered AFTER a later-stage event already advanced the machine
+    * cannot rewind it — the batch operator over the replayed log is the
+    * out-of-order source of truth, same contract as the sessionizer.
+    * State per user is two numbers, and a user whose horizon has passed
+    * without progress can never advance again, so the event-time timeout
+    * evicts it — bounded state on a churning user space. */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
+      horizonUs: Long, watermark: String = "10 minutes"): Dataset[StageReached] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[FunnelEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, StageReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEventT],
+            state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            // watermark passed reached_at + horizon: no admissible event
+            // can advance this user again — drop the state entry
+            state.remove()
+            Iterator.empty
+          } else {
+            val relevant = rows
+              .filter(e => stageIdx.contains(e.event_type))
+              .map(e => (e.ts_us, stageIdx(e.event_type))).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[StageReached]
+            relevant.foreach { case (ts, idx) =>
+              val admissible = cur match {
+                case None => idx == 0
+                case Some(p) => idx == p.stage_idx + 1 &&
+                  ts >= p.reached_at_us && ts <= p.reached_at_us + horizonUs
+              }
+              if (admissible) {
+                cur = Some(FunnelProgress(idx, ts))
+                out += StageReached(userId, idx + 1, stages(idx), ts)
+              }
+            }
+            cur.foreach { p =>
+              state.update(p)
+              if (p.stage_idx < stages.size - 1)
+                state.setTimeoutTimestamp(math.max(
+                  p.reached_at_us / 1000L + horizonUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              else state.setTimeoutTimestamp( // funnel complete: evict asap
+                state.getCurrentWatermarkMs() + 1L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class RatePoint(series: String, ts_us: Long, value: Double)
   final case class RatePointT(series: String, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp)

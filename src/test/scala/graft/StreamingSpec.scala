@@ -133,6 +133,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel stage machine reproduces the batch funnel counts") {
+    import graft.streaming.StreamingIngest.FunnelEvent
+    val src = Files.createTempDirectory("graft_funnel_src_").toString
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.fill(300)(FunnelEvent(
+      rnd.nextInt(12).toLong + 1L, "s" + rnd.nextInt(4), rnd.nextInt(500).toLong * 1000000L))
+    // split by TIME, not arrival: cross-batch delivery is arrival-order,
+    // so exact batch parity needs batches that respect event-time order
+    val (batch1, batch2) = rows.partition(_.ts_us < 250L * 1000000L)
+    batch1.toDS().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stages = Seq("s0", "s1", "s2")
+    val horizon = 120L * 1000000L
+    val q = StreamingIngest.funnelStream(
+        spark.readStream.schema(schema).parquet(src).as[FunnelEvent],
+        stages, horizon, watermark = "3650 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      batch2.toDS().write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_out")
+      .groupBy("stage_idx").agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // NOTE: arrival order == event-time order only within a batch; feed a
+    // batch split that doesn't straddle stage boundaries out of order —
+    // with the fixed seed, verify equality against the batch operator
+    val batchCounts = graft.operators.Analytics.funnel(
+        rows.toDF().select(col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"), lit(1.0).as("value")),
+        stages, horizon)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .filter(_._2 > 0)
+    assert(streamed == batchCounts,
+      s"streamed $streamed vs batch $batchCounts")
+  }
+
   test("late event in a later micro-batch joins the open session without rewinding it") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_late_src_").toString
