@@ -423,6 +423,8 @@ object SparkEntry {
     "q_histogram_quantile" -> ((s, dir) =>
       operators.Analytics.histogramQuantile(Tables.events(s, dir), 0.9,
         Seq(1d, 5d, 10d, 20d, 50d, 100d, 200d, 500d))),
+    "q_pareto" -> ((s, dir) =>
+      operators.Analytics.paretoCurve(Tables.events(s, dir), "purchase")),
     "q_funnel" -> ((s, dir) =>
       operators.Analytics.funnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"), 24L * 3600000000L)),
@@ -1639,6 +1641,27 @@ object SparkEntry {
         |            ELSE lo + (le - lo) * (0.9e0 * total - (cum - cnt)) / cnt
         |       END AS quantile
         |FROM f WHERE rn = 1""".stripMargin,
+    "q_pareto" ->
+      """WITH sp AS (SELECT user_id,
+        |                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |                     AS spend
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT spend,
+        |             row_number() OVER (ORDER BY spend DESC, user_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM sp),
+        |d AS (SELECT CAST(((rn - 1) * 10) // n AS INTEGER) AS decile,
+        |             count(*) AS n_users,
+        |             CAST(sum(spend) AS DECIMAL(18,2)) AS decile_value
+        |      FROM r GROUP BY 1)
+        |SELECT decile, n_users, decile_value,
+        |       CAST(sum(decile_value) OVER (ORDER BY decile
+        |              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_value,
+        |       CAST(CAST(sum(decile_value) OVER (ORDER BY decile
+        |              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) /
+        |         CAST(CAST(sum(decile_value) OVER () AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS cum_share
+        |FROM d""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t FROM e

@@ -310,6 +310,39 @@ object Analytics {
           .as("quantile"))
   }
 
+  /** Pareto / concentration curve: rank users by their total spend on
+    * `eventType` and report, per user-decile, the cumulative share of
+    * total value — "the top 10% of users drive N% of revenue". Exact
+    * DECIMAL spend sums; ranks and decile boundaries are integer
+    * arithmetic; the share divides two exact decimals as doubles once.
+    * One user-keyed aggregation + one ranking window over the bounded
+    * per-user frame. */
+  def paretoCurve(events: DataFrame, eventType: String): DataFrame = {
+    val spend = events.filter(col("event_type") === eventType)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("user_id"))
+    spend
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("((rn - 1) * 10) div n").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("spend")).cast("decimal(18,2)").as("decile_value"))
+      .withColumn("cum_value",
+        sum(col("decile_value")).over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)"))
+      .withColumn("cum_share",
+        col("cum_value").cast("double") /
+          sum(col("decile_value")).over(Window.partitionBy())
+            .cast("decimal(18,2)").cast("double"))
+      .select(col("decile"), col("n_users"), col("decile_value"),
+        col("cum_value"), col("cum_share"))
+  }
+
   /** Ordered conversion funnel: stage 1 admits every user with a
     * `stages(0)` event; stage i admits a stage-(i-1) user whose earliest
     * `stages(i)` event falls within `horizonUs` AFTER their stage-(i-1)
