@@ -84,10 +84,13 @@ object Bench {
     val hotMs = medianMs(21)(hotStart, hotStart + 3600000L)
     val coldMs = medianMs(21)(t0, t0 + 24L * 3600000L)
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the whole line under ~4 KB so a log-capture tail
+    // window holds it intact (r2/r3 captures truncated the 8 KB raw line)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
+    val json = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
       s""""hot_query_ms":${"%.1f".format(hotMs)},""" +

@@ -121,6 +121,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       breakouts(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
   }
 
+  test("paretoCurve: a whale user concentrates share in the top decile") {
+    // 10 users, one spends 90, nine spend 1 each -> with n=10 every user
+    // is their own decile; cumulative share after decile 0 is 90/99
+    val events = ((1 to 9).map(u => (u.toLong, 1.0)) :+ (10L, 90.0))
+      .toDF("user_id", "value")
+      .select(col("user_id"), lit("purchase").as("event_type"),
+        timestamp_micros(col("user_id") * 1000000L).as("ts"), col("value"))
+    val got = Analytics.paretoCurve(events, "purchase")
+      .orderBy("decile").collect()
+    assert(got.length == 10)
+    assert(got(0).getLong(1) == 1L) // one user per decile
+    assert(got(0).getAs[java.math.BigDecimal]("decile_value").doubleValue() == 90.0)
+    assert(math.abs(got(0).getDouble(4) - 90.0 / 99.0) < 1e-12)
+    assert(math.abs(got(9).getDouble(4) - 1.0) < 1e-12, "full curve ends at 1")
+  }
+
   test("anomalyMad flags planted spikes even when multiple outliers inflate the variance") {
     // 20 quiet hours around 10 and TWO huge spikes: the spikes inflate the
     // stddev (masking effect) but not the median/MAD
