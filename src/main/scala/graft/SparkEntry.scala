@@ -176,6 +176,29 @@ object SparkEntry {
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
+    "q_tpch_q4" -> ((s, dir) =>
+      Relational.orderPriorityCheck(Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "1997-01-01 00:00:00", "1997-04-01 00:00:00")),
+    "q_tpch_q7" -> ((s, dir) =>
+      Relational.nationVolumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        "NATION_1", "NATION_2")),
+    "q_tpch_q12" -> ((s, dir) =>
+      Relational.lineStatusPriorityMix(Tables.lineitem(s, dir), Tables.orders(s, dir), 1997)),
+    "q_tpch_q13" -> ((s, dir) =>
+      Relational.customerOrderDistribution(Tables.customer(s, dir), Tables.orders(s, dir),
+        "4-NOT SPECIFIED")),
+    "q_tpch_q15" -> ((s, dir) =>
+      Relational.topSupplierRevenue(Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        "1997-01-01 00:00:00", "1997-04-01 00:00:00")),
+    "q_tpch_q17" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir),
+        "Brand#11")),
+    "q_tpch_q19" -> ((s, dir) =>
+      Relational.bracketedRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_tpch_q22" -> ((s, dir) =>
+      Relational.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.nation(s, dir), Seq(1, 3, 5, 7, 9, 11, 13))),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -922,6 +945,106 @@ object SparkEntry {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE total_qty > 150""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        |   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                  AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11')),
+        |pp AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         count(*) AS n_qty
+        |  FROM bl GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0e0
+        |         AS avg_yearly
+        |FROM bl JOIN pp ON l_partkey = ap_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_qty < sum_qty""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH s AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS n_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |CROSS JOIN s
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -591,6 +591,176 @@ object Relational {
         max(col("third_value")).as("third_value"))
   }
 
+  /** TPC-H Q4 SHAPE (order priority checking; adapted — the synthetic
+    * lineitem has no commit/receipt dates, so "late delivery" becomes
+    * "has a returned line"): orders placed in a quarter with at least one
+    * returned lineitem, counted per priority. The EXISTS subquery is a
+    * left-semi join — shuffles both sides on the orderkey once, never
+    * duplicates orders with many matching lines. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+      qStart: String, qEnd: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q7 shape (volume shipping between two nations): revenue on
+    * lanes where the customer sits in one of the two nations and the
+    * supplier in the other, per (cust nation, supp nation, ship year).
+    * One fact-fact shuffle on the orderkey; customer/supplier joins are
+    * AQE size-based (scale-variant dims, no forced broadcast); the tiny
+    * nation dim IS broadcast, twice, under disambiguating aliases. */
+  def nationVolumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String, nationB: String): DataFrame = {
+    val custNation = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .filter(
+        (col("cust_nation") === nationA && col("supp_nation") === nationB) ||
+          (col("cust_nation") === nationB && col("supp_nation") === nationA))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q12 SHAPE (shipping-mode priority mix; adapted — no l_shipmode
+    * in the synthetic schema, so the grouping key is l_linestatus): per
+    * line status, how many lines of a ship-year belong to critical
+    * (URGENT/HIGH) vs other orders. One shuffle on the orderkey; the
+    * priority split is a pair of conditional counts in one aggregation. */
+  def lineStatusPriorityMix(lineitem: DataFrame, orders: DataFrame,
+      shipYear: Int): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.filter(year(col("l_shipdate")) === shipYear)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): left-outer join
+    * customer→orders (minus one excluded priority class), count orders per
+    * customer — 0 for order-less customers, kept by the outer join — then
+    * histogram the counts. Two shuffles (custkey, then the tiny count
+    * domain); `count(o_orderkey)` counts non-null only, so the outer-join
+    * null rows land in bucket 0 exactly like the SQL COUNT semantics. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludedPriority: String): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= excludedPriority),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape (top supplier): per-supplier revenue over a quarter,
+    * then the supplier(s) achieving the maximum. The max is a 1-row
+    * aggregate broadcast back against the (already supplier-sized) revenue
+    * table; the tie comparison happens on the EXACT decimal sums — the
+    * double cast is applied only to the final output column, so FP
+    * rounding can never manufacture or hide a tie. */
+  def topSupplierRevenue(lineitem: DataFrame, supplier: DataFrame,
+      qStart: String, qEnd: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx_dec"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx_dec"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue; adapted — brand only,
+    * the synthetic part has no container): average yearly revenue lost if
+    * small orders (below 20% of the part's mean quantity) stopped. The
+    * correlated AVG subquery becomes one groupBy over the brand-restricted
+    * lines; the 20%-of-mean predicate is rearranged to
+    * `5 · qty · n < Σqty` so it evaluates in EXACT decimal arithmetic —
+    * no division, no FP threshold ambiguity on either engine. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String): DataFrame = {
+    val brandLines = lineitem.join(
+      part.filter(col("p_brand") === brand).select(col("p_partkey")),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = brandLines.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n_qty"))
+    brandLines
+      .join(perPart, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("n_qty") <
+        col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, OR-of-ANDs over part
+    * attributes): three (brand, size band, quantity band) disjuncts over
+    * the part join. The single OR predicate stays one codegen'd filter
+    * stage; part is joined AQE size-based and the disjunction's shared
+    * `p_size >= 1` style bounds still prune at the scan. */
+  def bracketedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q22 SHAPE (global sales opportunity; adapted — no phone column,
+    * so the country-code prefix becomes a nation-key subset): well-funded
+    * customers (balance above the mean POSITIVE balance) in selected
+    * nations who never ordered, totalled per nation. The scalar AVG
+    * subquery is a 1-row broadcast; the above-average predicate is
+    * rearranged to `bal · n > Σbal` so it compares in EXACT decimal
+    * arithmetic; the NOT EXISTS is a left-anti shuffle on custkey. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, nationKeys: Seq[Int]): DataFrame = {
+    val posStats = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"),
+        count(lit(1)).as("n_bal"))
+    customer
+      .filter(col("c_nationkey").isin(nationKeys: _*))
+      .crossJoin(broadcast(posStats))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("n_bal") > col("sum_bal"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Skew-safe two-phase aggregation (salting pattern): spray hot keys over
     * `salt` sub-keys for the partial phase, then merge. Results identical to
     * the direct aggregation — exercised as the at-scale plan for skewed

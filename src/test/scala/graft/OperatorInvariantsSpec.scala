@@ -350,6 +350,61 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
   }
 
+  test("TPC-H shapes: Q12 counts partition the year, Q13 distribution covers " +
+      "every customer, Q15 winners hold the max, Q22 nations stay in the subset") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    // Q12: high + low must tile exactly the 1997-shipped lines with an order
+    val q12 = SparkEntry.queries("q_tpch_q12")(spark, sf0001).collect()
+    val lines1997 = Tables.lineitem(spark, sf0001)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(q12.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum == lines1997)
+    // Q13: the distribution's custdist column must sum to |customer|
+    val q13 = SparkEntry.queries("q_tpch_q13")(spark, sf0001).collect()
+    assert(q13.map(_.getAs[Long]("custdist")).sum ==
+      Tables.customer(spark, sf0001).count())
+    // Q13's zero bucket is exactly the customers the outer join preserved
+    // with no qualifying order (absent bucket == zero such customers)
+    val zeroBucket = q13.find(_.getAs[Long]("c_count") == 0L)
+      .map(_.getAs[Long]("custdist")).getOrElse(0L)
+    val orderless = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zeroBucket == orderless)
+    // Q15: at least one winner, and no other supplier strictly beats it
+    val q15 = SparkEntry.queries("q_tpch_q15")(spark, sf0001).collect()
+    assert(q15.nonEmpty)
+    val winner = q15.map(_.getAs[Double]("total_revenue")).max
+    val bestAnywhere = Relational.topSupplierRevenue(
+      Tables.lineitem(spark, sf0001), Tables.supplier(spark, sf0001),
+      "1997-01-01 00:00:00", "1997-04-01 00:00:00")
+      .agg(max(col("total_revenue"))).head().getDouble(0)
+    assert(winner == bestAnywhere)
+    // Q22: only the configured nation keys can appear, and counts are positive
+    val allowed = Seq(1, 3, 5, 7, 9, 11, 13).map(k => s"NATION_$k").toSet
+    val q22 = SparkEntry.queries("q_tpch_q22")(spark, sf0001).collect()
+    assert(q22.forall(r => allowed.contains(r.getAs[String]("n_name"))))
+    assert(q22.forall(_.getAs[Long]("numcust") > 0))
+    // Q17's rearranged predicate (5·qty·n < Σqty) keeps only below-20%-of-mean
+    // lines: recompute the threshold the naive way and compare the revenue
+    val q17 = SparkEntry.queries("q_tpch_q17")(spark, sf0001).head()
+    val li = Tables.lineitem(spark, sf0001)
+    val pk = Tables.part(spark, sf0001).filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"))
+    val bl = li.join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+    val withAvg = bl.groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("avg_q"))
+    val naive = bl.join(withAvg, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).as("v")).head().getAs[Double]("v")
+    assert(math.abs(q17.getAs[Double]("avg_yearly") - naive) < 1e-6)
+  }
+
   test("chunking covers every token: stride starts, bounded sizes, full tail") {
     // assert against the SAME parameters the declared query uses (pinned
     // here so a drive-by constant change forces this spec to be revisited)
