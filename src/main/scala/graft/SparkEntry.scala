@@ -199,6 +199,12 @@ object SparkEntry {
     "q_tpch_q22" -> ((s, dir) =>
       Relational.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.nation(s, dir), Seq(1, 3, 5, 7, 9, 11, 13))),
+    "q_tpch_q8" -> ((s, dir) =>
+      Relational.nationMarketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), "NATION_3", "ASIA")),
+    "q_transition_matrix" -> ((s, dir) =>
+      operators.Analytics.transitionMatrix(Tables.events(s, dir))),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -328,6 +334,8 @@ object SparkEntry {
     "q_hash_split" -> ((s, dir) =>
       operators.Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 80, 10)
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+    "q_split_drift" -> ((s, dir) =>
+      operators.Sampling.splitDrift(Tables.documents(s, dir), "doc_id", "source", 80, 10)),
     "q_stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedSample(
         Tables.events(s, dir), "event_type", "event_id", StratifiedK)
@@ -1045,6 +1053,41 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate) AS l_year, sn.n_name AS supp_nation,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        JOIN region ON n_regionkey = r_regionkey
+        |                        WHERE r_name = 'ASIA')),
+        |a AS (
+        |  SELECT l_year,
+        |         CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+        |         CAST(sum(rev) AS DOUBLE) AS total_rev
+        |  FROM base GROUP BY 1)
+        |SELECT l_year, nation_rev / total_rev AS mkt_share, nation_rev, total_rev
+        |FROM a
+        |ORDER BY l_year""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |       CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+        |         AS prob
+        |FROM c""".stripMargin,
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -1361,6 +1404,31 @@ object SparkEntry {
          |FROM (SELECT ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
+    "q_split_drift" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |         ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents),
+         |per AS (
+         |  SELECT source AS cat,
+         |         CAST(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+         |         CAST(sum(CASE WHEN b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS val_n
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(sum(train_n) AS BIGINT) AS ttot,
+         |               CAST(sum(val_n) AS BIGINT) AS vtot,
+         |               count(*) AS n_cats FROM per),
+         |d AS (SELECT cat,
+         |             abs(CAST(train_n AS DOUBLE) / CAST(ttot AS DOUBLE) -
+         |                 CAST(val_n AS DOUBLE) / CAST(vtot AS DOUBLE)) AS diff
+         |      FROM per CROSS JOIN tot)
+         |SELECT (SELECT n_cats FROM tot) AS n_cats,
+         |       CASE WHEN (SELECT ttot FROM tot) = 0 OR (SELECT vtot FROM tot) = 0
+         |            THEN NULL
+         |            ELSE 0.5e0 * list_reduce(
+         |                   list_prepend(CAST(0.0 AS DOUBLE), list(diff ORDER BY cat)),
+         |                   (acc, x) -> acc + x)
+         |       END AS tv_distance
+         |FROM d""".stripMargin,
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          |c AS (SELECT doc_id, s,

@@ -370,4 +370,27 @@ object Analytics {
           col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** First-order Markov transition matrix over per-user event journeys:
+    * for each (from, to) event-type pair, the number of adjacent
+    * occurrences and the row-normalized transition probability. One
+    * window pass keyed on the user (adjacency = lead over (ts, event_id)
+    * total order), one hash aggregation over the tiny type×type domain;
+    * the row total rides a second window over that already-aggregated
+    * matrix, so nothing bigger than |types|² is ever re-shuffled. The
+    * probability is a SINGLE long/long IEEE division — bit-identical on
+    * any engine. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTot = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wTot))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("prob"))
+  }
 }

@@ -638,6 +638,40 @@ object Relational {
       .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
   }
 
+  /** TPC-H Q8 shape (national market share): for each ship year, the
+    * share of revenue billed to one region's customers that came from one
+    * nation's suppliers. One fact-fact shuffle on the orderkey;
+    * customer/supplier joins AQE size-based; the two nation legs and the
+    * region leg broadcast under disambiguating aliases. Numerator and
+    * denominator accumulate as exact decimals; the share is one double
+    * division at the end. */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, suppNation: String, regionName: String): DataFrame = {
+    val custSide = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("n_nationkey").as("cn_key"))
+    val suppSide = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custSide), col("c_nationkey") === col("cn_key"), "left_semi")
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppSide), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum(when(col("supp_nation") === suppNation, rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .select(col("l_year"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"),
+        col("nation_rev"), col("total_rev"))
+      .orderBy(col("l_year"))
+  }
+
   /** TPC-H Q12 SHAPE (shipping-mode priority mix; adapted — no l_shipmode
     * in the synthetic schema, so the grouping key is l_linestatus): per
     * line status, how many lines of a ship-year belong to critical

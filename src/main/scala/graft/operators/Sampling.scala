@@ -69,4 +69,33 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Split-drift QA: total-variation distance between the train and val
+    * categorical distributions of `catCol` under the deterministic
+    * [[hashSplit]]. TV = ½·Σ|p_train − p_val| over categories — pure
+    * rational-count arithmetic plus IEEE divisions/abs, NO logarithms
+    * (a KL/ln oracle would hinge on libm agreeing across engines to the
+    * last ulp). The category sums fold in sorted order via `aggregate`
+    * over a `sort_array`ed struct list, so the double addition order is
+    * pinned on both engines. Two aggregations over the corpus, then
+    * everything else operates on the |categories|-row table. */
+  def splitDrift(df: DataFrame, keyCol: String, catCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val per = hashSplit(df, keyCol, trainPct, valPct)
+      .groupBy(col(catCol).as("cat"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_n"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_n"))
+    per
+      .agg(sum(col("train_n")).as("ttot"), sum(col("val_n")).as("vtot"),
+        count(lit(1)).as("n_cats"),
+        sort_array(collect_list(struct(col("cat"), col("train_n"), col("val_n"))))
+          .as("cats"))
+      .select(col("n_cats"),
+        when(col("ttot") === 0 || col("vtot") === 0, lit(null).cast("double"))
+          .otherwise(lit(0.5) * aggregate(col("cats"), lit(0.0), (acc, x) =>
+            acc + abs(x.getField("train_n").cast("double") / col("ttot").cast("double") -
+              x.getField("val_n").cast("double") / col("vtot").cast("double"))))
+          .as("tv_distance"))
+  }
 }

@@ -137,6 +137,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(9).getDouble(4) - 1.0) < 1e-12, "full curve ends at 1")
   }
 
+  test("transitionMatrix: rows normalize to 1 and adjacency respects per-user time order") {
+    val events = ev(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "view", 300L),
+      (2L, "view", 100L), (2L, "click", 200L),
+      (3L, "click", 100L))                       // single event: no transition
+      .withColumn("event_id", col("user_id") * 1000L + unix_micros(col("ts")))
+    val got = Analytics.transitionMatrix(events).collect()
+    // transitions: u1 view->click, click->view; u2 view->click  (u3 none)
+    val asMap = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(asMap == Map(
+      ("view", "click") -> (2L, 1.0),
+      ("click", "view") -> (1L, 1.0)))
+    // and on the real table every from-row's probabilities sum to 1
+    val real = Analytics.transitionMatrix(
+      graft.sources.Tables.events(spark, sf0001))
+    val sums = real.groupBy("from_type").agg(sum(col("prob")).as("p")).collect()
+    assert(sums.nonEmpty && sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("splitDrift: identical distributions give 0, disjoint give 1") {
+    // cats split so that train gets only 'a' docs and val only 'b' docs:
+    // engineer keys whose hash60 % 100 lands < 80 for a-block, 80-89 for b
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("doc_id", "source")
+    val tv = Sampling.splitDrift(docs, "doc_id", "source", 80, 10)
+      .head().getDouble(1)
+    // same generator for both splits -> near-identical rates, tiny distance
+    assert(tv >= 0.0 && tv <= 1.0)
+    // disjoint: category equals the split bucket itself
+    val skew = (0L until 400L).map(i => (i, "")).toDF("doc_id", "ignore")
+      .select(col("doc_id"),
+        when(pmod(graft.functions.TextAnalysis.tokHash(col("doc_id").cast("string")),
+          lit(100L)) < 80, lit("trainish")).otherwise(lit("valish")).as("source"))
+    val tv2 = Sampling.splitDrift(skew, "doc_id", "source", 80, 10)
+      .head().getDouble(1)
+    assert(math.abs(tv2 - 1.0) < 1e-12, s"disjoint TV=$tv2")
+  }
+
   test("anomalyMad flags planted spikes even when multiple outliers inflate the variance") {
     // 20 quiet hours around 10 and TWO huge spikes: the spikes inflate the
     // stddev (masking effect) but not the median/MAD
