@@ -28,6 +28,7 @@ object SparkEntry {
   private val LimitCap   = 500
   private val ShipBefore = "2000-01-01 00:00:00"
   private val NgramN        = 3
+  private val LttbOut       = 50
   private val MinJaccard    = 0.3
   // Shingle DF cap for q_ngram_jaccard, set LOW so the cap path actually
   // engages at verify scale (sf0.01 max df is 7; cap=5 drops ~29 shingles
@@ -205,6 +206,8 @@ object SparkEntry {
         Tables.region(s, dir), "NATION_3", "ASIA")),
     "q_transition_matrix" -> ((s, dir) =>
       operators.Analytics.transitionMatrix(Tables.events(s, dir))),
+    "q_lttb" -> ((s, dir) =>
+      TimeSeries.lttb(Tables.events(s, dir), LttbOut)),
     "q_join_segment_revenue" -> ((s, dir) =>
       Relational.segmentRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_star_join_region" -> ((s, dir) =>
@@ -1088,6 +1091,57 @@ object SparkEntry {
         |       CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
         |         AS prob
         |FROM c""".stripMargin,
+    "q_lttb" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY epoch_us(ts), event_id) AS rk,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |small AS (SELECT event_type, ts_us, value FROM e WHERE n <= $LttbOut),
+         |firstpt AS (SELECT event_type, CAST(ts_us AS DOUBLE) AS fx, value AS fy
+         |            FROM e WHERE n > $LttbOut AND rk = 1),
+         |lastpt AS (SELECT event_type, CAST(ts_us AS DOUBLE) AS lx, value AS ly
+         |           FROM e WHERE n > $LttbOut AND rk = n),
+         |mid AS (SELECT event_type, ts_us, event_id, value,
+         |               ((rk - 2) * ${LttbOut - 2}) // (n - 2) AS bucket
+         |        FROM e WHERE n > $LttbOut AND rk > 1 AND rk < n),
+         |buck AS (
+         |  SELECT event_type, bucket,
+         |         list([CAST(ts_us AS DOUBLE), value] ORDER BY ts_us, event_id) AS pts,
+         |         CAST(sum(ts_us) AS DOUBLE) / count(*) AS ax,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list(value ORDER BY ts_us, event_id)), (a, x) -> a + x)
+         |           / count(*) AS ay
+         |  FROM mid GROUP BY 1, 2),
+         |nb AS (
+         |  SELECT b.event_type, b.bucket, b.pts,
+         |         coalesce(lead(ax) OVER (PARTITION BY b.event_type ORDER BY bucket),
+         |                  l.lx) AS nax,
+         |         coalesce(lead(ay) OVER (PARTITION BY b.event_type ORDER BY bucket),
+         |                  l.ly) AS nay
+         |  FROM buck b JOIN lastpt l ON b.event_type = l.event_type),
+         |walk(event_type, bucket, px, py) AS (
+         |  SELECT event_type, CAST(-1 AS BIGINT), fx, fy FROM firstpt
+         |  UNION ALL
+         |  SELECT nx.event_type, nx.bucket,
+         |    list_reduce(list_transform(nx.pts, p ->
+         |        [p[1], p[2],
+         |         abs((w.px - nx.nax) * (p[2] - w.py) -
+         |             (w.px - p[1]) * (nx.nay - w.py))]),
+         |      (a, x) -> CASE WHEN x[3] > a[3] THEN x ELSE a END)[1],
+         |    list_reduce(list_transform(nx.pts, p ->
+         |        [p[1], p[2],
+         |         abs((w.px - nx.nax) * (p[2] - w.py) -
+         |             (w.px - p[1]) * (nx.nay - w.py))]),
+         |      (a, x) -> CASE WHEN x[3] > a[3] THEN x ELSE a END)[2]
+         |  FROM walk w JOIN nb nx ON nx.event_type = w.event_type
+         |                        AND nx.bucket = w.bucket + 1)
+         |SELECT event_type, ts_us, value FROM small
+         |UNION ALL
+         |SELECT event_type, CAST(px AS BIGINT) AS ts_us, py AS value FROM walk
+         |UNION ALL
+         |SELECT event_type, CAST(lx AS BIGINT) AS ts_us, ly AS value FROM lastpt""".stripMargin,
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

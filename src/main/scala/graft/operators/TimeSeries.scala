@@ -436,4 +436,115 @@ object TimeSeries {
         count(lit(1)).as("n_points"))
       .orderBy(col("avg_value").desc, col("bucket_us"))
       .limit(k)
+
+  /** LTTB (largest-triangle-three-buckets, Steinarsson 2013) downsampling —
+    * THE visualization-grade TSDB downsampler: keep the first and last
+    * point of each series, split the middle into `nOut − 2` buckets, and
+    * from each bucket keep the point forming the largest triangle with the
+    * previously KEPT point and the NEXT bucket's centroid.
+    *
+    * Distribution strategy: the heavy lifting — bucket assignment (pure
+    * integer arithmetic over the per-series rank) and per-bucket point
+    * collection/centroids — is ordinary partitioned window + hash-agg work
+    * that scales with the fact table. Only the inherently SEQUENTIAL
+    * selection walk folds per series, over an already-reduced array of
+    * `nOut − 2` bucket structs (one row per series, ~nOut·avg-bucket
+    * points), via `aggregate` — never the raw series on the driver.
+    *
+    * Oracle determinism: x distances are exact (epoch-µs longs < 2⁵³ cast
+    * to double); centroid x uses an exact decimal sum → one double cast →
+    * one division; centroid y folds in (ts, event_id) sorted order; the
+    * triangle area is the same abs(cross-product) expression on both
+    * engines; ties take the earliest point (strict `>` on the running
+    * max). DuckDB mirrors the walk with a recursive CTE + list-fold argmax.
+    *
+    * Series whose length is ≤ `nOut` pass through unchanged (standard LTTB
+    * contract).
+    *
+    * Scale assumption: the rank window sorts each SERIES in one task (the
+    * normal TSDB shape — many series, each task-sized). A single
+    * billions-of-points series would need time-range pre-bucketing in
+    * place of the rank — same walk, different bucket key. */
+  def lttb(events: DataFrame, nOut: Int): DataFrame = {
+    require(nOut >= 3, s"LTTB needs nOut >= 3, got $nOut")
+    val wSer = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val base = events
+      .select(col("event_type"), tsUs(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(wSer).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+    val small = base.filter(col("n") <= nOut)
+      .select(col("event_type"), col("ts_us"), col("value"))
+    val big = base.filter(col("n") > nOut)
+
+    // middle points -> buckets 0 .. nOut-3 (floor arithmetic, never empty
+    // because n-2 > nOut-2); first/last kept outside the walk
+    val mid = big.filter(col("rk") > 1 && col("rk") < col("n"))
+      .withColumn("bucket",
+        expr(s"((rk - 2) * ${nOut - 2}) div (n - 2)"))
+    val bucketed = mid
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("ts_us"), col("event_id"), col("value")))).as("pts"),
+        (sum(col("ts_us").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).as("ax"),
+        count(lit(1)).as("cnt"))
+      .withColumn("ay",
+        aggregate(transform(col("pts"), p => p.getField("value")),
+          lit(0.0), (acc, y) => acc + y) / col("cnt"))
+    val firstPt = big.filter(col("rk") === 1).select(col("event_type"),
+      col("ts_us").cast("double").as("fx"), col("value").as("fy"))
+    val lastPt = big.filter(col("rk") === col("n")).select(col("event_type"),
+      col("ts_us").cast("double").as("lx"), col("value").as("ly"))
+
+    // next-bucket centroid; the LAST bucket aims at the series' last point
+    val wBuck = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val withNext = bucketed
+      .join(lastPt, "event_type")
+      .withColumn("nax", coalesce(lead(col("ax"), 1).over(wBuck), col("lx")))
+      .withColumn("nay", coalesce(lead(col("ay"), 1).over(wBuck), col("ly")))
+
+    // one row per series: ordered bucket structs + endpoints, then the walk
+    val perSeries = withNext
+      .groupBy(col("event_type"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("bucket"), col("pts"), col("nax"), col("nay")))).as("bs"),
+        first(col("lx")).as("lx"), first(col("ly")).as("ly"))
+      .join(firstPt, "event_type")
+    val point = (x: Column, y: Column) => struct(x.as("x"), y.as("y"))
+    val walked = perSeries.select(
+      col("event_type"),
+      concat(
+        aggregate(
+          col("bs"),
+          array(point(col("fx"), col("fy"))),
+          (acc, b) => {
+            val prev = element_at(acc, -1)
+            val best = aggregate(
+              b.getField("pts"),
+              struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(-1.0).as("a")),
+              (bst, p) => {
+                val px = p.getField("ts_us").cast("double")
+                val py = p.getField("value")
+                val area = abs(
+                  (prev.getField("x") - b.getField("nax")) *
+                    (py - prev.getField("y")) -
+                    (prev.getField("x") - px) *
+                      (b.getField("nay") - prev.getField("y")))
+                when(area > bst.getField("a"),
+                  struct(px.as("x"), py.as("y"), area.as("a"))).otherwise(bst)
+              })
+            concat(acc, array(point(best.getField("x"), best.getField("y"))))
+          }),
+        array(point(col("lx"), col("ly")))).as("sel"))
+    val bigOut = walked
+      .select(col("event_type"), explode(col("sel")).as("p"))
+      .select(col("event_type"),
+        col("p.x").cast("long").as("ts_us"), col("p.y").as("value"))
+    small.unionByName(bigOut)
+  }
 }

@@ -405,6 +405,63 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(q17.getAs[Double]("avg_yearly") - naive) < 1e-6)
   }
 
+  test("lttb matches a sequential reference walk on seeded series and passes " +
+      "small series through unchanged") {
+    import spark.implicits._
+    // independent single-threaded LTTB (Steinarsson 2013) over one series
+    def lttbRef(pts: IndexedSeq[(Long, Double)], nOut: Int): Seq[(Long, Double)] = {
+      val n = pts.length
+      if (n <= nOut) return pts
+      val mid = pts.slice(1, n - 1)
+      def bucketOf(i: Int): Int = ((i.toLong * (nOut - 2)) / (n - 2)).toInt
+      val buckets = (0 until nOut - 2).map(b =>
+        mid.zipWithIndex.filter(z => bucketOf(z._2) == b).map(_._1))
+      var prev = pts.head
+      val sel = scala.collection.mutable.Buffer(pts.head)
+      for (bi <- 0 until nOut - 2) {
+        val (nax, nay) =
+          if (bi + 1 < nOut - 2) {
+            val nx = buckets(bi + 1)
+            // exact integer ts sum -> one double cast (mirrors the operator's
+            // decimal sum: FP-summing ~1.7e15-µs stamps would drop bits)
+            (nx.map(p => BigInt(p._1)).sum.toDouble / nx.size,
+              nx.map(_._2).sum / nx.size)
+          } else (pts.last._1.toDouble, pts.last._2)
+        var best = buckets(bi).head
+        var bestA = -1.0
+        for (p <- buckets(bi)) {
+          val area = math.abs(
+            (prev._1.toDouble - nax) * (p._2 - prev._2) -
+              (prev._1.toDouble - p._1.toDouble) * (nay - prev._2))
+          if (area > bestA) { bestA = area; best = p }
+        }
+        sel += best
+        prev = best
+      }
+      (sel += pts.last).toSeq
+    }
+    val rng = new scala.util.Random(7)
+    val series = (0 until 500).map(i =>
+      (1700000000000000L + i * 1000000L + rng.nextInt(1000), rng.nextDouble() * 100))
+    val df = series.zipWithIndex
+      .map { case ((t, v), i) => ("cpu", t, i.toLong, v) }
+      .toDF("event_type", "ts_us", "event_id", "value")
+      .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("value"))
+    val got = graft.operators.TimeSeries.lttb(df, 20)
+      .orderBy("ts_us").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val want = lttbRef(series.sortBy(_._1).toIndexedSeq, 20)
+    assert(got.length == 20)
+    assert(got == want)
+    // endpoints always survive
+    assert(got.head == want.head && got.last == want.last)
+    // short series: unchanged (multiset)
+    val shortDf = df.limit(15)
+    val round = graft.operators.TimeSeries.lttb(shortDf, 20).count()
+    assert(round == 15)
+  }
+
   test("chunking covers every token: stride starts, bounded sizes, full tail") {
     // assert against the SAME parameters the declared query uses (pinned
     // here so a drive-by constant change forces this spec to be revisited)
