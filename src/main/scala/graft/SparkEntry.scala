@@ -486,7 +486,7 @@ object SparkEntry {
         docs.filter(col("source") === "src0"), n = 4)
     }),
     "q_inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(Tables.documents(s, dir), minDf = 100,
+      TextAnalysis.invertedIndexPostings(Tables.documents(s, dir), minDf = 100,
         maxPostings = 100)),
     "q_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(Tables.documents(s, dir), 30)),
@@ -498,7 +498,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("priority"))),
 
     "q_label_centroids" -> ((s, dir) =>
-      Similarity.labelCentroids(Tables.embeddings(s, dir))),
+      Similarity.labelCentroidRows(Tables.embeddings(s, dir))),
     "q_pq_topk" -> ((s, dir) =>
       Similarity.pqAnnTopK(Tables.embeddings(s, dir), QueryVecId,
         m = 4, kCent = 8, rerank = 50, k = TopKSim)),
@@ -1092,56 +1092,71 @@ object SparkEntry {
         |         AS prob
         |FROM c""".stripMargin,
     "q_lttb" ->
+      // exact-integer argmax score mirroring TimeSeries.lttb: x as µs
+      // offsets from the series origin, y scaled ×100 (2-decimal data),
+      // HUGEINT products, ONE double cast; the per-bucket argmax is a
+      // LATERAL ORDER BY ... LIMIT 1 (score DESC, ts ASC = the fold's
+      // first-wins tie rule). NO lambdas anywhere: DuckDB 1.x evaluates
+      // outer-correlated columns inside list_transform/list_reduce
+      // lambdas in a recursive CTE nondeterministically under
+      // multi-threading (garbage values, intermittent cast errors —
+      // reproduced 24×; the LATERAL form is hash-stable at any thread
+      // count)
       s"""WITH RECURSIVE e AS (
          |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
          |         row_number() OVER (PARTITION BY event_type
          |                            ORDER BY epoch_us(ts), event_id) AS rk,
-         |         count(*) OVER (PARTITION BY event_type) AS n
+         |         count(*) OVER (PARTITION BY event_type) AS n,
+         |         min(epoch_us(ts)) OVER (PARTITION BY event_type) AS fts
          |  FROM events),
          |small AS (SELECT event_type, ts_us, value FROM e WHERE n <= $LttbOut),
-         |firstpt AS (SELECT event_type, CAST(ts_us AS DOUBLE) AS fx, value AS fy
+         |firstpt AS (SELECT event_type, ts_us AS fx, value AS fy
          |            FROM e WHERE n > $LttbOut AND rk = 1),
-         |lastpt AS (SELECT event_type, CAST(ts_us AS DOUBLE) AS lx, value AS ly
+         |lastpt AS (SELECT event_type, ts_us AS lx, value AS ly, fts
          |           FROM e WHERE n > $LttbOut AND rk = n),
-         |mid AS (SELECT event_type, ts_us, event_id, value,
+         |mid AS (SELECT event_type, ts_us, event_id, value, fts,
          |               ((rk - 2) * ${LttbOut - 2}) // (n - 2) AS bucket
          |        FROM e WHERE n > $LttbOut AND rk > 1 AND rk < n),
          |buck AS (
          |  SELECT event_type, bucket,
-         |         list([CAST(ts_us AS DOUBLE), value] ORDER BY ts_us, event_id) AS pts,
-         |         CAST(sum(ts_us) AS DOUBLE) / count(*) AS ax,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             list(value ORDER BY ts_us, event_id)), (a, x) -> a + x)
-         |           / count(*) AS ay
+         |         CAST(sum(ts_us - fts) AS HUGEINT) AS sx,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sy,
+         |         count(*) AS cnt
          |  FROM mid GROUP BY 1, 2),
          |nb AS (
-         |  SELECT b.event_type, b.bucket, b.pts,
-         |         coalesce(lead(ax) OVER (PARTITION BY b.event_type ORDER BY bucket),
-         |                  l.lx) AS nax,
-         |         coalesce(lead(ay) OVER (PARTITION BY b.event_type ORDER BY bucket),
-         |                  l.ly) AS nay
-         |  FROM buck b JOIN lastpt l ON b.event_type = l.event_type),
+         |  SELECT b.event_type, b.bucket, l.fts,
+         |         coalesce(lead(sx) OVER win,
+         |                  CAST(l.lx - l.fts AS HUGEINT)) AS nsx,
+         |         coalesce(lead(sy) OVER win,
+         |                  CAST(round(l.ly * 100) AS HUGEINT)) AS nsy,
+         |         coalesce(lead(cnt) OVER win, 1) AS ncnt
+         |  FROM buck b JOIN lastpt l ON b.event_type = l.event_type
+         |  WINDOW win AS (PARTITION BY b.event_type ORDER BY bucket)),
          |walk(event_type, bucket, px, py) AS (
          |  SELECT event_type, CAST(-1 AS BIGINT), fx, fy FROM firstpt
          |  UNION ALL
-         |  SELECT nx.event_type, nx.bucket,
-         |    list_reduce(list_transform(nx.pts, p ->
-         |        [p[1], p[2],
-         |         abs((w.px - nx.nax) * (p[2] - w.py) -
-         |             (w.px - p[1]) * (nx.nay - w.py))]),
-         |      (a, x) -> CASE WHEN x[3] > a[3] THEN x ELSE a END)[1],
-         |    list_reduce(list_transform(nx.pts, p ->
-         |        [p[1], p[2],
-         |         abs((w.px - nx.nax) * (p[2] - w.py) -
-         |             (w.px - p[1]) * (nx.nay - w.py))]),
-         |      (a, x) -> CASE WHEN x[3] > a[3] THEN x ELSE a END)[2]
-         |  FROM walk w JOIN nb nx ON nx.event_type = w.event_type
-         |                        AND nx.bucket = w.bucket + 1)
+         |  SELECT w.event_type, nx.bucket, best.x, best.y
+         |  FROM walk w
+         |  JOIN nb nx ON nx.event_type = w.event_type
+         |            AND nx.bucket = w.bucket + 1,
+         |  LATERAL (
+         |    SELECT m.ts_us AS x, m.value AS y
+         |    FROM mid m
+         |    WHERE m.event_type = nx.event_type AND m.bucket = nx.bucket
+         |    ORDER BY CAST(abs(
+         |        (CAST(w.px - nx.fts AS HUGEINT) * nx.ncnt - nx.nsx) *
+         |          (CAST(round(m.value * 100) AS HUGEINT) -
+         |           CAST(round(w.py * 100) AS HUGEINT)) -
+         |        (CAST(w.px - nx.fts AS HUGEINT) -
+         |         CAST(m.ts_us - nx.fts AS HUGEINT)) *
+         |          (nx.nsy - nx.ncnt * CAST(round(w.py * 100) AS HUGEINT))
+         |      ) AS DOUBLE) DESC, m.ts_us ASC
+         |    LIMIT 1) best)
          |SELECT event_type, ts_us, value FROM small
          |UNION ALL
-         |SELECT event_type, CAST(px AS BIGINT) AS ts_us, py AS value FROM walk
+         |SELECT event_type, px AS ts_us, py AS value FROM walk
          |UNION ALL
-         |SELECT event_type, CAST(lx AS BIGINT) AS ts_us, ly AS value FROM lastpt""".stripMargin,
+         |SELECT event_type, lx AS ts_us, ly AS value FROM lastpt""".stripMargin,
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -1153,28 +1168,40 @@ object SparkEntry {
         |pr0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes, nn),
         |c1 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |s1 AS (SELECT dst,
+        |p1 AS (SELECT dst, src % 64 AS salt,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS psum
+        |      FROM c1 GROUP BY 1, 2),
+        |s1 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
-        |      FROM c1 GROUP BY 1),
+        |      FROM p1 GROUP BY 1),
         |pr1 AS (SELECT n.node,
         |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s1 s ON s.dst = n.node),
         |c2 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |s2 AS (SELECT dst,
+        |p2 AS (SELECT dst, src % 64 AS salt,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS psum
+        |      FROM c2 GROUP BY 1, 2),
+        |s2 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
-        |      FROM c2 GROUP BY 1),
+        |      FROM p2 GROUP BY 1),
         |pr2 AS (SELECT n.node,
         |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s2 s ON s.dst = n.node),
         |c3 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |s3 AS (SELECT dst,
+        |p3 AS (SELECT dst, src % 64 AS salt,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |                         (acc, x) -> acc + x) AS psum
+        |      FROM c3 GROUP BY 1, 2),
+        |s3 AS (SELECT dst,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
-        |      FROM c3 GROUP BY 1),
+        |      FROM p3 GROUP BY 1),
         |pr3 AS (SELECT n.node,
         |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node)
@@ -1725,7 +1752,7 @@ object SparkEntry {
         |st AS (SELECT event_type, count(*) AS n, CAST(sum(s) AS DOUBLE) AS sx,
         |              CAST(sum(s * s) AS DOUBLE) AS sxx
         |       FROM h GROUP BY 1)
-        |SELECT event_type, bucket_us, s AS hourly_sum,
+        |SELECT event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
         |       (CAST(s AS DOUBLE) - sx / n) /
         |         sqrt((sxx - sx * sx / n) / (n - 1)) AS zscore
         |FROM h JOIN st USING (event_type)
@@ -1752,7 +1779,7 @@ object SparkEntry {
         |mad AS (SELECT event_type,
         |               max(CASE WHEN rn2 = (n2 * 50 + 99) // 100 THEN dev END) AS mad
         |        FROM r2 GROUP BY 1)
-        |SELECT d.event_type, bucket_us, s AS hourly_sum,
+        |SELECT d.event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
         |       CAST(s - med AS DOUBLE) / (1.4826e0 * CAST(mad AS DOUBLE)) AS robust_z
         |FROM d JOIN mad USING (event_type)
         |WHERE mad > 0
@@ -1784,7 +1811,8 @@ object SparkEntry {
         |                            list(detr ORDER BY bucket_us)),
         |                          (acc, x) -> acc + x) / count(*) AS seasonal
         |       FROM t2 WHERE detr IS NOT NULL GROUP BY 1, 2)
-        |SELECT t2.event_type, bucket_us, s AS hourly_sum, trend, seasonal,
+        |SELECT t2.event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
+        |       trend, seasonal,
         |       detr - seasonal AS residual
         |FROM t2 LEFT JOIN se USING (event_type, hod)""".stripMargin,
     "q_cusum" ->
@@ -1800,17 +1828,17 @@ object SparkEntry {
         |      FROM h JOIN tot USING (event_type)
         |      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
         |                    ROWS UNBOUNDED PRECEDING))
-        |SELECT event_type, bucket_us, s AS hourly_sum, cusum,
+        |SELECT event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum, cusum,
         |       abs(cusum) AS cusum_abs
         |FROM c""".stripMargin,
     "q_rolling_median" ->
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
         |           FROM events GROUP BY 1, 2)
-        |SELECT event_type, bucket_us, s AS hourly_sum,
-        |       (list_sort(list(s) OVER fr))[
+        |SELECT event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
+        |       CAST((list_sort(list(s) OVER fr))[
         |         CAST((count(*) OVER fr * 50 + 99) // 100 AS INTEGER)]
-        |         AS rolling_median
+        |         AS DOUBLE) AS rolling_median
         |FROM h WHERE s IS NOT NULL
         |WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
         |              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -1825,7 +1853,7 @@ object SparkEntry {
         |      FROM h
         |      WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
         |                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, bucket_us, s AS hourly_sum,
+        |SELECT event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
         |       CASE WHEN n < 24 THEN NULL ELSE sx / n END AS mean_w,
         |       CASE WHEN n < 24 OR (sxx - sx * sx / n) / (n - 1) <= 0 THEN NULL
         |            ELSE sqrt((sxx - sx * sx / n) / (n - 1)) END AS sd_w,
@@ -1899,9 +1927,10 @@ object SparkEntry {
         |             count(*) AS n_users,
         |             CAST(sum(spend) AS DECIMAL(18,2)) AS decile_value
         |      FROM r GROUP BY 1)
-        |SELECT decile, n_users, decile_value,
-        |       CAST(sum(decile_value) OVER (ORDER BY decile
-        |              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_value,
+        |SELECT decile, n_users, CAST(decile_value AS DOUBLE) AS decile_value,
+        |       CAST(CAST(sum(decile_value) OVER (ORDER BY decile
+        |              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS cum_value,
         |       CAST(CAST(sum(decile_value) OVER (ORDER BY decile
         |              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) /
         |         CAST(CAST(sum(decile_value) OVER () AS DECIMAL(18,2)) AS DOUBLE)
@@ -1972,10 +2001,13 @@ object SparkEntry {
          |SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (h)""".stripMargin,
     "q_inverted_index" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents)
-        |SELECT term, count(*) AS df,
-        |       (list(doc_id ORDER BY doc_id))[1:100] AS postings
-        |FROM tok GROUP BY term HAVING count(*) >= 100""".stripMargin,
+        |             FROM documents),
+        |r AS (SELECT term, doc_id,
+        |             count(*) OVER (PARTITION BY term) AS df,
+        |             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rank
+        |      FROM tok)
+        |SELECT term, df, rank, doc_id FROM r
+        |WHERE df >= 100 AND rank <= 100""".stripMargin,
     "q_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |p AS (SELECT t.w[1] || ' ' || t.w[2] AS bigram
@@ -2003,15 +2035,23 @@ object SparkEntry {
          |         AS priority
          |FROM documents WHERE n_chars > 0
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
-    "q_label_centroids" -> {
-      // per-dimension exact decimal sums, ONE double rounding, then IEEE
-      // division — generated to match Similarity.labelCentroids
-      val terms = (1 to 64).map(d =>
-        s"CAST(sum(CAST(v[$d] AS DECIMAL(38,12))) AS DOUBLE) / count(*)")
-      s"""SELECT label, count(*) AS n, [${terms.mkString(", ")}] AS centroid
-         |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
-         |GROUP BY label""".stripMargin
-    },
+    "q_label_centroids" ->
+      // salted two-level sorted double fold per (label, dim), mirroring
+      // Similarity.labelCentroidRows' association tree exactly; flattened
+      // to one row per (label, dim) so every output column is scalar
+      """WITH ex AS (SELECT label, vec_id, CAST(d AS INTEGER) AS dim,
+        |                  (embedding::DOUBLE[])[d] AS x
+        |           FROM embeddings, generate_series(1, 64) AS t(d)),
+        |p AS (SELECT label, dim, vec_id % 64 AS salt, count(*) AS cnt,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                           list(x ORDER BY vec_id)),
+        |                         (a, b) -> a + b) AS psum
+        |      FROM ex GROUP BY 1, 2, 3)
+        |SELECT label, CAST(sum(cnt) AS BIGINT) AS n, dim,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                     list(psum ORDER BY salt)),
+        |                   (a, b) -> a + b) / CAST(sum(cnt) AS BIGINT) AS value
+        |FROM p GROUP BY label, dim""".stripMargin,
     "q_pq_topk" -> {
       // PQ-ADC mirrored relationally: codebooks = the 8 smallest vec_ids'
       // subvectors (list(v ORDER BY vec_id)); per-subspace code = first-
@@ -2064,12 +2104,13 @@ object SparkEntry {
         |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
         |               AS sum_value
         |      FROM events GROUP BY 1, 2)
-        |SELECT 'hour' AS resolution, event_type, bucket_us, n_events, sum_value
+        |SELECT 'hour' AS resolution, event_type, bucket_us, n_events,
+        |       CAST(sum_value AS DOUBLE) AS sum_value
         |FROM h
         |WHERE (bucket_us >= 1704175200000000 AND bucket_us < 1704240000000000)
         |   OR (bucket_us >= 1705708800000000 AND bucket_us < 1705773600000000)
         |UNION ALL
-        |SELECT 'day', event_type, bucket_us, n_events, sum_value
+        |SELECT 'day', event_type, bucket_us, n_events, CAST(sum_value AS DOUBLE)
         |FROM d
         |WHERE bucket_us >= 1704240000000000 AND bucket_us < 1705708800000000""".stripMargin,
   )

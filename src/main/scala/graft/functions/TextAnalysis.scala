@@ -265,22 +265,36 @@ object TextAnalysis {
           .otherwise(lit(0d)))
   }
 
-  /** Inverted-index build — the text-search index shape: term → sorted
-    * posting list of containing doc_ids, with exact document frequency.
-    * Postings are CAPPED at `maxPostings` per term (hot stopword terms
-    * would otherwise make single rows unbounded — the same hot-key
-    * discipline as the Jaccard DF cap; df stays exact so the caller
-    * knows truncation happened when df > cap). Explode → distinct →
-    * one aggregation; postings sort deterministically. */
-  def invertedIndex(docs: DataFrame, minDf: Long,
-      maxPostings: Int): DataFrame =
+  /** Inverted-index postings as FLAT rows: (term, df, rank, doc_id) with
+    * doc_ids ranked ascending per term and CAPPED at `maxPostings`
+    * (rank ≤ cap is filtered BEFORE any per-term state accumulates — a
+    * hot stopword term streams through row_number, it never builds an
+    * unbounded buffer; df stays exact so the caller knows truncation
+    * happened when df > cap). Explode → distinct → one term-keyed
+    * shuffle carrying both the ranking and the frequency window. */
+  def invertedIndexPostings(docs: DataFrame, minDf: Long,
+      maxPostings: Int): DataFrame = {
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rank",
+        row_number().over(byTerm.orderBy(col("doc_id"))).cast("long"))
+      .filter(col("df") >= minDf && col("rank") <= maxPostings)
+      .select(col("term"), col("df"), col("rank"), col("doc_id"))
+  }
+
+  /** Inverted-index build — the text-search index shape: term → sorted
+    * posting list of containing doc_ids, with exact document frequency.
+    * Built over [[invertedIndexPostings]], so the per-term collect is
+    * bounded by the cap (≤ maxPostings elements), not by the term's true
+    * document frequency. */
+  def invertedIndex(docs: DataFrame, minDf: Long,
+      maxPostings: Int): DataFrame =
+    invertedIndexPostings(docs, minDf, maxPostings)
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings)
-          .as("postings"))
-      .filter(col("df") >= minDf)
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
 
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.

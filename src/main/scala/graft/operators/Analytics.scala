@@ -44,8 +44,13 @@ object Analytics {
     hourly.join(statsOf(hourly), "event_type")
       .withColumn("z", zScore(col("s")))
       .filter(abs(col("z")) > threshold)
+      // hourly_sum leaves as DOUBLE: a decimal(18,2) → double conversion is
+      // correctly rounded in both engines (bit-identical), while raw
+      // DECIMAL output columns canonicalize differently across the
+      // driver's two read paths (Decimal object vs float64) — the round-4
+      // hash failures were exactly the queries emitting raw decimals
       .select(col("event_type"), col("bucket_us"),
-        col("s").as("hourly_sum"), col("z").as("zscore"))
+        col("s").cast("double").as("hourly_sum"), col("z").as("zscore"))
   }
 
   /** Per-type moment statistics (n, Σx, Σx²) of the hourly sums — the
@@ -102,7 +107,7 @@ object Analytics {
         (lit(1.4826) * col("mad").cast("double")))
       .filter(abs(col("robust_z")) > threshold)
       .select(col("event_type"), col("bucket_us"),
-        col("s").as("hourly_sum"), col("robust_z"))
+        col("s").cast("double").as("hourly_sum"), col("robust_z"))
   }
 
   /** Seasonal (hour-of-day) baseline: per event type × hour-of-day slot,
@@ -144,7 +149,8 @@ object Analytics {
           p => p.getField("detr")),
         lit(0d), (acc, x) => acc + x) / count(lit(1))).as("seasonal"))
     trended.join(seasonal, Seq("event_type", "hod"), "left")
-      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+      .select(col("event_type"), col("bucket_us"),
+        col("s").cast("double").as("hourly_sum"),
         col("trend"), col("seasonal"),
         (col("detr") - col("seasonal")).as("residual"))
   }
@@ -172,7 +178,8 @@ object Analytics {
       .withColumn("cusum",
         (col("n") * sum(col("s")).over(w).cast("decimal(28,6)") -
           col("k") * col("tot")).cast("double") / col("n"))
-      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+      .select(col("event_type"), col("bucket_us"),
+        col("s").cast("double").as("hourly_sum"),
         col("cusum"), abs(col("cusum")).as("cusum_abs"))
   }
 
@@ -201,7 +208,8 @@ object Analytics {
       .withColumn("breakout",
         col("sd_w").isNotNull &&
           abs(col("s").cast("double") - col("mean_w")) > lit(k) * col("sd_w"))
-      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+      .select(col("event_type"), col("bucket_us"),
+        col("s").cast("double").as("hourly_sum"),
         col("mean_w"), col("sd_w"), col("breakout"))
   }
 
@@ -225,9 +233,10 @@ object Analytics {
       .filter(col("s").isNotNull)
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("arr", sort_array(collect_list(col("s")).over(w)))
-      .select(col("event_type"), col("bucket_us"), col("s").as("hourly_sum"),
+      .select(col("event_type"), col("bucket_us"),
+        col("s").cast("double").as("hourly_sum"),
         element_at(col("arr"), expr("(n * 50 + 99) div 100").cast("int"))
-          .as("rolling_median"))
+          .cast("double").as("rolling_median"))
   }
 
   /** Holt linear (double) exponential smoothing over each type's hourly
@@ -315,17 +324,33 @@ object Analytics {
     * total value — "the top 10% of users drive N% of revenue". Exact
     * DECIMAL spend sums; ranks and decile boundaries are integer
     * arithmetic; the share divides two exact decimals as doubles once.
-    * One user-keyed aggregation + one ranking window over the bounded
-    * per-user frame. */
+    *
+    * The global rank is DISTRIBUTED: range-repartition on the sort key,
+    * rank within each partition, then add per-partition exclusive
+    * offsets (one row per partition — a broadcast). No single task ever
+    * holds the whole user frame, unlike a bare `Window.orderBy`; the
+    * result is identical because (spend desc, user_id) is a strict total
+    * order that range partitioning preserves across partition ids. */
   def paretoCurve(events: DataFrame, eventType: String): DataFrame = {
     val spend = events.filter(col("event_type") === eventType)
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
         .as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("user_id"))
-    spend
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val parted = spend
+      .repartitionByRange(col("spend").desc, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("rn_local",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy(col("spend").desc, col("user_id"))))
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("pid"), col("off"), col("n"))
+    local
+      .join(broadcast(offs), "pid")
+      .withColumn("rn", col("off") + col("rn_local"))
       .withColumn("decile", expr("((rn - 1) * 10) div n").cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
@@ -339,8 +364,9 @@ object Analytics {
         col("cum_value").cast("double") /
           sum(col("decile_value")).over(Window.partitionBy())
             .cast("decimal(18,2)").cast("double"))
-      .select(col("decile"), col("n_users"), col("decile_value"),
-        col("cum_value"), col("cum_share"))
+      .select(col("decile"), col("n_users"),
+        col("decile_value").cast("double").as("decile_value"),
+        col("cum_value").cast("double").as("cum_value"), col("cum_share"))
   }
 
   /** Ordered conversion funnel: stage 1 admits every user with a

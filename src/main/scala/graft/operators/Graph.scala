@@ -1,24 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge sets — the second graph
   * operator family next to [[Dedup.dedupClusters]]' connected components:
   * fixed-iteration PageRank, engine-exact.
   *
-  * Determinism: the per-node message sum is a LEFT FOLD over
-  * contributions sorted by source id (double addition is not
-  * associative; a plain `sum()` would drift across partitionings and
-  * engines — same discipline as the dot-product fold). The damping
-  * constants are computed once in Scala and reused verbatim by the
-  * oracle, so three iterations reproduce bit-for-bit in DuckDB.
+  * Determinism: the per-node message sum is a SALTED TWO-LEVEL left
+  * fold — per (dst, src % Salt) partial folds over contributions sorted
+  * by source id, then one fold of the partials sorted by salt (double
+  * addition is not associative; a plain `sum()` would drift across
+  * partitionings and engines). The oracle reproduces the SAME two-level
+  * association, so the fixed association tree is engine-exact while no
+  * single aggregation buffer ever holds more than in-degree/Salt
+  * contributions — a power-law hub shrinks [[Salt]]× instead of pinning
+  * one task. The damping constants are computed once in Scala and reused
+  * verbatim by the oracle, so three iterations reproduce bit-for-bit in
+  * DuckDB.
   *
   * Scale: per iteration one src-keyed join (edges co-partitioned with
-  * ranks) and one dst-keyed aggregation; the collected contribution list
-  * is bounded by in-degree — for power-law graphs, salt the hot
-  * destinations the same way the skewed aggregations do. Iteration count
-  * is fixed (an offline-analytics setting), not convergence-driven. */
+  * ranks) and one dst-keyed aggregation; the rank frame is
+  * `localCheckpoint`ed each step so iteration i's plan does not replay
+  * iterations 0..i−1 (lineage would otherwise compound multiplicatively).
+  * Iteration count is fixed (an offline-analytics setting), not
+  * convergence-driven. */
 object Graph {
 
   /** Undirected customer↔supplier co-transaction graph from the order
@@ -42,23 +48,37 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count() // driver scalar: |V| is bounded metadata
+    def fold(vals: Column): Column =
+      aggregate(vals, lit(0d), (acc, x) => acc + x)
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 0 until iters) {
       val contribs = e
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"), col("src"), (col("pr") / col("outdeg")).as("c"))
-      val sums = contribs.groupBy(col("dst"))
-        .agg(aggregate(
-          transform(sort_array(collect_list(struct(col("src"), col("c")))),
-            p => p.getField("c")),
-          lit(0d), (acc, x) => acc + x).as("msum"))
+      // two-level deterministic fold: bounded partials per salt bucket,
+      // then a bounded fold of the Salt partials
+      val partial = contribs
+        .withColumn("salt", pmod(col("src"), lit(Salt.toLong)))
+        .groupBy(col("dst"), col("salt"))
+        .agg(fold(transform(
+          sort_array(collect_list(struct(col("src"), col("c")))),
+          p => p.getField("c"))).as("psum"))
+      val sums = partial.groupBy(col("dst"))
+        .agg(fold(transform(
+          sort_array(collect_list(struct(col("salt"), col("psum")))),
+          p => p.getField("psum"))).as("msum"))
       pr = nodes
         .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("msum"), lit(0d)))
             .as("pr"))
+        .localCheckpoint() // truncate the iteration's lineage
     }
     pr
   }
+
+  /** Salt modulus for the two-level message fold — fixed so the oracle
+    * can reproduce the association tree literally. */
+  val Salt = 64
 }

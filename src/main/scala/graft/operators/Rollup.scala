@@ -77,8 +77,11 @@ object Rollup {
           .unionByName(
             daily.filter(col("bucket_us") >= dayStart && col("bucket_us") < dayEnd)
               .withColumn("resolution", lit("day")))
+    // sum_value serves as DOUBLE (exact decimal → one correctly-rounded
+    // conversion, bit-identical in any engine); the store itself stays
+    // DECIMAL so merges remain exact
     out.select(col("resolution"), col("event_type"), col("bucket_us"),
-      col("n_events"), col("sum_value"))
+      col("n_events"), col("sum_value").cast("double").as("sum_value"))
   }
 
   /** Serve from a materialized store written by [[writeRollups]]. */
@@ -143,9 +146,14 @@ object Rollup {
                   sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
             else inc
           merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          if (batchId >= 0) {
+          // a batch-mode merge (batchId < 0) on a store that carries a
+          // replay marker must CARRY the marker forward — dropping it
+          // would erase the guard and let a restarted stream re-apply its
+          // last micro-batch on top of the batch merge (double-count)
+          val markerVal = math.max(batchId, lastApplied)
+          if (markerVal >= 0) {
             val out = fs.create(new Path(tmp, "_last_batch"), true)
-            try out.write(batchId.toString.getBytes("UTF-8"))
+            try out.write(markerVal.toString.getBytes("UTF-8"))
             finally out.close()
           }
           fs.delete(old, true)

@@ -168,6 +168,11 @@ object Similarity {
       iters: Int): Array[(Long, Array[Double])] = {
     var cents = ivfSeedCentroids(embeddings, nCentroids)
     val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    // every Lloyd step re-assigns the SAME corpus column — cache the
+    // one-column projection once instead of rescanning the source per
+    // iteration (the assignment itself depends on the step's centroids
+    // and cannot be reused, but the input rows can)
+    val corpus = embeddings.select(col("embedding")).cache()
     for (_ <- 0 until iters) {
       // one hash aggregation with `dims` decimal sum slots — the same shape
       // that made simhash fast: map-side partials collapse to ONE row per
@@ -180,7 +185,7 @@ object Similarity {
       // the exploded one at sf0.1
       val sums = (0 until dims).map(d =>
         sum(element_at(col("v"), d + 1).cast("decimal(38,12)")).as(s"s$d"))
-      val rows = embeddings
+      val rows = corpus
         .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -194,6 +199,7 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cid, w) => (cid, means.getOrElse(cid, w)) }
     }
+    corpus.unpersist(blocking = false)
     cents
   }
 
@@ -253,27 +259,55 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Per-label embedding centroids — the vector-aggregation shape (class
-    * prototypes, cluster summaries, nearest-class-mean classification):
-    * element-wise mean per label computed with per-dimension DECIMAL sum
-    * slots, so the sums are order-independent (double addition is not
-    * associative) and each mean rounds to double exactly once. Same
-    * |labels|-row shuffle shape as the IVF trainer: map-side partials
-    * collapse to one row per label; the array reassembles in the final
-    * projection. DECIMAL division is avoided (sum casts to double BEFORE
-    * the /n) — that is what keeps this one oracle-reproducible where the
-    * refined-IVF decimal means are not. */
-  def labelCentroids(embeddings: DataFrame, dims: Int = 64): DataFrame = {
-    val sums = (0 until dims).map(d =>
-      sum(element_at(col("v"), d + 1).cast("decimal(38,12)")).as(s"s$d"))
-    embeddings
-      .select(col("label"), asDouble(col("embedding")).as("v"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("label"), col("n"),
-        array((0 until dims).map(d =>
-          col(s"s$d").cast("double") / col("n")): _*).as("centroid"))
+  /** Per-label embedding centroids as FLAT rows (label, n, dim, value) —
+    * the vector-aggregation shape (class prototypes, cluster summaries,
+    * nearest-class-mean classification); `dim` is 1-based to match SQL
+    * array indexing.
+    *
+    * Determinism: per-dimension means use the SALTED TWO-LEVEL sorted
+    * double fold (per (label, dim, vec_id % 64) partials folded in vec_id
+    * order, then the ≤64 partials folded in salt order — the PageRank
+    * association discipline). Decimal sum slots are NOT usable here: the
+    * inputs are arbitrary doubles, and double→decimal(38,12) casts round
+    * by different rules across engines (Spark renders the shortest-repr
+    * string; DuckDB expands the exact binary), so decimal sums diverge in
+    * the last digit. A fixed fold tree over pure IEEE ops is engine-exact
+    * AND bounds every aggregation buffer to in-group/64 elements.
+    *
+    * Scale: the posexplode is a dims× row blowup of narrow rows, then two
+    * keyed aggregations with map-side partials — no unbounded state. */
+  def labelCentroidRows(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    def fold(vals: Column): Column =
+      aggregate(vals, lit(0d), (acc, x) => acc + x)
+    val partial = embeddings
+      .select(col("label"), col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("label"), col("vec_id"),
+        (col("pos") + 1).cast("int").as("dim"), col("col").as("x"))
+      .withColumn("salt", pmod(col("vec_id"), lit(64L)))
+      .groupBy(col("label"), col("dim"), col("salt"))
+      .agg(count(lit(1)).as("cnt"),
+        fold(transform(
+          sort_array(collect_list(struct(col("vec_id"), col("x")))),
+          p => p.getField("x"))).as("psum"))
+    partial
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("cnt")).as("n"),
+        fold(transform(
+          sort_array(collect_list(struct(col("salt"), col("psum")))),
+          p => p.getField("psum"))).as("ssum"))
+      .select(col("label"), col("n"), col("dim"),
+        (col("ssum") / col("n")).as("value"))
   }
+
+  /** [[labelCentroidRows]] reassembled to one centroid array per label —
+    * the library-surface form. */
+  def labelCentroids(embeddings: DataFrame, dims: Int = 64): DataFrame =
+    labelCentroidRows(embeddings, dims)
+      .groupBy(col("label"))
+      .agg(first(col("n")).as("n"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("value")))),
+          p => p.getField("value")).as("centroid"))
 
   /** Product-quantization codebooks: `m` subspaces × `kCent` centroids,
     * the subvectors of the `kCent` smallest vec_ids (seed-medoid —

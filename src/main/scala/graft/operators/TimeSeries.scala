@@ -451,69 +451,125 @@ object TimeSeries {
     * `nOut − 2` bucket structs (one row per series, ~nOut·avg-bucket
     * points), via `aggregate` — never the raw series on the driver.
     *
-    * Oracle determinism: x distances are exact (epoch-µs longs < 2⁵³ cast
-    * to double); centroid x uses an exact decimal sum → one double cast →
-    * one division; centroid y folds in (ts, event_id) sorted order; the
-    * triangle area is the same abs(cross-product) expression on both
-    * engines; ties take the earliest point (strict `>` on the running
-    * max). DuckDB mirrors the walk with a recursive CTE + list-fold argmax.
+    * Oracle determinism: the bucket argmax compares EXACT INTEGER scores,
+    * not floating-point areas. The candidate's triangle area against the
+    * next bucket's centroid (Sx/c, Sy/c) is scaled by the positive
+    * constants c (the next bucket's count) and 100 (the data's 2-decimal
+    * value quantum) — a monotone transform per bucket, so the argmax is
+    * unchanged — which clears both denominators: every term is integer
+    * arithmetic over µs offsets from the series start and 100× values,
+    * carried in decimal(38,0)/HUGEINT, then cast to double ONCE (correctly
+    * rounded, bit-identical in both engines) for the homogeneous fold
+    * list. No engine-internal reordering or near-tie FP rounding can flip
+    * a selection; ties take the earliest point (strict `>` on the running
+    * max). DuckDB mirrors the walk with a recursive CTE + list-fold argmax
+    * (list accumulator, not struct — DuckDB 1.x list_reduce mis-evaluates
+    * struct accumulators).
     *
     * Series whose length is ≤ `nOut` pass through unchanged (standard LTTB
     * contract).
     *
-    * Scale assumption: the rank window sorts each SERIES in one task (the
-    * normal TSDB shape — many series, each task-sized). A single
-    * billions-of-points series would need time-range pre-bucketing in
-    * place of the rank — same walk, different bucket key. */
-  def lttb(events: DataFrame, nOut: Int): DataFrame = {
+    * Scale: the rank window sorts each SERIES in one task (the normal
+    * TSDB shape — many series, each task-sized). Series longer than
+    * `timeBucketMinRows` skip the rank sort entirely: their bucket key is
+    * the TIME fraction `((ts − fts) · (nOut−2)) div (lts − fts)` — pure
+    * arithmetic from two window aggregates, so a billion-point series
+    * never funnels through one sort task (only its per-bucket slices do).
+    * Time buckets are LTTB-equal-count buckets only for evenly spaced
+    * data; present buckets are renumbered densely and walked identically,
+    * so a bursty series yields ≤ nOut points with the same semantics. */
+  def lttb(events: DataFrame, nOut: Int,
+      timeBucketMinRows: Long = Long.MaxValue): DataFrame = {
     require(nOut >= 3, s"LTTB needs nOut >= 3, got $nOut")
     val wSer = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
-    val base = events
+    val pts0 = events
       .select(col("event_type"), tsUs(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
-      .withColumn("rk", row_number().over(wSer).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+    // per-series metadata via hash aggregation (map-side partials — a
+    // huge series never funnels through one task here, unlike a
+    // partition-wide window) broadcast back onto the facts; endpoints as
+    // order-insensitive struct min/max ((ts_us, event_id) is a strict
+    // total order). `fts` is the series origin: x offsets from it keep
+    // the exact-score integers small (µs of series DURATION, not epoch —
+    // the area determinant is translation-invariant, so the shift is
+    // exact)
+    val stats = pts0.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+    val base = pts0.join(broadcast(stats.select(col("event_type"), col("n"),
+      col("f.ts_us").as("fts"), col("f.event_id").as("feid"),
+      col("l.ts_us").as("lts"), col("l.event_id").as("leid"))), "event_type")
     val small = base.filter(col("n") <= nOut)
       .select(col("event_type"), col("ts_us"), col("value"))
     val big = base.filter(col("n") > nOut)
 
-    // middle points -> buckets 0 .. nOut-3 (floor arithmetic, never empty
-    // because n-2 > nOut-2); first/last kept outside the walk
-    val mid = big.filter(col("rk") > 1 && col("rk") < col("n"))
+    // rank path: middle points -> buckets 0 .. nOut-3 (floor arithmetic,
+    // never empty because n-2 > nOut-2); first/last kept outside the walk
+    val rankMid = big.filter(col("n") <= timeBucketMinRows)
+      .withColumn("rk", row_number().over(wSer).cast("long"))
+      .filter(col("rk") > 1 && col("rk") < col("n"))
       .withColumn("bucket",
         expr(s"((rk - 2) * ${nOut - 2}) div (n - 2)"))
+    // time path (huge series): bucket by time fraction — no per-series
+    // sort; the first/last POINT (not rank) is excluded, and a straggler
+    // at ts == lts clamps into the final bucket
+    val timeMid = big.filter(col("n") > timeBucketMinRows)
+      .filter(!(col("ts_us") === col("fts") && col("event_id") === col("feid")) &&
+        !(col("ts_us") === col("lts") && col("event_id") === col("leid")))
+      .withColumn("bucket",
+        least(expr(s"((ts_us - fts) * ${nOut - 2}) div (lts - fts)"),
+          lit((nOut - 3).toLong)))
+    val mid = rankMid.select(col("event_type"), col("ts_us"), col("event_id"),
+        col("value"), col("fts"), col("bucket"))
+      .unionByName(timeMid.select(col("event_type"), col("ts_us"),
+        col("event_id"), col("value"), col("fts"), col("bucket")))
+    // per-bucket EXACT sums: x offsets from the series origin and 100×
+    // values (the data's decimal quantum), plus the sorted point list
     val bucketed = mid
       .groupBy(col("event_type"), col("bucket"))
       .agg(
         sort_array(collect_list(struct(
           col("ts_us"), col("event_id"), col("value")))).as("pts"),
-        (sum(col("ts_us").cast("decimal(38,0)")).cast("double") /
-          count(lit(1))).as("ax"),
-        count(lit(1)).as("cnt"))
-      .withColumn("ay",
-        aggregate(transform(col("pts"), p => p.getField("value")),
-          lit(0.0), (acc, y) => acc + y) / col("cnt"))
-    val firstPt = big.filter(col("rk") === 1).select(col("event_type"),
-      col("ts_us").cast("double").as("fx"), col("value").as("fy"))
-    val lastPt = big.filter(col("rk") === col("n")).select(col("event_type"),
-      col("ts_us").cast("double").as("lx"), col("value").as("ly"))
+        sum((col("ts_us") - col("fts")).cast("decimal(38,0)")).as("sx"),
+        sum(round(col("value") * 100).cast("decimal(38,0)")).as("sy"),
+        count(lit(1)).as("cnt"),
+        first(col("fts")).as("fts"))
+      // dense-renumber present buckets so the walk and lead() stay
+      // contiguous on the time path (gappy series leave empty time
+      // buckets); identity on the rank path. A window over ≤ nOut
+      // already-aggregated rows per series — trivial
+      .withColumn("bucket",
+        (row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket"))) - 1).cast("long"))
+    // endpoints come straight from the per-series stats (big series only)
+    val bigStats = stats.filter(col("n") > nOut)
+    val firstPt = bigStats.select(col("event_type"),
+      col("f.ts_us").as("fx"), col("f.value").as("fy"))
+    val lastPt = bigStats.select(col("event_type"),
+      col("l.ts_us").as("lx"), col("l.value").as("ly"))
 
-    // next-bucket centroid; the LAST bucket aims at the series' last point
+    // next-bucket centroid as exact (Σx, Σy·100, count) triple; the LAST
+    // bucket aims at the series' last point (a 1-point "centroid")
+    val d38 = "decimal(38,0)"
     val wBuck = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
     val withNext = bucketed
       .join(lastPt, "event_type")
-      .withColumn("nax", coalesce(lead(col("ax"), 1).over(wBuck), col("lx")))
-      .withColumn("nay", coalesce(lead(col("ay"), 1).over(wBuck), col("ly")))
+      .withColumn("nsx", coalesce(lead(col("sx"), 1).over(wBuck),
+        (col("lx") - col("fts")).cast(d38)))
+      .withColumn("nsy", coalesce(lead(col("sy"), 1).over(wBuck),
+        round(col("ly") * 100).cast(d38)))
+      .withColumn("nc", coalesce(lead(col("cnt"), 1).over(wBuck), lit(1L)))
 
     // one row per series: ordered bucket structs + endpoints, then the walk
     val perSeries = withNext
       .groupBy(col("event_type"))
       .agg(
         sort_array(collect_list(struct(
-          col("bucket"), col("pts"), col("nax"), col("nay")))).as("bs"),
-        first(col("lx")).as("lx"), first(col("ly")).as("ly"))
+          col("bucket"), col("pts"), col("nsx"), col("nsy"), col("nc")))).as("bs"),
+        first(col("lx")).as("lx"), first(col("ly")).as("ly"),
+        first(col("fts")).as("fts"))
       .join(firstPt, "event_type")
     val point = (x: Column, y: Column) => struct(x.as("x"), y.as("y"))
     val walked = perSeries.select(
@@ -524,27 +580,33 @@ object TimeSeries {
           array(point(col("fx"), col("fy"))),
           (acc, b) => {
             val prev = element_at(acc, -1)
+            // exact score = 2·c·100·area: dPx/dpx are µs offsets, dPy/dpy
+            // are 100× values, all decimal(38,0) — one double cast at the
+            // end (correctly rounded, identical in any engine)
+            val dPx = (prev.getField("x") - col("fts")).cast(d38)
+            val dPy = round(prev.getField("y") * 100).cast(d38)
+            val dnc = b.getField("nc").cast(d38)
             val best = aggregate(
               b.getField("pts"),
-              struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(-1.0).as("a")),
+              struct(lit(0L).as("x"), lit(0.0).as("y"), lit(-1.0).as("a")),
               (bst, p) => {
-                val px = p.getField("ts_us").cast("double")
+                val px = p.getField("ts_us")
                 val py = p.getField("value")
-                val area = abs(
-                  (prev.getField("x") - b.getField("nax")) *
-                    (py - prev.getField("y")) -
-                    (prev.getField("x") - px) *
-                      (b.getField("nay") - prev.getField("y")))
-                when(area > bst.getField("a"),
-                  struct(px.as("x"), py.as("y"), area.as("a"))).otherwise(bst)
+                val dpx = (px - col("fts")).cast(d38)
+                val dpy = round(py * 100).cast(d38)
+                val score = abs(
+                  (dPx * dnc - b.getField("nsx")) * (dpy - dPy) -
+                    (dPx - dpx) * (b.getField("nsy") - dnc * dPy))
+                  .cast("double")
+                when(score > bst.getField("a"),
+                  struct(px.as("x"), py.as("y"), score.as("a"))).otherwise(bst)
               })
             concat(acc, array(point(best.getField("x"), best.getField("y"))))
           }),
         array(point(col("lx"), col("ly")))).as("sel"))
     val bigOut = walked
       .select(col("event_type"), explode(col("sel")).as("p"))
-      .select(col("event_type"),
-        col("p.x").cast("long").as("ts_us"), col("p.y").as("value"))
+      .select(col("event_type"), col("p.x").as("ts_us"), col("p.y").as("value"))
     small.unionByName(bigOut)
   }
 }

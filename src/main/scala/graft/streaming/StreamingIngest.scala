@@ -331,6 +331,7 @@ object StreamingIngest {
       .join(broadcast(baseline), "event_type") // fixed-size side: hint is safe
       .withColumn("z", graft.operators.Analytics.zScore(col("s")))
       .filter(abs(col("z")) > threshold)
+      // hourly_sum as DOUBLE, matching the batch detector's output schema
       .select(col("event_type"), col("bucket_us"),
-        col("s").as("hourly_sum"), col("z").as("zscore"))
+        col("s").cast("double").as("hourly_sum"), col("z").as("zscore"))
 }

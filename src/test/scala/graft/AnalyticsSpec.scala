@@ -72,7 +72,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         col("value"))
     val got = Analytics.anomalyZScore(events, 3.0).collect()
     assert(got.length == 1)
-    assert(got(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
+    assert(got(0).getAs[Double]("hourly_sum") == 1000.0)
   }
 
   test("histogramQuantile matches an independent scalar model on random data") {
@@ -118,7 +118,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // exactly one breakout: the planted spike
     val breakouts = got.filter(_.getBoolean(5))
     assert(breakouts.length == 1 &&
-      breakouts(0).getAs[java.math.BigDecimal]("hourly_sum").doubleValue() == 1000.0)
+      breakouts(0).getAs[Double]("hourly_sum") == 1000.0)
   }
 
   test("paretoCurve: a whale user concentrates share in the top decile") {
@@ -132,7 +132,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .orderBy("decile").collect()
     assert(got.length == 10)
     assert(got(0).getLong(1) == 1L) // one user per decile
-    assert(got(0).getAs[java.math.BigDecimal]("decile_value").doubleValue() == 90.0)
+    assert(got(0).getAs[Double]("decile_value") == 90.0)
     assert(math.abs(got(0).getDouble(4) - 90.0 / 99.0) < 1e-12)
     assert(math.abs(got(9).getDouble(4) - 1.0) < 1e-12, "full curve ends at 1")
   }
@@ -186,7 +186,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
         col("value"))
     val got = Analytics.anomalyMad(events, 3.0).collect()
-      .map(_.getAs[java.math.BigDecimal]("hourly_sum").doubleValue()).sorted.toSeq
+      .map(_.getAs[Double]("hourly_sum")).sorted.toSeq
     assert(got == Seq(5000.0, 8000.0), s"flagged: $got")
   }
 
@@ -366,7 +366,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(full.nonEmpty)
     // identity: residual == observed - trend - seasonal, bit-for-bit
     assert(full.forall { r =>
-      val s = r.getAs[java.math.BigDecimal]("hourly_sum").doubleValue()
+      val s = r.getAs[Double]("hourly_sum")
       r.getDouble(5) == s - r.getDouble(3) - r.getDouble(4)
     })
     // the centered MA sees every phase equally -> residuals collapse

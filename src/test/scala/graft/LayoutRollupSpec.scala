@@ -153,6 +153,28 @@ class LayoutRollupSpec extends AnyFunSuite with SparkSpec {
     assert(total() == 24L)
   }
 
+  test("batch-mode mergeRollups carries the replay marker forward") {
+    val store = Files.createTempDirectory("graft_rollmarker_").toString
+    val events = (for (h <- 0 until 12) yield ("a", h.toLong, 2.0))
+      .toDF("event_type", "hour", "value")
+      .select(col("event_type"),
+        timestamp_micros(col("hour") * Rollup.HourUs).as("ts"), col("value"))
+    Rollup.mergeRollups(events, store, batchId = 3L)
+    def total(): Long = spark.read.parquet(s"$store/rollup_hour")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total() == 12L)
+    // an unguarded batch-mode merge on the SAME store must not erase the
+    // marker...
+    Rollup.mergeRollups(events, store)
+    assert(total() == 24L)
+    // ...so a streaming restart re-delivering micro-batch 3 stays a no-op
+    Rollup.mergeRollups(events, store, batchId = 3L)
+    assert(total() == 24L, "replay guard erased by batch-mode merge")
+    // and a genuinely new micro-batch still applies
+    Rollup.mergeRollups(events, store, batchId = 4L)
+    assert(total() == 36L)
+  }
+
   test("mergeRollups heals a swap that crashed between its renames") {
     val store = Files.createTempDirectory("graft_rollheal_").toString
     val events = (for (h <- 0 until 24) yield ("a", h.toLong, 1.0))

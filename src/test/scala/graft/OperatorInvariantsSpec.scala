@@ -408,10 +408,16 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
   test("lttb matches a sequential reference walk on seeded series and passes " +
       "small series through unchanged") {
     import spark.implicits._
-    // independent single-threaded LTTB (Steinarsson 2013) over one series
+    // independent single-threaded LTTB (Steinarsson 2013) over one series,
+    // with the operator's EXACT scaled argmax score: areas scaled by the
+    // next bucket's count and the 100× value quantum clear both centroid
+    // denominators, so selection is integer arithmetic (one double cast,
+    // mirroring the engine) — no FP near-tie can flip a pick
     def lttbRef(pts: IndexedSeq[(Long, Double)], nOut: Int): Seq[(Long, Double)] = {
       val n = pts.length
       if (n <= nOut) return pts
+      val fts = pts.head._1
+      def y100(v: Double): BigInt = BigInt(math.round(v * 100))
       val mid = pts.slice(1, n - 1)
       def bucketOf(i: Int): Int = ((i.toLong * (nOut - 2)) / (n - 2)).toInt
       val buckets = (0 until nOut - 2).map(b =>
@@ -419,21 +425,22 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       var prev = pts.head
       val sel = scala.collection.mutable.Buffer(pts.head)
       for (bi <- 0 until nOut - 2) {
-        val (nax, nay) =
+        // next-bucket exact centroid triple (Σx offsets, Σy·100, count);
+        // the last bucket aims at the series' last point
+        val (sxn, syn, cn) =
           if (bi + 1 < nOut - 2) {
             val nx = buckets(bi + 1)
-            // exact integer ts sum -> one double cast (mirrors the operator's
-            // decimal sum: FP-summing ~1.7e15-µs stamps would drop bits)
-            (nx.map(p => BigInt(p._1)).sum.toDouble / nx.size,
-              nx.map(_._2).sum / nx.size)
-          } else (pts.last._1.toDouble, pts.last._2)
+            (nx.map(p => BigInt(p._1 - fts)).sum,
+              nx.map(p => y100(p._2)).sum, BigInt(nx.size))
+          } else (BigInt(pts.last._1 - fts), y100(pts.last._2), BigInt(1))
         var best = buckets(bi).head
         var bestA = -1.0
         for (p <- buckets(bi)) {
-          val area = math.abs(
-            (prev._1.toDouble - nax) * (p._2 - prev._2) -
-              (prev._1.toDouble - p._1.toDouble) * (nay - prev._2))
-          if (area > bestA) { bestA = area; best = p }
+          val dPx = BigInt(prev._1 - fts); val dpx = BigInt(p._1 - fts)
+          val dPy = y100(prev._2); val dpy = y100(p._2)
+          val score = ((dPx * cn - sxn) * (dpy - dPy) -
+            (dPx - dpx) * (syn - cn * dPy)).abs.toDouble
+          if (score > bestA) { bestA = score; best = p }
         }
         sel += best
         prev = best
@@ -441,8 +448,11 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       (sel += pts.last).toSeq
     }
     val rng = new scala.util.Random(7)
+    // 2-decimal values: the data quantum the scaled score assumes (the
+    // driver's events table is 2-decimal by construction)
     val series = (0 until 500).map(i =>
-      (1700000000000000L + i * 1000000L + rng.nextInt(1000), rng.nextDouble() * 100))
+      (1700000000000000L + i * 1000000L + rng.nextInt(1000),
+        rng.nextInt(10000) / 100.0))
     val df = series.zipWithIndex
       .map { case ((t, v), i) => ("cpu", t, i.toLong, v) }
       .toDF("event_type", "ts_us", "event_id", "value")
@@ -460,6 +470,77 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     val shortDf = df.limit(15)
     val round = graft.operators.TimeSeries.lttb(shortDf, 20).count()
     assert(round == 15)
+  }
+
+  test("lttb time-bucket path: bursty huge series skip the rank sort, match " +
+      "an exact sequential time-bucket reference, normal path unchanged") {
+    import spark.implicits._
+    // sequential reference of the TIME-bucket variant: bucket by time
+    // fraction (clamped), dense-renumber present buckets, then the same
+    // exact scaled-score walk
+    def lttbTimeRef(pts: IndexedSeq[(Long, Double)], nOut: Int): Seq[(Long, Double)] = {
+      val n = pts.length
+      if (n <= nOut) return pts
+      val fts = pts.head._1; val lts = pts.last._1
+      def y100(v: Double): BigInt = BigInt(math.round(v * 100))
+      val mid = pts.slice(1, n - 1)
+      def bucketOf(p: (Long, Double)): Int =
+        math.min((((p._1 - fts) * (nOut - 2)) / (lts - fts)).toInt, nOut - 3)
+      val present = mid.map(bucketOf).distinct.sorted
+      val buckets = present.map(b => mid.filter(p => bucketOf(p) == b))
+      var prev = pts.head
+      val sel = scala.collection.mutable.Buffer(pts.head)
+      for (bi <- buckets.indices) {
+        val (sxn, syn, cn) =
+          if (bi + 1 < buckets.length) {
+            val nx = buckets(bi + 1)
+            (nx.map(p => BigInt(p._1 - fts)).sum,
+              nx.map(p => y100(p._2)).sum, BigInt(nx.size))
+          } else (BigInt(pts.last._1 - fts), y100(pts.last._2), BigInt(1))
+        var best = buckets(bi).head
+        var bestA = -1.0
+        for (p <- buckets(bi)) {
+          val dPx = BigInt(prev._1 - fts); val dpx = BigInt(p._1 - fts)
+          val dPy = y100(prev._2); val dpy = y100(p._2)
+          val score = ((dPx * cn - sxn) * (dpy - dPy) -
+            (dPx - dpx) * (syn - cn * dPy)).abs.toDouble
+          if (score > bestA) { bestA = score; best = p }
+        }
+        sel += best
+        prev = best
+      }
+      (sel += pts.last).toSeq
+    }
+    val rng = new scala.util.Random(11)
+    // bursty: 2500 points in a 2.5s dense burst, then 500 hourly points —
+    // time buckets are wildly uneven (most land in bucket 0)
+    val hot = (0 until 2500).map(i =>
+        (1700000000000000L + i * 1000L, rng.nextInt(10000) / 100.0)) ++
+      (0 until 500).map(i =>
+        (1700000002500000L + i.toLong * 3600L * 1000000L, rng.nextInt(10000) / 100.0))
+    val hotRows = hot.zipWithIndex.map { case ((t, v), i) => ("hot", t, i.toLong, v) }
+    val coldRows = (0 until 15).map(i =>
+      ("cold", 1700000000000000L + i * 1000000L, (10000 + i).toLong,
+        rng.nextInt(10000) / 100.0))
+    val df = rng.shuffle(hotRows ++ coldRows)
+      .toDF("event_type", "ts_us", "event_id", "value")
+      .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("value"))
+    val got = graft.operators.TimeSeries.lttb(df, 20, timeBucketMinRows = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // cold (≤ nOut): unchanged passthrough
+    assert(got.count(_._1 == "cold") == 15)
+    // hot: exact agreement with the sequential time-bucket walk
+    val hotGot = got.filter(_._1 == "hot").map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    val want = lttbTimeRef(hot.toIndexedSeq, 20)
+    assert(hotGot == want.sortBy(_._1))
+    assert(hotGot.head == hot.head && hotGot.last == hot.last)
+    // a threshold the series does NOT exceed keeps the rank path bit-equal
+    val rankA = graft.operators.TimeSeries.lttb(df, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val rankB = graft.operators.TimeSeries.lttb(df, 20, timeBucketMinRows = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(rankA == rankB)
   }
 
   test("chunking covers every token: stride starts, bounded sizes, full tail") {

@@ -18,6 +18,8 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 def rows_multiset(df):
