@@ -1163,15 +1163,18 @@ object SparkEntry {
         |e AS (SELECT a AS src, b AS dst FROM base
         |      UNION SELECT b AS src, a AS dst FROM base),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |hot AS (SELECT dst FROM (SELECT dst, count(*) AS indeg FROM e GROUP BY 1)
+        |        WHERE indeg > 1024),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |nn AS (SELECT count(*) AS n FROM nodes),
         |pr0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes, nn),
         |c1 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p1 AS (SELECT dst, src % 64 AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |p1 AS (SELECT cc.dst,
+        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
         |                         (acc, x) -> acc + x) AS psum
-        |      FROM c1 GROUP BY 1, 2),
+        |      FROM c1 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
         |s1 AS (SELECT dst,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
@@ -1181,10 +1184,11 @@ object SparkEntry {
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s1 s ON s.dst = n.node),
         |c2 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p2 AS (SELECT dst, src % 64 AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |p2 AS (SELECT cc.dst,
+        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
         |                         (acc, x) -> acc + x) AS psum
-        |      FROM c2 GROUP BY 1, 2),
+        |      FROM c2 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
         |s2 AS (SELECT dst,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
@@ -1194,10 +1198,11 @@ object SparkEntry {
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s2 s ON s.dst = n.node),
         |c3 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
         |      FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p3 AS (SELECT dst, src % 64 AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+        |p3 AS (SELECT cc.dst,
+        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
+        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
         |                         (acc, x) -> acc + x) AS psum
-        |      FROM c3 GROUP BY 1, 2),
+        |      FROM c3 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
         |s3 AS (SELECT dst,
         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
         |                         (acc, x) -> acc + x) AS msum
