@@ -526,12 +526,18 @@ object TimeSeries {
       .unionByName(timeMid.select(col("event_type"), col("ts_us"),
         col("event_id"), col("value"), col("fts"), col("bucket")))
     // per-bucket EXACT sums: x offsets from the series origin and 100×
-    // values (the data's decimal quantum), plus the sorted point list
+    // values (the data's decimal quantum), plus the sorted point list.
+    // Each point's decimal coordinates (xd, yd) are precomputed HERE, in
+    // the codegen'd aggregation projection — the interpreted walk lambda
+    // then only reads struct fields instead of re-casting per candidate
+    // (measured ~2× on the whole query at sf0.1)
     val bucketed = mid
       .groupBy(col("event_type"), col("bucket"))
       .agg(
         sort_array(collect_list(struct(
-          col("ts_us"), col("event_id"), col("value")))).as("pts"),
+          col("ts_us"), col("event_id"), col("value"),
+          (col("ts_us") - col("fts")).cast("decimal(38,0)").as("xd"),
+          round(col("value") * 100).cast("decimal(38,0)").as("yd")))).as("pts"),
         sum((col("ts_us") - col("fts")).cast("decimal(38,0)")).as("sx"),
         sum(round(col("value") * 100).cast("decimal(38,0)")).as("sy"),
         count(lit(1)).as("cnt"),
@@ -571,39 +577,48 @@ object TimeSeries {
         first(col("lx")).as("lx"), first(col("ly")).as("ly"),
         first(col("fts")).as("fts"))
       .join(firstPt, "event_type")
-    val point = (x: Column, y: Column) => struct(x.as("x"), y.as("y"))
+    // walk points carry their precomputed decimal coords; the first
+    // point's x offset is 0 by construction (it IS the series origin)
+    val point = (x: Column, y: Column, xd: Column, yd: Column) =>
+      struct(x.as("x"), y.as("y"), xd.as("xd"), yd.as("yd"))
     val walked = perSeries.select(
       col("event_type"),
       concat(
         aggregate(
           col("bs"),
-          array(point(col("fx"), col("fy"))),
+          array(point(col("fx"), col("fy"), lit(0L).cast(d38),
+            round(col("fy") * 100).cast(d38))),
           (acc, b) => {
             val prev = element_at(acc, -1)
-            // exact score = 2·c·100·area: dPx/dpx are µs offsets, dPy/dpy
-            // are 100× values, all decimal(38,0) — one double cast at the
-            // end (correctly rounded, identical in any engine)
-            val dPx = (prev.getField("x") - col("fts")).cast(d38)
-            val dPy = round(prev.getField("y") * 100).cast(d38)
+            // exact score = 2·c·100·area: xd offsets are µs from the
+            // series origin, yd are 100× values, all decimal(38,0) — one
+            // double cast at the end (correctly rounded, identical in any
+            // engine)
+            val dPx = prev.getField("xd")
+            val dPy = prev.getField("yd")
             val dnc = b.getField("nc").cast(d38)
             val best = aggregate(
               b.getField("pts"),
-              struct(lit(0L).as("x"), lit(0.0).as("y"), lit(-1.0).as("a")),
+              struct(lit(0L).as("x"), lit(0.0).as("y"),
+                lit(0L).cast(d38).as("xd"), lit(0L).cast(d38).as("yd"),
+                lit(-1.0).as("a")),
               (bst, p) => {
-                val px = p.getField("ts_us")
-                val py = p.getField("value")
-                val dpx = (px - col("fts")).cast(d38)
-                val dpy = round(py * 100).cast(d38)
                 val score = abs(
-                  (dPx * dnc - b.getField("nsx")) * (dpy - dPy) -
-                    (dPx - dpx) * (b.getField("nsy") - dnc * dPy))
+                  (dPx * dnc - b.getField("nsx")) *
+                    (p.getField("yd") - dPy) -
+                    (dPx - p.getField("xd")) *
+                      (b.getField("nsy") - dnc * dPy))
                   .cast("double")
                 when(score > bst.getField("a"),
-                  struct(px.as("x"), py.as("y"), score.as("a"))).otherwise(bst)
+                  struct(p.getField("ts_us").as("x"), p.getField("value").as("y"),
+                    p.getField("xd").as("xd"), p.getField("yd").as("yd"),
+                    score.as("a"))).otherwise(bst)
               })
-            concat(acc, array(point(best.getField("x"), best.getField("y"))))
+            concat(acc, array(point(best.getField("x"), best.getField("y"),
+              best.getField("xd"), best.getField("yd"))))
           }),
-        array(point(col("lx"), col("ly")))).as("sel"))
+        array(point(col("lx"), col("ly"), lit(0L).cast(d38),
+          lit(0L).cast(d38)))).as("sel"))
     val bigOut = walked
       .select(col("event_type"), explode(col("sel")).as("p"))
       .select(col("event_type"), col("p.x").as("ts_us"), col("p.y").as("value"))
