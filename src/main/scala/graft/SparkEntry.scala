@@ -204,6 +204,14 @@ object SparkEntry {
       Relational.nationMarketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir), "NATION_3", "ASIA")),
+    "q_tpch_q5" -> ((s, dir) =>
+      Relational.localSupplierVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), "ASIA", "1997-01-01 00:00:00", "1998-01-01 00:00:00")),
+    "q_tpch_q9" -> ((s, dir) =>
+      Relational.productTypeProfit(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir),
+        "PROMO")),
     "q_transition_matrix" -> ((s, dir) =>
       operators.Analytics.transitionMatrix(Tables.events(s, dir))),
     "q_lttb" -> ((s, dir) =>
@@ -1211,6 +1219,34 @@ object SparkEntry {
         |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
         |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node)
         |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS sum_profit,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |GROUP BY 1, 2""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier s

@@ -771,6 +771,57 @@ object Relational {
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
         .cast("double").as("revenue"))
 
+  /** TPC-H Q5 SHAPE (local supplier volume): revenue from lineitems whose
+    * CUSTOMER and SUPPLIER share a nation inside one region, per nation,
+    * for a one-year order window. The c_nationkey = s_nationkey equality
+    * rides the supplier join (no extra shuffle); the nation⋈region dim
+    * is fixed-size and broadcast; the date filter prunes orders before
+    * the fact join. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String, startDate: String,
+      endDate: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    val dims = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("n_nationkey"), col("n_name"))
+    lineitem
+      .join(orders.filter(
+          col("o_orderdate") >= lit(startDate).cast("timestamp") &&
+            col("o_orderdate") < lit(endDate).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** TPC-H Q9 SHAPE (product-type profit; adapted — the synthetic schema
+    * has no partsupp, so profit omits the supplycost term): revenue from
+    * one part type's lineitems, grouped by the SUPPLIER's nation and the
+    * order year. The part filter collapses to a left-semi join (partkey
+    * is unique) sized by AQE — part is scale-variant, so no forced
+    * broadcast; nation broadcasts. */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame, part: DataFrame,
+      pType: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    lineitem
+      .join(part.filter(col("p_type") === pType).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(rev).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   /** TPC-H Q22 SHAPE (global sales opportunity; adapted — no phone column,
     * so the country-code prefix becomes a nation-key subset): well-funded
     * customers (balance above the mean POSITIVE balance) in selected
