@@ -500,6 +500,10 @@ object SparkEntry {
       TextAnalysis.bigramCounts(Tables.documents(s, dir), 30)),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScore(Tables.documents(s, dir), 3)),
+    "q_char_diversity" -> ((s, dir) =>
+      TextAnalysis.charDiversity(Tables.documents(s, dir))),
+    "q_trimmed_mean" -> ((s, dir) =>
+      Relational.trimmedMeanByType(Tables.events(s, dir), 5, 95)),
     "q_weighted_sample" -> ((s, dir) =>
       operators.Sampling.weightedPrioritySample(
         Tables.documents(s, dir), "doc_id", "n_chars", 50)
@@ -2070,6 +2074,26 @@ object SparkEntry {
         |            THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
         |            ELSE 0.0 END AS rep_ratio
         |FROM g""".stripMargin,
+    "q_char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |       1.0e0 - CAST(sum(c * c) AS DOUBLE) /
+        |               CAST(sum(c) * sum(c) AS DOUBLE) AS char_diversity
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_kept,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |         AS trimmed_mean
+        |FROM r
+        |WHERE rn > (n * 5 + 99) // 100 AND rn <= (n * 95 + 99) // 100
+        |GROUP BY 1""".stripMargin,
     "q_weighted_sample" ->
       s"""SELECT doc_id, n_chars,
          |       CAST(${sqlTokHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / n_chars

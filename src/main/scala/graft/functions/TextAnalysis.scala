@@ -296,6 +296,24 @@ object TextAnalysis {
       .agg(first(col("df")).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
+  /** Character-concentration diversity (Gini-style, log-free): per doc,
+    * `1 − Σ cᵢ² / n²` over single-character frequencies — near 1 for
+    * varied text, → 0 for one-character junk (padding runs, binary
+    * spill, mojibake floods). Deliberately NOT Shannon entropy: `ln()`
+    * bit patterns are not guaranteed identical across engines' math
+    * libraries, while this is exact integer sums + ONE double division
+    * each (the same libm-free trick as the split-drift TV distance).
+    * Explode → two hash aggregations, both with map-side partials. */
+  def charDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        (lit(1.0) - col("ss").cast("double") /
+          (col("n") * col("n")).cast("double")).as("char_diversity"))
+
   /** Polynomial rolling-hash fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t) mod P) mod P)`.
     * Order-sensitive by construction (it is a sequence fingerprint). */

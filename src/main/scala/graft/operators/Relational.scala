@@ -324,6 +324,31 @@ object Relational {
       .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
   }
 
+  /** Trimmed mean per event type — the robust location estimate between
+    * the median (50% trim) and the mean (0%): the exact decimal mean of
+    * the rows whose RANK lies strictly above the loPct position and at or
+    * below the hiPct position (the shared integer quantile-position
+    * convention over the (value, event_id) total order). Rank-based
+    * trimming needs no value thresholds, so the kept row SET is integer-
+    * defined and engine-exact; the sum is decimal, the single division
+    * double. One ranking window + one hash aggregation. */
+  def trimmedMeanByType(events: DataFrame, loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100, s"bad band [$loPct, $hiPct]")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") > expr(s"(n * $loPct + 99) div 100") &&
+        col("rn") <= expr(s"(n * $hiPct + 99) div 100"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("trimmed_mean"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
     * lineitems for one market segment's pre-cutoff orders, top 10 orders by
     * revenue. Fact-fact join shuffles once on the orderkey; the filtered

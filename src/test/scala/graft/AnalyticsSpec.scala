@@ -247,6 +247,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("charDiversity: uniform chars score high, one-char floods zero") {
+    val docs = Seq(
+      (1L, "aaaa"),   // 1 distinct char -> 1 - 16/16 = 0
+      (2L, "abcd"),   // 4 distinct, each once -> 1 - 4/16 = 0.75
+      (3L, "aabb")    // 2 distinct, twice each -> 1 - 8/16 = 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 0.75)))
+    assert(got(3L) == ((4L, 0.5)))
+  }
+
+  test("trimmedMeanByType drops exactly the rank-band outliers") {
+    // 20 rows: 18 ones plus two huge outliers; the [5,95] band keeps
+    // ranks 2..19 = the outlier at rank 20 and the row at rank 1 go
+    val events = ((1 to 18).map(i => (i.toLong, 1.0)) ++
+        Seq((19L, 1000.0), (20L, 2000.0)))
+      .toDF("event_id", "value")
+      .select(lit("a").as("event_type"),
+        timestamp_micros(col("event_id") * 1000000L).as("ts"),
+        col("event_id"), col("value"))
+    val got = operators.Relational.trimmedMeanByType(events, 5, 95).collect()
+    assert(got.length == 1)
+    // positions: lo = (20*5+99) div 100 = 1, hi = (20*95+99) div 100 = 19
+    // kept ranks 2..19 = 17 ones + the 1000 outlier
+    assert(got(0).getLong(1) == 18L)
+    assert(got(0).getDouble(2) == (17.0 + 1000.0) / 18.0)
+    // a tighter band drops both outliers entirely
+    val tight = operators.Relational.trimmedMeanByType(events, 5, 90).collect()
+    // hi = (20*90+99) div 100 = 18 -> kept ranks 2..18, all ones
+    assert(tight(0).getDouble(2) == 1.0)
+  }
+
   test("contaminatedDocs flags only train docs sharing an n-gram with eval") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // shares 'quick brown fox' trigram
