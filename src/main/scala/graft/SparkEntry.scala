@@ -502,6 +502,10 @@ object SparkEntry {
       TextAnalysis.repetitionScore(Tables.documents(s, dir), 3)),
     "q_char_diversity" -> ((s, dir) =>
       TextAnalysis.charDiversity(Tables.documents(s, dir))),
+    "q_corr_matrix" -> ((s, dir) =>
+      operators.Analytics.corrMatrix(Tables.events(s, dir))),
+    "q_lift" -> ((s, dir) =>
+      operators.Analytics.userLift(Tables.events(s, dir))),
     "q_trimmed_mean" -> ((s, dir) =>
       Relational.trimmedMeanByType(Tables.events(s, dir), 5, 95)),
     "q_weighted_sample" -> ((s, dir) =>
@@ -2082,6 +2086,43 @@ object SparkEntry {
         |       1.0e0 - CAST(sum(c * c) AS DOUBLE) /
         |               CAST(sum(c) * sum(c) AS DOUBLE) AS char_diversity
         |FROM c GROUP BY 1""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |           FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             a.s AS x, b.s AS y
+        |      FROM h a JOIN h b ON a.bucket_us = b.bucket_us
+        |                       AND a.event_type < b.event_type),
+        |m AS (SELECT type_a, type_b, count(*) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |             CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |             CAST(sum(y * y) AS DOUBLE) AS syy
+        |      FROM j GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |       CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |            THEN NULL
+        |            ELSE (n * sxy - sx * sy) /
+        |                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       END AS pearson_r
+        |FROM m""".stripMargin,
+    "q_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+        |ab AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |              count(*) AS n_ab
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                          AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ta.cnt AS n_a, tb.cnt AS n_b,
+        |       CAST(CAST(n_ab AS HUGEINT) * nu.nu AS DOUBLE) /
+        |       CAST(CAST(ta.cnt AS HUGEINT) * tb.cnt AS DOUBLE) AS lift
+        |FROM ab
+        |JOIN tot ta ON ta.event_type = type_a
+        |JOIN tot tb ON tb.event_type = type_b
+        |CROSS JOIN nu""".stripMargin,
     "q_trimmed_mean" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |                  row_number() OVER (PARTITION BY event_type

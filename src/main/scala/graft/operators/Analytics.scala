@@ -397,6 +397,64 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Cross-series correlation matrix: pairwise Pearson r of the hourly
+    * sums across event types, joined on shared hour buckets (type_a <
+    * type_b) — the co-movement view a TSDB dashboard draws next to
+    * [[graft.operators.TimeSeries.xcorrLag]]'s single lagged pair.
+    * Moments are exact DECIMAL sums converted to double once; the
+    * textbook formula then runs the same IEEE op shape in any engine.
+    * The self-join keys on the hour bucket (|types| rows per bucket,
+    * never corpus²); output is |types|²-bounded. Zero-variance pairs
+    * emit NULL, never NaN. */
+  def corrMatrix(events: DataFrame): DataFrame = {
+    val hourly = hourlySums(events).localCheckpoint()
+    val a = hourly.select(col("event_type").as("type_a"), col("bucket_us"),
+      col("s").as("x"))
+    val b = hourly.select(col("event_type").as("type_b"), col("bucket_us"),
+      col("s").as("y"))
+    val m = a.join(b, "bucket_us").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    val varxN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varyN = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("type_a"), col("type_b"), col("n"),
+      when(col("n") < 2 || varxN <= 0d || varyN <= 0d, lit(null))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(varxN) * sqrt(varyN))).as("pearson_r"))
+  }
+
+  /** Co-occurrence lift between event types over users ("users who did A
+    * also did B"): lift = P(A∧B) / (P(A)·P(B)) = n_ab·N / (n_a·n_b) —
+    * pure integer counts and ONE double division each (the market-basket
+    * association measure, chosen over PMI because it needs no ln()).
+    * Distinct (user, type) pairs self-join per user (≤ |types| rows per
+    * user, never corpus²); per-type totals broadcast back; the count
+    * products go through decimal(38,0) so n_ab·N cannot overflow a long
+    * at 100 TB user counts. */
+  def userLift(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ut = events.select(col("user_id"), col("event_type"))
+      .distinct().localCheckpoint()
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val nUsers = ut.select(col("user_id")).distinct().count() // bounded scalar
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, "user_id").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("cnt").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("cnt").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast(d38) * lit(nUsers).cast(d38)).cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38)).cast("double")).as("lift"))
+  }
+
   /** First-order Markov transition matrix over per-user event journeys:
     * for each (from, to) event-type pair, the number of adjacent
     * occurrences and the row-normalized transition probability. One

@@ -247,6 +247,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("corrMatrix: constructed series correlate +1, -1, and NULL on zero variance") {
+    // hourly sums per type: a rises 1..4, b = 2*a (r=+1), c = 10-a (r=-1),
+    // d constant (zero variance -> NULL)
+    val events = (for (h <- 1 to 4) yield Seq(
+      ("a", h, h.toDouble), ("b", h, 2.0 * h), ("c", h, 10.0 - h),
+      ("d", h, 5.0))).flatten
+      .toDF("event_type", "hour", "value")
+      .select(col("event_type"),
+        timestamp_micros(col("hour").cast("long") * 3600000000L).as("ts"),
+        col("value"))
+    val got = Analytics.corrMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // sqrt rounds (the engine-exactness claim is cross-ENGINE bit
+    // equality, not closed-form exactness) — compare with tolerance
+    assert(math.abs(got(("a", "b")).get - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c")).get + 1.0) < 1e-12)
+    assert(got(("a", "d")) == None)
+    assert(got.size == 6)
+  }
+
+  test("userLift: co-occurring types lift above 1, independent at 1") {
+    // 4 users: a∧b together for 2 users, a alone 1, b alone 1 ->
+    // n_a=3, n_b=3, n_ab=2, N=4: lift = 2*4/9
+    val events = ev(
+      (1L, "a", 1L), (1L, "b", 2L),
+      (2L, "a", 1L), (2L, "b", 2L),
+      (3L, "a", 1L), (4L, "b", 1L))
+    val got = Analytics.userLift(events).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 3L, 3L)))
+    assert(r.getDouble(5) == 8.0 / 9.0)
+  }
+
   test("charDiversity: uniform chars score high, one-char floods zero") {
     val docs = Seq(
       (1L, "aaaa"),   // 1 distinct char -> 1 - 16/16 = 0
