@@ -470,6 +470,9 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       operators.Analytics.funnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"), 24L * 3600000000L)),
+    "q_funnel_latency" -> ((s, dir) =>
+      operators.Analytics.funnelLatency(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), 24L * 3600000000L)),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -2001,6 +2004,33 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t >= s1.t
+        |         AND e.t <= s1.t + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t >= s2.t
+        |         AND e.t <= s2.t + 86400000000 GROUP BY 1),
+        |l AS (SELECT CAST(2 AS BIGINT) AS stage_idx, 'click' AS stage,
+        |             s2.user_id, s2.t - s1.t AS lat_us
+        |      FROM s2 JOIN s1 USING (user_id)
+        |      UNION ALL
+        |      SELECT CAST(3 AS BIGINT), 'purchase', s3.user_id, s3.t - s1.t
+        |      FROM s3 JOIN s1 USING (user_id)),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY stage_idx
+        |                                ORDER BY lat_us, user_id) AS rn,
+        |             count(*) OVER (PARTITION BY stage_idx) AS n
+        |      FROM l)
+        |SELECT stage_idx, stage, max(n) AS n_converted,
+        |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END)
+        |         AS p50_lat_us,
+        |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END)
+        |         AS p90_lat_us
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_pii_scrub" ->
       """WITH aug AS (SELECT doc_id,
         |                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||

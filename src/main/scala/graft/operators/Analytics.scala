@@ -377,24 +377,77 @@ object Analytics {
     * stage's (user_id, ts) frame on the same key — co-partitioned, no
     * extra shuffle beyond the per-stage aggregation. */
   def funnel(events: DataFrame, stages: Seq[String],
-      horizonUs: Long): DataFrame = {
+      horizonUs: Long): DataFrame =
+    funnelStageTimes(events, stages, horizonUs).zip(stages).zipWithIndex
+      .map { case ((df, st), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit((i + 1).toLong).as("stage_idx"), lit(st).as("stage"),
+            col("n_users"))
+      }.reduce(_ unionByName _)
+
+  /** The funnel's per-stage survivor frames — (user_id, t) of each user's
+    * qualifying completion time per stage, shared by [[funnel]] (counts)
+    * and [[funnelLatency]] (time-to-convert quantiles). */
+  private def funnelStageTimes(events: DataFrame, stages: Seq[String],
+      horizonUs: Long): Seq[DataFrame] = {
     require(stages.nonEmpty, "need at least one funnel stage")
     val e = events.select(col("user_id"), col("event_type"),
       tsUs(col("ts")).as("t"))
     val first = e.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("t")).as("t"))
-    val sets = stages.tail.scanLeft(first) { (prev, st) =>
+    stages.tail.scanLeft(first) { (prev, st) =>
       e.filter(col("event_type") === st)
         .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
         .filter(col("t") >= col("t_prev") &&
           col("t") <= col("t_prev") + horizonUs)
         .groupBy(col("user_id")).agg(min(col("t")).as("t"))
     }
-    sets.zip(stages).zipWithIndex.map { case ((df, st), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("stage_idx"), lit(st).as("stage"),
-          col("n_users"))
+  }
+
+  /** Time-to-convert quantiles through the funnel: for each stage past
+    * the first, the p50/p90 (integer quantile positions — the shared
+    * engine-exact convention) of µs from the user's stage-1 completion
+    * to that stage's completion, over converting users only.
+    *
+    * The per-stage rank is DISTRIBUTED, same pattern as
+    * [[paretoCurve]]: range-repartition on (stage, latency, user), rank
+    * within partitions, add per-(stage, partition) exclusive offsets
+    * (a stages×partitions-row broadcast). No single task ever holds a
+    * stage's full converter set — the |users|-bounded-window hazard
+    * medianByType documents doesn't apply here. */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      horizonUs: Long): DataFrame = {
+    require(stages.length >= 2, "latency needs at least two funnel stages")
+    val sets = funnelStageTimes(events, stages, horizonUs)
+    val firstT = sets.head.select(col("user_id"), col("t").as("t0"))
+    val lats = sets.tail.zip(stages.tail).zipWithIndex.map {
+      case ((df, st), i) =>
+        df.join(firstT, "user_id")
+          .select(lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"),
+            col("user_id"), (col("t") - col("t0")).as("lat_us"))
     }.reduce(_ unionByName _)
+    val parted = lats
+      .repartitionByRange(col("stage_idx"), col("lat_us"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("rn_local",
+      row_number().over(Window.partitionBy("stage_idx", "pid")
+        .orderBy(col("lat_us"), col("user_id"))))
+    val offs = local.groupBy(col("stage_idx"), col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy("stage_idx").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("stage_idx")))
+      .select(col("stage_idx"), col("pid"), col("off"), col("n"))
+    local
+      .join(broadcast(offs), Seq("stage_idx", "pid"))
+      .withColumn("rn", col("off") + col("rn_local"))
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(max(col("n")).as("n_converted"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("lat_us")))
+          .as("p50_lat_us"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("lat_us")))
+          .as("p90_lat_us"))
   }
 
   /** Cross-series correlation matrix: pairwise Pearson r of the hourly

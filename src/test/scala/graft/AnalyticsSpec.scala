@@ -247,6 +247,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("funnelLatency: integer-position quantiles of time-to-convert per stage") {
+    // 3 converters with view->click latencies 10s, 20s, 30s; only the
+    // first also purchases (at +100s from view)
+    val events = ev(
+      (1L, "view", 100L), (1L, "click", 110L), (1L, "purchase", 200L),
+      (2L, "view", 100L), (2L, "click", 120L),
+      (3L, "view", 100L), (3L, "click", 130L),
+      (4L, "view", 100L)) // never converts
+    val got = Analytics.funnelLatency(events, Seq("view", "click", "purchase"),
+        horizonUs = 1000L * 1000000L)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // click: n=3, p50 position = (3*50+99) div 100 = 2 -> 20s; p90 pos 3 -> 30s
+    // purchase: n=1, both positions 1 -> 100s
+    assert(got.toSeq == Seq(
+      (2L, "click", 3L, 20000000L, 30000000L),
+      (3L, "purchase", 1L, 100000000L, 100000000L)))
+  }
+
   test("corrMatrix: constructed series correlate +1, -1, and NULL on zero variance") {
     // hourly sums per type: a rises 1..4, b = 2*a (r=+1), c = 10-a (r=-1),
     // d constant (zero variance -> NULL)
