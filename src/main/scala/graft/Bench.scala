@@ -41,11 +41,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // a failed query reports -1 (NOT a fake elapsed time)
+    // The host VM throttles unpredictably (identical code measured 121 s
+    // vs 1505 s total fifty minutes apart — PROGRESS.jsonl, round 5), so a
+    // single wall-clock per query is mostly noise. Run each query REPS
+    // times back-to-back and report the MEDIAN (plus the min, the best
+    // throttle-free estimate). A failed query reports -1 (NOT a fake
+    // elapsed time).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (0 until reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.sorted
+      name -> (if (times.isEmpty) (-1.0, -1.0)
+               else (times(times.size / 2), times.head)) // (median, min)
     }
 
     // ingest throughput + storage audit on the reference's own workload
@@ -84,13 +94,22 @@ object Bench {
     val hotMs = medianMs(21)(hotStart, hotStart + 3600000L)
     val coldMs = medianMs(21)(t0, t0 + 24L * 3600000L)
 
-    // ms precision keeps the whole line under ~4 KB so a log-capture tail
-    // window holds it intact (r2/r3 captures truncated the 8 KB raw line)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
+    // ms precision keeps the whole line compact so a log-capture tail
+    // window holds it intact (r2/r3 captures truncated the 8 KB raw line);
+    // the file copy below is the canonical parse target regardless.
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
-    val json = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +
+    val qsMin = results.map { case (k, (_, min)) => "\"" + k + "\":" + fmt(min) }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    // 1-minute system load average at end of run — the throttling telltale
+    // (anything far above the core count means the medians are suspect too)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"bench_reps":$reps,""" +
+      s""""load_avg":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg)},""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
       s""""hot_query_ms":${"%.1f".format(hotMs)},""" +

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only isolated per-query probe: `Probe <sfDir> <reps> <q1,q2,…>`.
+  * Runs each named [[SparkEntry.queries]] entry `reps` times in a fresh
+  * warmed session and prints median/min/max — the only trustworthy
+  * per-query signal on this throttling-prone host (round-5 evidence:
+  * identical code measured 12× apart in back-to-back bench runs). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, repsS, names) = args
+    val reps = repsS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try graft.sources.Tables.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    // dev pseudo-queries for pipeline-stage attribution
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "_pr_edges" -> ((s, dir) => graft.operators.Graph.customerSupplierEdges(
+        graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir))),
+      "_pr_iter0" -> ((s, dir) => graft.operators.Graph.pageRank(
+        graft.operators.Graph.customerSupplierEdges(
+          graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
+        iters = 0, damping = 0.85)),
+      "_pr_iter1" -> ((s, dir) => graft.operators.Graph.pageRank(
+        graft.operators.Graph.customerSupplierEdges(
+          graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
+        iters = 1, damping = 0.85)))
+    names.split(',').foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name, extras(name))
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"PROBE $name%-24s median=${times(times.size / 2)}%.3f " +
+        f"min=${times.head}%.3f max=${times.last}%.3f reps=$reps")
+    }
+    spark.stop()
+  }
+}

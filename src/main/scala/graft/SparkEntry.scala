@@ -172,7 +172,7 @@ object SparkEntry {
       operators.Graph.pageRank(
         operators.Graph.customerSupplierEdges(
           Tables.orders(s, dir), Tables.lineitem(s, dir)),
-        iters = 3, damping = 0.85)
+        iters = 3, damping = 0.85, symmetric = true)
         .orderBy(col("pr").desc, col("node")).limit(20)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
@@ -1114,8 +1114,9 @@ object SparkEntry {
       // exact-integer argmax score mirroring TimeSeries.lttb: x as µs
       // offsets from the series origin, y scaled ×100 (2-decimal data),
       // HUGEINT products, ONE double cast; the per-bucket argmax is a
-      // LATERAL ORDER BY ... LIMIT 1 (score DESC, ts ASC = the fold's
-      // first-wins tie rule). NO lambdas anywhere: DuckDB 1.x evaluates
+      // LATERAL ORDER BY ... LIMIT 1 (score DESC, ts ASC, event_id ASC =
+      // the fold's first-wins tie rule over its (ts_us, event_id)-sorted
+      // struct order). NO lambdas anywhere: DuckDB 1.x evaluates
       // outer-correlated columns inside list_transform/list_reduce
       // lambdas in a recursive CTE nondeterministically under
       // multi-threading (garbage values, intermittent cast errors —
@@ -1169,67 +1170,50 @@ object SparkEntry {
          |        (CAST(w.px - nx.fts AS HUGEINT) -
          |         CAST(m.ts_us - nx.fts AS HUGEINT)) *
          |          (nx.nsy - nx.ncnt * CAST(round(w.py * 100) AS HUGEINT))
-         |      ) AS DOUBLE) DESC, m.ts_us ASC
+         |      ) AS DOUBLE) DESC, m.ts_us ASC, m.event_id ASC
          |    LIMIT 1) best)
          |SELECT event_type, ts_us, value FROM small
          |UNION ALL
          |SELECT event_type, px AS ts_us, py AS value FROM walk
          |UNION ALL
          |SELECT event_type, lx AS ts_us, ly AS value FROM lastpt""".stripMargin,
+    // Fixed-point integer recurrence (pr in 1e-18 units as BIGINT):
+    // every step is integer div / integer sum, so DuckDB's HUGEINT math
+    // reproduces the Spark longs bit-for-bit; the only float op is the
+    // final /1e18, which is IEEE-identical in both engines.
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS (SELECT a AS src, b AS dst FROM base
         |      UNION SELECT b AS src, a AS dst FROM base),
         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        |hot AS (SELECT dst FROM (SELECT dst, count(*) AS indeg FROM e GROUP BY 1)
-        |        WHERE indeg > 1024),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |pr0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes, nn),
-        |c1 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
-        |      FROM e JOIN pr0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p1 AS (SELECT cc.dst,
-        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
-        |                         (acc, x) -> acc + x) AS psum
-        |      FROM c1 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
-        |s1 AS (SELECT dst,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
-        |                         (acc, x) -> acc + x) AS msum
-        |      FROM p1 GROUP BY 1),
-        |pr1 AS (SELECT n.node,
-        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
-        |       FROM nodes n CROSS JOIN nn LEFT JOIN s1 s ON s.dst = n.node),
-        |c2 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
-        |      FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p2 AS (SELECT cc.dst,
-        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
-        |                         (acc, x) -> acc + x) AS psum
-        |      FROM c2 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
-        |s2 AS (SELECT dst,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
-        |                         (acc, x) -> acc + x) AS msum
-        |      FROM p2 GROUP BY 1),
-        |pr2 AS (SELECT n.node,
-        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
-        |       FROM nodes n CROSS JOIN nn LEFT JOIN s2 s ON s.dst = n.node),
-        |c3 AS (SELECT e.dst, e.src, p.pr / o.outdeg AS c
-        |      FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src),
-        |p3 AS (SELECT cc.dst,
-        |             CASE WHEN h.dst IS NOT NULL THEN cc.src % 64 ELSE 0 END AS salt,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc.c ORDER BY cc.src)),
-        |                         (acc, x) -> acc + x) AS psum
-        |      FROM c3 cc LEFT JOIN hot h ON h.dst = cc.dst GROUP BY 1, 2),
-        |s3 AS (SELECT dst,
-        |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psum ORDER BY salt)),
-        |                         (acc, x) -> acc + x) AS msum
-        |      FROM p3 GROUP BY 1),
-        |pr3 AS (SELECT n.node,
-        |              0.15000000000000002e0 / nn.n + 0.85e0 * coalesce(s.msum, 0.0e0) AS pr
-        |       FROM nodes n CROSS JOIN nn LEFT JOIN s3 s ON s.dst = n.node)
-        |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+        |nn AS (SELECT count(*) AS n,
+        |              1000000000000000000 // count(*) AS fx0,
+        |              CAST(CAST(1500 AS HUGEINT) * 1000000000000000000
+        |                   // (10000 * count(*)) AS BIGINT) AS basefx
+        |       FROM nodes),
+        |pr0 AS (SELECT node, nn.fx0 AS fx FROM nodes, nn),
+        |m1 AS (SELECT e.dst, sum(p.fx // o.outdeg) AS msum
+        |       FROM e JOIN pr0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |pr1 AS (SELECT n.node, CAST(nn.basefx +
+        |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+        |        FROM nodes n CROSS JOIN nn LEFT JOIN m1 m ON m.dst = n.node),
+        |m2 AS (SELECT e.dst, sum(p.fx // o.outdeg) AS msum
+        |       FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |pr2 AS (SELECT n.node, CAST(nn.basefx +
+        |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+        |        FROM nodes n CROSS JOIN nn LEFT JOIN m2 m ON m.dst = n.node),
+        |m3 AS (SELECT e.dst, sum(p.fx // o.outdeg) AS msum
+        |       FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |pr3 AS (SELECT n.node, CAST(nn.basefx +
+        |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+        |        FROM nodes n CROSS JOIN nn LEFT JOIN m3 m ON m.dst = n.node)
+        |SELECT node, CAST(fx AS DOUBLE) / 1e18 AS pr FROM pr3
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -266,11 +266,14 @@ object TextAnalysis {
   }
 
   /** Inverted-index postings as FLAT rows: (term, df, rank, doc_id) with
-    * doc_ids ranked ascending per term and CAPPED at `maxPostings`
-    * (rank ≤ cap is filtered BEFORE any per-term state accumulates — a
-    * hot stopword term streams through row_number, it never builds an
-    * unbounded buffer; df stays exact so the caller knows truncation
-    * happened when df > cap). Explode → distinct → one term-keyed
+    * doc_ids ranked ascending per term and CAPPED at `maxPostings`.
+    * The cap bounds the COLLECTED posting array downstream (rank ≤ cap
+    * filters before [[invertedIndex]]'s collect_list, so a hot stopword
+    * never buffers an unbounded array) — it does NOT bound the window
+    * itself: the count/row_number windows still sort-and-buffer each
+    * term's full partition slice in its window task, spilling to disk
+    * past memory. df stays exact so the caller knows truncation
+    * happened when df > cap. Explode → distinct → one term-keyed
     * shuffle carrying both the ranking and the frequency window. */
   def invertedIndexPostings(docs: DataFrame, minDf: Long,
       maxPostings: Int): DataFrame = {

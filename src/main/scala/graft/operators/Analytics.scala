@@ -336,9 +336,15 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
         .as("spend"))
+    // localCheckpoint PINS the partition assignment: `local` and `offs`
+    // both descend from `parted`, and without materialization each
+    // branch would re-evaluate the exchange + spark_partition_id()
+    // (documented non-deterministic) — correct today only via
+    // ReusedExchange, an optimizer accident, not a contract
     val parted = spend
       .repartitionByRange(col("spend").desc, col("user_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("rn_local",
       row_number().over(Window.partitionBy("pid")
         .orderBy(col("spend").desc, col("user_id"))))
@@ -426,9 +432,12 @@ object Analytics {
           .select(lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"),
             col("user_id"), (col("t") - col("t0")).as("lat_us"))
     }.reduce(_ unionByName _)
+    // pinned for the same reason as paretoCurve's `parted`: both
+    // branches must see ONE materialized pid assignment
     val parted = lats
       .repartitionByRange(col("stage_idx"), col("lat_us"), col("user_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("rn_local",
       row_number().over(Window.partitionBy("stage_idx", "pid")
         .orderBy(col("lat_us"), col("user_id"))))
@@ -458,7 +467,16 @@ object Analytics {
     * textbook formula then runs the same IEEE op shape in any engine.
     * The self-join keys on the hour bucket (|types| rows per bucket,
     * never corpus²); output is |types|²-bounded. Zero-variance pairs
-    * emit NULL, never NaN. */
+    * emit NULL, never NaN.
+    *
+    * Overflow bound: the x·y products are decimal(18,2)×decimal(18,2)
+    * accumulated in decimal(38,4), so exactness holds while
+    * Σ|x·y| < 10³⁴ — hourly sums up to ~10¹⁵ across ~10⁴ buckets. Past
+    * that, non-ANSI Spark yields NULL moments (NULL pearson_r rows,
+    * visible, not silently wrong) where a HUGEINT-backed engine stays
+    * exact — re-derive with ANSI mode on or pre-scale the inputs if a
+    * deployment ever nears the bound (cf. [[userLift]]'s decimal(38,0)
+    * widening for the same reason). */
   def corrMatrix(events: DataFrame): DataFrame = {
     val hourly = hourlySums(events).localCheckpoint()
     val a = hourly.select(col("event_type").as("type_a"), col("bucket_us"),

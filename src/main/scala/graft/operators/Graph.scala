@@ -7,96 +7,131 @@ import org.apache.spark.sql.functions._
   * operator family next to [[Dedup.dedupClusters]]' connected components:
   * fixed-iteration PageRank, engine-exact.
   *
-  * Determinism: the per-node message sum is a left fold over
-  * contributions sorted by source id (double addition is not
-  * associative; a plain `sum()` would drift across partitionings and
-  * engines), and HOT destinations — in-degree above [[HotDegree]] —
-  * fold in TWO levels: per (dst, src % Salt) partials in src order,
-  * then the ≤[[Salt]] partials in salt order. The oracle reproduces the
-  * SAME association tree, so results are engine-exact while no single
-  * aggregation buffer ever holds more than max(HotDegree, in-degree/
-  * Salt) contributions — a power-law hub shrinks Salt× instead of
-  * pinning one task. Salting ONLY the hot set matters: salting every
-  * destination multiplies the group count by up to Salt (one interpreted
-  * fold apparatus per group), measured 6× slower over the whole query at
-  * sf0.1. The hot set is bounded by |E|/HotDegree — broadcastable by
-  * construction. The damping constants are computed once in Scala and
-  * reused verbatim by the oracle, so three iterations reproduce
-  * bit-for-bit in DuckDB.
+  * Determinism: ranks are FIXED-POINT integers — pr is held in units of
+  * 10⁻¹⁸ as a BIGINT ([[OneFx]] = 10¹⁸ is "1.0"). Every step is integer
+  * arithmetic: `pr_fx div outdeg` (truncating integer division) per
+  * message, a plain `sum()` of longs per destination (long addition is
+  * associative, so the codegen'd hash aggregate is order-independent by
+  * construction — no sorted fold, no salting, no collect_list), and a
+  * damping multiply as `(msum · dNum) div dDen` widened through
+  * DECIMAL(38,0) so the 8500× product cannot overflow. An oracle engine
+  * replays the identical recurrence with its own integer types (HUGEINT
+  * in DuckDB) and reproduces every rank bit-for-bit; the one final
+  * `CAST(fx AS DOUBLE) / 1e18` is IEEE-defined (10¹⁸ = 2¹⁸·5¹⁸ is
+  * exactly representable, 5¹⁸ < 2⁴²) and identical across engines.
+  * Truncation quantizes each message at 10⁻¹⁸ — far below any ranking
+  * use — and only ever *loses* mass, so no overflow path exists:
+  * Σ pr_fx ≤ 10¹⁸ keeps every per-node message sum well under Long.Max.
   *
   * Scale: per iteration one src-keyed join (edges co-partitioned with
-  * ranks) and one dst-keyed aggregation; the rank frame is
-  * `localCheckpoint`ed each step so iteration i's plan does not replay
-  * iterations 0..i−1 (lineage would otherwise compound multiplicatively).
-  * Iteration count is fixed (an offline-analytics setting), not
-  * convergence-driven. */
+  * ranks) and one dst-keyed aggregation with MAP-SIDE PARTIAL sums —
+  * a power-law hub costs one long per partition upstream, so no skew
+  * handling is needed at all (the previous sorted-fold design needed a
+  * hot-set broadcast + two-level salt to bound its buffers; exact
+  * integer sums make all of that apparatus unnecessary). The rank frame
+  * is `localCheckpoint`ed each step so iteration i's plan does not
+  * replay iterations 0..i−1 (lineage would otherwise compound
+  * multiplicatively). Iteration count is fixed (an offline-analytics
+  * setting), not convergence-driven. */
 object Graph {
 
   /** Undirected customer↔supplier co-transaction graph from the order
     * lineage: node ids are disjoint (customer 2k, supplier 2k+1), each
     * relationship contributes both directed edges, multi-edges collapse. */
   def customerSupplierEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // dedup the undirected pair set ONCE; the two directed copies are
+    // disjoint by construction (src parity differs), so no second
+    // distinct is needed after the union
     val base = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
     base.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(base.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
   }
 
-  /** `iters` PageRank steps over a simple directed edge set
-    * (src, dst): pr' = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u), seeded
-    * uniformly. Returns (node, pr) for every node. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count() // driver scalar: |V| is bounded metadata
-    def fold(vals: Column): Column =
-      aggregate(vals, lit(0d), (acc, x) => acc + x)
-    // the hot-destination set is static (it depends only on the edge
-    // set) — compute once, broadcast to every iteration's salt decision
-    val hot = e.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
-      .filter(col("indeg") > HotDegree)
-      .select(col("dst"), lit(1).as("is_hot")).localCheckpoint()
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 0 until iters) {
-      val contribs = e
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst"), col("src"), (col("pr") / col("outdeg")).as("c"))
-      // two-level deterministic fold, salted ONLY where the buffer could
-      // grow unbounded; the long tail keeps one group per destination
-      val partial = contribs
-        .join(broadcast(hot), Seq("dst"), "left")
-        .withColumn("salt",
-          when(col("is_hot").isNotNull, pmod(col("src"), lit(Salt.toLong)))
-            .otherwise(lit(0L)))
-        .groupBy(col("dst"), col("salt"))
-        .agg(fold(transform(
-          sort_array(collect_list(struct(col("src"), col("c")))),
-          p => p.getField("c"))).as("psum"))
-      val sums = partial.groupBy(col("dst"))
-        .agg(fold(transform(
-          sort_array(collect_list(struct(col("salt"), col("psum")))),
-          p => p.getField("psum"))).as("msum"))
-      pr = nodes
-        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("msum"), lit(0d)))
-            .as("pr"))
-        .localCheckpoint() // truncate the iteration's lineage
+  /** `iters` PageRank steps over a SIMPLE directed edge set — the input
+    * must carry no duplicate (src, dst) pairs (a dedup here would
+    * re-shuffle every caller's already-distinct edges):
+    * pr' = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u), seeded uniformly.
+    * Returns (node, pr) for every node. `damping` is quantized to 10⁻⁴
+    * (d = round(damping·10⁴)/10⁴) so the damping multiply stays exact
+    * integer arithmetic.
+    *
+    * `symmetric = true` declares the edge set is its own transpose
+    * (every undirected graph expanded to both directions — e.g.
+    * [[customerSupplierEdges]]). Then the src column alone spans the
+    * node set and every node has an in-edge, so deriving nodes from
+    * both endpoint columns and the final no-in-edge completion join are
+    * skipped. Declaring it for a non-symmetric edge set silently drops
+    * src-only nodes from the output — caller's contract. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               symmetric: Boolean = false): DataFrame = {
+    val eRaw = edges.select(col("src"), col("dst"))
+    // outdeg folds into the edge frame ONCE, as a window count — a
+    // single src-keyed shuffle of the caller's edge build (a groupBy +
+    // self-join would run that build twice: the agg side's subplan
+    // differs, so no ReusedExchange), and the output comes out
+    // hash-partitioned by src. Per-src window state is one counter over
+    // an outdeg-sized partition slice — bounded by the supplier/customer
+    // fan-out, not |E|. Each iteration's rank join then shuffles only
+    // the (tiny, node-sized) rank side, which AQE broadcasts when it
+    // fits. ONE checkpoint materializes all of it.
+    val e2 = eRaw
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    // symmetric: src alone spans V, and it's read from e2's cached
+    // blocks with map-side partial dedup — no 2|E| union materializes
+    val nodesDf =
+      if (symmetric) e2.select(col("src").as("node")).distinct()
+      else e2.select(col("src").as("node"))
+        .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodesDf.count() // driver scalar: |V| is bounded metadata
+    val dNum = math.round(damping * DampDen)
+    // (1−d)/N in 10⁻¹⁸ units, exact via BigInt (1500·10¹⁸ overflows Long)
+    val baseFx = (BigInt(DampDen - dNum) * OneFx / (BigInt(DampDen) * n)).toLong
+    // d·msum div den, widened through DECIMAL(38,0) against Long overflow
+    def damped(msum: String): String =
+      s"CAST(coalesce($msum, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) " +
+        s"* $dNum div $DampDen"
+    if (iters == 0)
+      return nodesDf.select(col("node"), lit((OneFx / n) / 1e18).as("pr"))
+    // Between iterations only the dst-keyed message sums are carried:
+    // pr(node) = baseFx + damped(msum), and a node absent from the sums
+    // (no in-edges) holds the CONSTANT rank baseFx — so a left join +
+    // coalesce replaces any per-iteration all-nodes frame. Iteration 1
+    // is join-free outright: uniform pr₀ is a literal.
+    var sums = e2
+      .groupBy(col("dst"))
+      .agg(sum(expr(s"CAST(${OneFx / n} AS BIGINT) div outdeg")).as("msum"))
+    for (i <- 1 until iters) {
+      val pr = sums.select(col("dst").as("src"),
+        expr(s"CAST($baseFx AS BIGINT) + ${damped("msum")}").as("pr_fx"))
+      sums = e2.join(pr, Seq("src"), "left")
+        .groupBy(col("dst"))
+        .agg(sum(expr(
+          s"coalesce(pr_fx, CAST($baseFx AS BIGINT)) div outdeg")).as("msum"))
+      // lineage here grows LINEARLY (each step references e2 and the
+      // previous sums once), so a full materialization job per step
+      // costs more than it saves — checkpoint only every 4th step to
+      // bound plan depth / compile time for high iteration counts
+      if (i % 4 == 3 && i != iters - 1) sums = sums.localCheckpoint()
     }
-    pr
+    // symmetric graphs have no message-less node, so the sums frame IS
+    // the answer; otherwise complete with the constant-rank nodes
+    val ranked =
+      if (symmetric) sums.withColumnRenamed("dst", "node")
+      else nodesDf.join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+    ranked.select(col("node"),
+      (expr(s"CAST($baseFx AS BIGINT) + ${damped("msum")}").cast("double")
+        / lit(1e18)).as("pr"))
   }
 
-  /** Salt modulus for hot destinations' two-level message fold — fixed so
-    * the oracle can reproduce the association tree literally. */
-  val Salt = 64
+  /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
+    * whole graph's mass with 9× headroom under Long.MaxValue). */
+  val OneFx = 1000000000000000000L
 
-  /** In-degree above which a destination's message fold is salted. The
-    * hot-set size is bounded by |E|/HotDegree, so its broadcast is safe
-    * by construction. */
-  val HotDegree = 1024
+  /** Damping denominator: damping factors are exact multiples of 10⁻⁴. */
+  val DampDen = 10000L
 }

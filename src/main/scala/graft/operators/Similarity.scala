@@ -266,8 +266,9 @@ object Similarity {
     *
     * Determinism: per-dimension means use the SALTED TWO-LEVEL sorted
     * double fold (per (label, dim, vec_id % 64) partials folded in vec_id
-    * order, then the ≤64 partials folded in salt order — the PageRank
-    * association discipline). Decimal sum slots are NOT usable here: the
+    * order, then the ≤64 partials folded in salt order — a fixed
+    * association tree the oracle replays). Decimal sum slots are NOT
+    * usable here: the
     * inputs are arbitrary doubles, and double→decimal(38,12) casts round
     * by different rules across engines (Spark renders the shortest-repr
     * string; DuckDB expands the exact binary), so decimal sums diverge in

@@ -495,6 +495,11 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(prS(10L) > prS(1L) && prS(1L) == prS(2L) && prS(2L) == prS(3L))
     // no dangling nodes -> total rank mass stays 1
     assert(math.abs(prS.values.sum - 1.0) < 1e-9)
+    // the star is its own transpose: the symmetric fast path must agree
+    // with the generic path node-for-node, bit-for-bit
+    val prSym = Graph.pageRank(star, iters = 3, damping = 0.85, symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prSym == prS, s"symmetric path diverged: $prSym vs $prS")
   }
 
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {

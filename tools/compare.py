@@ -40,6 +40,10 @@ def main():
             want = con.sql(sql).df()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not files:
+                # subset runs (Verify's dev-only 3rd arg) leave most
+                # queries without output — skip, don't fail
+                if len(sys.argv) > 3 and sys.argv[3] == "--subset":
+                    continue
                 print(f"FAIL {name}: no spark output parquet")
                 fail += 1
                 continue
