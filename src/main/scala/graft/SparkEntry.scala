@@ -134,6 +134,12 @@ object SparkEntry {
     // codec transcription (GorillaFootprintSpec).
     "q_gorilla_footprint" -> ((s, dir) =>
       TimeSeries.gorillaFootprint(Tables.events(s, dir))),
+    // The codec's TIMESTAMP stream alone (varint of raw-ms first point,
+    // varint of zigzag delta-of-delta after) IS pure integer arithmetic
+    // — so this projection of the footprint carries a full DuckDB oracle
+    "q_gorilla_footprint_ts" -> ((s, dir) =>
+      TimeSeries.gorillaFootprint(Tables.events(s, dir))
+        .select(col("shard_hour"), col("n_points"), col("ts_bytes"))),
     "q_asof_tolerance" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -380,13 +386,15 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfAnnTopK(Tables.embeddings(s, dir), QueryVecId,
         IvfCentroids, IvfProbe, TopKSim)),
-    // Lloyd-refined IVF: decimal-mean centroids aren't bit-reproducible in
-    // DuckDB, so this entry is rows-only by design — SimilarityRefinedSpec
-    // (objective monotonicity, determinism, recall, shuffle-free plan) is
-    // its correctness gate
+    // Lloyd-refined IVF, oracled at the refinement STATE: flat
+    // (cid, n, dim, sum_dec) rows of the final step's exact decimal
+    // coordinate sums — DuckDB replays seed-assign → decimal sums →
+    // one mean conversion → re-assign bit-for-bit. The search over the
+    // refined centroids stays gated by SimilarityRefinedSpec (objective
+    // monotonicity, determinism, recall, shuffle-free serving plan).
     "q_ivf_refined" -> ((s, dir) =>
-      Similarity.ivfAnnTopKRefined(Tables.embeddings(s, dir), QueryVecId,
-        IvfCentroids, IvfProbe, TopKSim)),
+      Similarity.ivfRefinedCentroidRows(Tables.embeddings(s, dir),
+        IvfCentroids, iters = 2)),
 
     // --- multimodal column plumbing (decode is a deterministic stub) ---
     "q_multimodal_meta" -> ((s, dir) =>
@@ -551,6 +559,14 @@ object SparkEntry {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** LEB128 varint byte count — mirror of `TimeSeries.varintBytes`:
+    * negative (top-bit-set unsigned) → 10; else 1 byte per started
+    * 7-bit group, 9 for anything ≥ 2⁵⁶. */
+  private def sqlVarintBytes(x: String): String =
+    s"CASE WHEN $x < 0 THEN 10 " +
+      (1 to 8).map(b => s"WHEN $x < ${1L << (7 * b)} THEN $b").mkString(" ") +
+      " ELSE 9 END"
+
   /** 60-bit md5-prefix token hash — mirror of [[TextAnalysis.tokHash]]. */
   private def sqlTokHash(t: String): String =
     s"('0x' || substr(md5($t), 1, 15))::BIGINT"
@@ -637,6 +653,33 @@ object SparkEntry {
         |       min(epoch_us(ts)) AS min_ts_us,
         |       max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY 1""".stripMargin,
+    // mirror of TimeSeries.gorillaFootprint's TIMESTAMP stream
+    // (shard.cpp:107-119 semantics): varint(raw first ts_ms), then
+    // varint(zigzag(delta-of-delta)); zigzag(n) = (n<<1)^(n>>63) written
+    // as checked arithmetic (2n / −2n−1 — identical values, no
+    // engine-specific shift semantics)
+    "q_gorilla_footprint_ts" ->
+      s"""WITH pts AS (SELECT event_id, epoch_ms(ts) AS ts_ms,
+         |                    epoch_ms(ts) // 3600000 AS shard_hour
+         |             FROM events),
+         |d1 AS (SELECT shard_hour, ts_ms, event_id,
+         |              ts_ms - lag(ts_ms) OVER (PARTITION BY shard_hour
+         |                ORDER BY ts_ms, event_id) AS delta
+         |       FROM pts),
+         |d2 AS (SELECT shard_hour, ts_ms, delta,
+         |              delta - coalesce(lag(delta) OVER (PARTITION BY shard_hour
+         |                ORDER BY ts_ms, event_id), 0) AS dod
+         |       FROM d1),
+         |z AS (SELECT shard_hour, ts_ms, delta,
+         |             CASE WHEN dod >= 0 THEN 2 * dod ELSE -2 * dod - 1 END AS zz
+         |      FROM d2),
+         |b AS (SELECT shard_hour,
+         |             CASE WHEN delta IS NULL THEN ${sqlVarintBytes("ts_ms")}
+         |                  ELSE ${sqlVarintBytes("zz")} END AS pt_bytes
+         |      FROM z)
+         |SELECT shard_hour, count(*) AS n_points,
+         |       CAST(sum(pt_bytes) AS BIGINT) AS ts_bytes
+         |FROM b GROUP BY 1""".stripMargin,
     "q_downsample_1h" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |       count(*) AS n_points,
@@ -1636,6 +1679,43 @@ object SparkEntry {
          |FROM a, q
          |WHERE a.ivf_cluster IN (SELECT cid FROM probe)
          |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    // mirror of Similarity.ivfRefinedCentroidRows (iters = 2): seed
+    // assignment, per-dimension fixed-point 2^-40 long sums (coord·2^40
+    // is an exact exponent shift, trunc-toward-zero is engine-neutral —
+    // no decimal rounding rules anywhere), ONE sum→double mean
+    // conversion (/2^40 exact, /n IEEE), re-assignment, final sums —
+    // the compared output is pure integer addition
+    "q_ivf_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS w FROM e WHERE vec_id < $IvfCentroids),
+         |sims0 AS (SELECT e.vec_id, e.v, c0.cid, ${sqlCosine("e.v", "c0.w")} AS csim
+         |          FROM e, c0),
+         |a0 AS (SELECT vec_id, v, cid FROM (
+         |         SELECT vec_id, v, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY csim DESC, cid) AS rn
+         |         FROM sims0) WHERE rn = 1),
+         |d AS (SELECT unnest(generate_series(1, 64)) AS dim),
+         |s1 AS (SELECT cid, dim, count(*) AS n,
+         |              sum(CAST(trunc(v[dim] * ${Similarity.SimFx}) AS BIGINT)) AS s
+         |       FROM a0, d GROUP BY 1, 2),
+         |m1 AS (SELECT cid,
+         |              list((CAST(s AS DOUBLE) / ${Similarity.SimFx}) / n
+         |                   ORDER BY dim) AS w
+         |       FROM s1 GROUP BY 1),
+         |c1 AS (SELECT c0.cid, coalesce(m1.w, c0.w) AS w
+         |       FROM c0 LEFT JOIN m1 USING (cid)),
+         |sims1 AS (SELECT e.vec_id, e.v, c1.cid, ${sqlCosine("e.v", "c1.w")} AS csim
+         |          FROM e, c1),
+         |a1 AS (SELECT vec_id, v, cid FROM (
+         |         SELECT vec_id, v, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY csim DESC, cid) AS rn
+         |         FROM sims1) WHERE rn = 1)
+         |SELECT cid, count(*) AS n, dim,
+         |       CAST(sum(CAST(trunc(v[dim] * ${Similarity.SimFx}) AS BIGINT))
+         |            AS BIGINT) AS sum_fx
+         |FROM a1, d GROUP BY cid, dim""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
          |SELECT * FROM (

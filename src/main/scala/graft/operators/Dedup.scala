@@ -285,12 +285,20 @@ object Dedup {
       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     // materialize the (usually expensive) pair computation ONCE, BEFORE the
     // symmetric union — otherwise the upstream near-dup pipeline runs twice
-    // (once per union branch), and again every loop round
-    val p = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-      .localCheckpoint(true)
-    // the driver path needs each undirected pair ONCE — collect p, not the
+    // (once per union branch), and again every loop round. cache + count is
+    // ONE job that both materializes the pairs and sizes the branch choice
+    // (an eager localCheckpoint followed by count() paid a second job here)
+    val p0 = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .cache()
+    val nEdges = p0.count()
+    // the driver path needs each undirected pair ONCE — collect p0, not the
     // doubled symmetric list
-    if (p.count() * 2 <= driverMaxEdges) return driverSideCc(p)
+    if (nEdges * 2 <= driverMaxEdges)
+      try return driverSideCc(p0) finally p0.unpersist(false)
+    // big-graph path: NOW truncate lineage (the loop replans each round,
+    // and a cache-evicted block would otherwise replay the whole upstream)
+    val p = p0.localCheckpoint(true)
+    p0.unpersist(false)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))

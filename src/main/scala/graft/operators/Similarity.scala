@@ -155,9 +155,17 @@ object Similarity {
   /** Lloyd refinement: `iters` deterministic k-means steps over the seed
     * centroids. Assignment is the same zero-shuffle literal-centroid argmax
     * as the search path; the new centroid is the per-dimension MEAN of its
-    * members, summed in DECIMAL(38,12) so the result is partition-order-
-    * independent (double addition is not associative — a plain double sum
-    * would make centroids nondeterministic across runs/cluster layouts).
+    * members, accumulated in FIXED-POINT 2⁻⁴⁰ units as BIGINT so the
+    * result is partition-order-independent (double addition is not
+    * associative — a plain double sum would make centroids
+    * nondeterministic across runs/cluster layouts; long addition is
+    * exact). The quantization itself is ROUNDING-FREE: coord·2⁴⁰ only
+    * shifts the double's exponent (exact — no rounding-rule choice for
+    * any engine to disagree on), and truncation toward zero is identical
+    * everywhere; the mean then divides by the exact power 2⁴⁰ and by n,
+    * both IEEE-identical across engines. Capacity: 2⁶³/2⁴⁰ ≈ 8.4M units
+    * of coordinate mass per (cluster, dim) — |coord| ≤ 1 corpora are
+    * safe to ~8M members per cluster; beyond that, widen to decimal.
     * Cosine ignores magnitude, so the un-normalized mean is a valid
     * spherical-k-means centroid. Empty clusters keep their previous
     * centroid. Per iteration: one corpus pass + one (cid, dim) shuffle of
@@ -174,28 +182,26 @@ object Similarity {
     // and cannot be reused, but the input rows can)
     val corpus = embeddings.select(col("embedding")).cache()
     for (_ <- 0 until iters) {
-      // one hash aggregation with `dims` decimal sum slots — the same shape
+      // one hash aggregation with `dims` long sum slots — the same shape
       // that made simhash fast: map-side partials collapse to ONE row per
-      // cluster, so the shuffle moves |clusters| rows of (dims) decimals
+      // cluster, so the shuffle moves |clusters| rows of (dims) longs
       // (the earlier posexplode formulation shuffled dims × |corpus| rows —
       // the wrong shape at corpus scale). Cold-start note: each iteration
       // codegen-compiles a fresh aggregate class (the centroid literals
       // change), which dominates wall time at toy scale — one-off training
       // cost that amortizes; warm, this path measures ~1.5× faster than
       // the exploded one at sf0.1
-      val sums = (0 until dims).map(d =>
-        sum(element_at(col("v"), d + 1).cast("decimal(38,12)")).as(s"s$d"))
       val rows = corpus
         .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
         .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .agg(count(lit(1)).as("n"), fxSums(dims): _*)
         .collect()
       val means = rows.map { r =>
         val n = r.getAs[Long]("n")
-        // exact decimal sums; the single toDouble/n rounding is
-        // deterministic (same BigDecimal, same IEEE division everywhere)
+        // exact long sums of 2^-40 units; /2^40 (exact power) then /n —
+        // the identical IEEE op pair any replaying engine computes
         r.getAs[Long]("cid") -> (0 until dims).map(d =>
-          r.getAs[java.math.BigDecimal](s"s$d").doubleValue() / n).toArray
+          r.getAs[Long](s"s$d") / SimFxD / n).toArray
       }.toMap
       cents = cents.map { case (cid, w) => (cid, means.getOrElse(cid, w)) }
     }
@@ -229,14 +235,51 @@ object Similarity {
 
   /** IVF top-k over Lloyd-refined centroids — better cluster balance than
     * the raw seed medoids (asserted in `SimilarityRefinedSpec`), same
-    * zero-shuffle serving plan. Not SQL-oracled: the refined centroids are
-    * decimal-mean aggregates, which DuckDB's decimal division rules don't
-    * reproduce bit-for-bit — correctness is covered by the recall/balance
-    * specs instead. */
+    * zero-shuffle serving plan. The search composition stays spec-gated
+    * (recall/balance/objective specs); the refinement STATE itself is
+    * SQL-oracled via [[ivfRefinedCentroidRows]]. */
   def ivfAnnTopKRefined(embeddings: DataFrame, queryVecId: Long,
       nCentroids: Int, nProbe: Int, k: Int, iters: Int = 2): DataFrame =
     ivfSearch(embeddings, ivfRefinedCentroids(embeddings, nCentroids, iters),
       queryVecId, nProbe, k)
+
+  /** The final Lloyd state as FLAT oracle-comparable rows
+    * (cid, n, dim, sum_fx): runs `iters − 1` refinement steps, then
+    * emits the LAST step's per-cluster member count and per-dimension
+    * fixed-point 2⁻⁴⁰ coordinate sums as one distributed aggregation
+    * (dims long slots, map-side partials — the simhash shape). Emitting
+    * the integer SUMS, not the means, is what makes this
+    * bit-reproducible in SQL: the whole compared output is exact long
+    * addition over a rounding-free quantization (see
+    * [[ivfRefinedCentroids]]), so no engine's decimal-cast or rounding
+    * rules enter anywhere. Clusters with no members after the last
+    * assignment emit no rows (their kept-seed centroids never aggregate
+    * members). `dim` is 1-based to match SQL array indexing. */
+  def ivfRefinedCentroidRows(embeddings: DataFrame, nCentroids: Int,
+      iters: Int): DataFrame = {
+    val cents = ivfRefinedCentroids(embeddings, nCentroids, iters - 1)
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    embeddings
+      .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), fxSums(dims): _*)
+      .select(col("cid"), col("n"),
+        posexplode(array((0 until dims).map(d => col(s"s$d")): _*)))
+      .select(col("cid"), col("n"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("sum_fx"))
+  }
+
+  /** 2⁻⁴⁰ fixed-point unit for Lloyd coordinate sums: the scale-up is an
+    * exact exponent shift and 2⁴⁰ divides back out exactly. */
+  val SimFx = 1L << 40
+  private val SimFxD = SimFx.toDouble
+
+  /** Per-dimension fixed-point sum slots: trunc-toward-zero of
+    * coord·2⁴⁰ (CAST double→BIGINT truncates; DuckDB replays with
+    * trunc()), summed as plain longs. */
+  private def fxSums(dims: Int) = (0 until dims).map(d =>
+    sum(expr(s"CAST(element_at(v, ${d + 1}) * ${SimFx}D AS BIGINT)"))
+      .as(s"s$d"))
 
   /** Batch exact top-k: the top `k` corpus vectors for EACH of several query
     * vectors in ONE corpus pass. The query rows are broadcast (the caller

@@ -298,11 +298,18 @@ object TimeSeries {
     val tsBytes = when(col("delta").isNull, varintBytes(col("ts_ms")))
       .otherwise(varintBytes(zigzag))
     staged
-      .withColumn("point_bytes", tsBytes + varintBytes(col("vxor")))
+      .withColumn("ts_pt_bytes", tsBytes)
+      .withColumn("val_pt_bytes", varintBytes(col("vxor")))
       .groupBy(col("shard_hour"))
       .agg(
         count(lit(1)).as("n_points"),
-        sum(col("point_bytes")).as("gorilla_bytes"))
+        // the two codec streams separately: the timestamp side is pure
+        // integer math any SQL engine can replay (q_gorilla_footprint_ts
+        // carries a full oracle on it); the value side needs raw double
+        // bit patterns, which stay golden-spec-gated
+        sum(col("ts_pt_bytes")).as("ts_bytes"),
+        sum(col("val_pt_bytes")).as("value_bytes"),
+        sum(col("ts_pt_bytes") + col("val_pt_bytes")).as("gorilla_bytes"))
   }
 
   /** Exponentially weighted moving average per series — the order-sensitive

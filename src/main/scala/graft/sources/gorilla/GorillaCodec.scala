@@ -32,28 +32,48 @@ object GorillaCodec {
   def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
   def unzigzag(z: Long): Long = (z >>> 1) ^ -(z & 1L)
 
-  /** Encode a point stream (insertion order) into shard-file bytes. */
-  def encode(points: Seq[(Long, Double)]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
-    var prevTs = 0L
-    var prevDelta = 0L
-    var prevBits = 0L
-    points.foreach { case (ts, v) =>
+  /** Incremental point-at-a-time encoder over an OutputStream — O(1)
+    * state (three longs), no per-shard buffering: the migration writer
+    * streams a sorted partition straight through one of these per shard
+    * file, so a hot shard-hour never materializes in an executor's heap.
+    * Byte-identical to [[encode]] (which is a thin wrapper). */
+  final class StreamingEncoder(out: java.io.OutputStream) {
+    private var prevTs = 0L
+    private var prevDelta = 0L
+    private var prevBits = 0L
+
+    private def writeVarint(value: Long): Unit = {
+      var v = value
+      while ((v & ~0x7FL) != 0L) {
+        out.write((((v & 0x7FL) | 0x80L)).toInt)
+        v = v >>> 7
+      }
+      out.write((v & 0x7FL).toInt)
+    }
+
+    def add(ts: Long, value: Double): Unit = {
       // the reference keys raw-vs-DoD off prev_timestamp == 0, NOT a
       // first-point flag (shard.cpp:111): after a ts==0 point the next
       // timestamp is raw-encoded again and prevDelta is left untouched
-      if (prevTs == 0L) writeVarint(out, ts)
+      if (prevTs == 0L) writeVarint(ts)
       else {
         val delta = ts - prevTs
-        writeVarint(out, zigzag(delta - prevDelta))
+        writeVarint(zigzag(delta - prevDelta))
         prevDelta = delta
       }
       prevTs = ts
-      val bits = java.lang.Double.doubleToRawLongBits(v)
-      writeVarint(out, bits ^ prevBits)
+      val bits = java.lang.Double.doubleToRawLongBits(value)
+      writeVarint(bits ^ prevBits)
       prevBits = bits
     }
-    out.toArray
+  }
+
+  /** Encode a point stream (insertion order) into shard-file bytes. */
+  def encode(points: Seq[(Long, Double)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = new StreamingEncoder(bos)
+    points.foreach { case (ts, v) => enc.add(ts, v) }
+    bos.toByteArray
   }
 
   /** Decode shard-file bytes back into (timestamp, value) points. */
@@ -173,29 +193,55 @@ object GorillaCodec {
 
 /** Reverse-migration writer: dump a point Dataset INTO the reference's
   * shard-file layout (one `<start>-<end>.bin` per hour shard, points in
-  * (ts, value) order). Each shard is encoded by the executor that owns its
-  * group; `dir` must be a filesystem all executors can reach (trivially true
-  * on local[N]; a shared mount on a cluster). */
+  * (ts, value) order). Fully streaming: shards are hash-repartitioned so
+  * each lives in exactly one task, points are sort-merged by Spark's
+  * spill-capable external sorter (`sortWithinPartitions`), and each task
+  * walks its iterator once, feeding a [[GorillaCodec.StreamingEncoder]]
+  * straight into a buffered file stream — per-task memory is O(1)
+  * regardless of how hot a shard-hour is (the previous `mapGroups` +
+  * `toSeq.sortBy` pinned a whole shard's points in one heap). `dir` must
+  * be a filesystem all executors can reach (trivially true on local[N];
+  * a shared mount on a cluster). */
 object GorillaShardWriter {
   def writeShards(points: org.apache.spark.sql.Dataset[graft.model.DataPoint],
       dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
     import points.sparkSession.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     points
-      .groupByKey(p => graft.model.shardHourOf(p.timestamp))
-      .mapGroups { (shard, pts) =>
-        val stream = pts.toSeq.sortBy(p => (p.timestamp, p.value))
-          .map(p => (p.timestamp, p.value))
-        val start = shard * graft.model.ShardDurationMs
-        // end-INCLUSIVE filename, matching get_shard_path (insight.cpp:11):
-        // the reference reconstructs exact paths in query_range, so anything
-        // else is silently invisible to it
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir,
-            s"$start-${start + graft.model.ShardDurationMs - 1}.bin"),
-          GorillaCodec.encode(stream))
-        shard
+      .select(col("timestamp"), col("value"),
+        graft.model.shardHourCol(col("timestamp")).as("shard"))
+      .as[(Long, Double, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("timestamp"), col("value"))
+      .mapPartitions { it =>
+        // consecutive rows of one shard stream through one encoder; a
+        // shard boundary closes the file and opens the next — no state
+        // beyond the codec's three longs and the stream's write buffer
+        var curShard = Long.MinValue
+        var out: java.io.BufferedOutputStream = null
+        var enc: GorillaCodec.StreamingEncoder = null
+        val written = Seq.newBuilder[Long]
+        def close(): Unit = if (out != null) { out.close(); out = null }
+        it.foreach { case (ts, v, shard) =>
+          if (shard != curShard || enc == null) {
+            close()
+            val start = shard * graft.model.ShardDurationMs
+            // end-INCLUSIVE filename, matching get_shard_path
+            // (insight.cpp:11): the reference reconstructs exact paths in
+            // query_range, so anything else is silently invisible to it
+            out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(java.nio.file.Paths.get(dir,
+                s"$start-${start + graft.model.ShardDurationMs - 1}.bin").toFile))
+            enc = new GorillaCodec.StreamingEncoder(out)
+            curShard = shard
+            written += shard
+          }
+          enc.add(ts, v)
+        }
+        close()
+        written.result().iterator
       }
-      .collect()
+      .collect() // shard-id metadata only — bounded by the shard count
   }
 }

@@ -40,7 +40,8 @@ class GorillaFootprintSpec extends AnyFunSuite with SparkSpec {
 
   test("relational footprint equals the direct codec transcription on every shard") {
     val got = TimeSeries.gorillaFootprint(Tables.events(spark, sf0001))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getAs[Long]("shard_hour") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("gorilla_bytes")))).toMap
 
     val rows = Tables.events(spark, sf0001)
       .select(col("event_id"), (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms"),
@@ -58,6 +59,12 @@ class GorillaFootprintSpec extends AnyFunSuite with SparkSpec {
     want.foreach { case (shard, (n, bytes)) =>
       assert(got(shard) == ((n, bytes)), s"shard $shard mismatch")
     }
+    // the split streams must partition the total exactly
+    TimeSeries.gorillaFootprint(Tables.events(spark, sf0001))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("ts_bytes") + r.getAs[Long]("value_bytes") ==
+          r.getAs[Long]("gorilla_bytes"))
+      }
   }
 
   test("relational footprint equals the ACTUAL encoded byte length per shard") {
@@ -71,7 +78,8 @@ class GorillaFootprintSpec extends AnyFunSuite with SparkSpec {
       shard -> graft.sources.gorilla.GorillaCodec.encode(stream).length.toLong
     }
     val got = TimeSeries.gorillaFootprint(Tables.events(spark, sf0001))
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getAs[Long]("shard_hour") ->
+        r.getAs[Long]("gorilla_bytes")).toMap
     assert(got == encoded)
   }
 

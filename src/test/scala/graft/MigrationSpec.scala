@@ -52,6 +52,37 @@ class MigrationSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(pqStore).count())
   }
 
+  test("oversized shard (1M points, one hour) streams through without " +
+      "materializing in one heap") {
+    val binStore = Files.createTempDirectory("graft_big_bin_").toString
+    // one million points inside a SINGLE hour shard, built distributed
+    // (spark.range, not a driver Seq): the writer must sort-merge and
+    // stream-encode them — the old mapGroups path buffered the whole
+    // shard as boxed tuples in one task
+    val hourStart = 3600000L * 500
+    val big = spark.range(1000000).select(
+      (lit(hourStart) + (col("id") * 3L) % 3600000L).as("timestamp"),
+      (col("id") % 1000).cast("double").as("value"),
+      lit("default").as("metric")).as[DataPoint]
+    graft.sources.gorilla.GorillaShardWriter.writeShards(big, binStore)
+    // exactly one shard file, and its stats pass confirms every point
+    // survived the stream encode (count + extremes, no full decode)
+    val files = new java.io.File(binStore).listFiles().filter(_.getName.endsWith(".bin"))
+    assert(files.length == 1, files.map(_.getName).toSeq.toString)
+    val (n, mn, mx) = graft.sources.gorilla.GorillaCodec.tsStats(
+      java.nio.file.Files.readAllBytes(files.head.toPath))
+    assert(n == 1000000L)
+    // ids 0..999999 → offsets 3·id, all under 3 600 000 — max is 2 999 997
+    assert(mn == hourStart && mx == hourStart + 2999997L)
+    // spot-check full decode order: nondecreasing timestamps (the writer
+    // sorts by (ts, value) within the shard)
+    val it = graft.sources.gorilla.GorillaCodec.decodeIterator(
+      java.nio.file.Files.readAllBytes(files.head.toPath))
+    var prev = Long.MinValue; var cnt = 0L
+    it.foreach { case (ts, _) => assert(ts >= prev); prev = ts; cnt += 1 }
+    assert(cnt == 1000000L)
+  }
+
   test("round trip parquet -> bin -> parquet preserves every point") {
     val pqStore = Files.createTempDirectory("graft_rt_pq_").toString
     val binStore = Files.createTempDirectory("graft_rt_bin_").toString
