@@ -33,7 +33,11 @@ object Probe {
       "_pr_iter1" -> ((s, dir) => graft.operators.Graph.pageRank(
         graft.operators.Graph.customerSupplierEdges(
           graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
-        iters = 1, damping = 0.85)))
+        iters = 1, damping = 0.85)),
+      "_pr_iter2" -> ((s, dir) => graft.operators.Graph.pageRank(
+        graft.operators.Graph.customerSupplierEdges(
+          graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
+        iters = 2, damping = 0.85)))
     names.split(',').foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, extras(name))
       val times = (0 until reps).map { _ =>

@@ -68,23 +68,19 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
                symmetric: Boolean = false): DataFrame = {
     val eRaw = edges.select(col("src"), col("dst"))
-    // outdeg folds into the edge frame ONCE, as a window count — a
-    // single src-keyed shuffle of the caller's edge build (a groupBy +
-    // self-join would run that build twice: the agg side's subplan
-    // differs, so no ReusedExchange), and the output comes out
-    // hash-partitioned by src. Per-src window state is one counter over
-    // an outdeg-sized partition slice — bounded by the supplier/customer
-    // fan-out, not |E|. Each iteration's rank join then shuffles only
-    // the (tiny, node-sized) rank side, which AQE broadcasts when it
-    // fits. ONE checkpoint materializes all of it.
-    val e2 = eRaw
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // the edge frame stays BARE (src, dst) — hash-partitioned by src
+    // once and checkpointed, so no iteration ever re-shuffles |E| rows
+    // and no |E|-wide sort happens anywhere (a window/outdeg column on
+    // the edges would sort 10⁷ rows just to attach a per-node count).
+    // outdeg lives in a NODE-sized frame aggregated straight off the
+    // cached blocks — groupBy(src) reuses the partitioning, no exchange.
+    val e2 = eRaw.repartition(col("src")).localCheckpoint()
+    val outdeg = e2.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    // symmetric: src alone spans V, and it's read from e2's cached
-    // blocks with map-side partial dedup — no 2|E| union materializes
+    // symmetric: src alone spans V, and it's exactly outdeg's key set —
+    // no 2|E| union, no extra dedup
     val nodesDf =
-      if (symmetric) e2.select(col("src").as("node")).distinct()
+      if (symmetric) outdeg.select(col("src").as("node"))
       else e2.select(col("src").as("node"))
         .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodesDf.count() // driver scalar: |V| is bounded metadata
@@ -97,23 +93,29 @@ object Graph {
         s"* $dNum div $DampDen"
     if (iters == 0)
       return nodesDf.select(col("node"), lit((OneFx / n) / 1e18).as("pr"))
-    // Between iterations only the dst-keyed message sums are carried:
-    // pr(node) = baseFx + damped(msum), and a node absent from the sums
-    // (no in-edges) holds the CONSTANT rank baseFx — so a left join +
-    // coalesce replaces any per-iteration all-nodes frame. Iteration 1
-    // is join-free outright: uniform pr₀ is a literal.
-    var sums = e2
-      .groupBy(col("dst"))
-      .agg(sum(expr(s"CAST(${OneFx / n} AS BIGINT) div outdeg")).as("msum"))
+    // Between iterations only NODE-sized frames move: the dst-keyed
+    // message sums, and a per-source "contribution rate" crate(src) =
+    // pr(src) div outdeg(src) built by joining the sums onto the outdeg
+    // frame (|V|⋈|V|). A node absent from the sums (no in-edges) holds
+    // the CONSTANT rank baseFx — coalesce completes it. The only |E|
+    // touch per iteration is e2 ⋈ crate, which AQE broadcasts while
+    // crate fits (billions of nodes: sort-merge against the already
+    // src-partitioned e2, still no |E| re-shuffle). Iteration 1 is
+    // edge-join-lean outright: uniform pr₀ divides outdeg directly.
+    var crate = outdeg.select(col("src"),
+      expr(s"CAST(${OneFx / n} AS BIGINT) div outdeg").as("crate"))
+    var sums = e2.join(crate, Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
     for (i <- 1 until iters) {
-      val pr = sums.select(col("dst").as("src"),
-        expr(s"CAST($baseFx AS BIGINT) + ${damped("msum")}").as("pr_fx"))
-      sums = e2.join(pr, Seq("src"), "left")
-        .groupBy(col("dst"))
-        .agg(sum(expr(
-          s"coalesce(pr_fx, CAST($baseFx AS BIGINT)) div outdeg")).as("msum"))
-      // lineage here grows LINEARLY (each step references e2 and the
-      // previous sums once), so a full materialization job per step
+      crate = outdeg
+        .join(sums.withColumnRenamed("dst", "src"), Seq("src"), "left")
+        .select(col("src"), expr(
+          s"(CAST($baseFx AS BIGINT) + ${damped("msum")}) div outdeg")
+          .as("crate"))
+      sums = e2.join(crate, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
+      // lineage here grows LINEARLY (each step references e2/outdeg and
+      // the previous sums once), so a full materialization job per step
       // costs more than it saves — checkpoint only every 4th step to
       // bound plan depth / compile time for high iteration counts
       if (i % 4 == 3 && i != iters - 1) sums = sums.localCheckpoint()
