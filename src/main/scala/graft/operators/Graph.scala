@@ -84,6 +84,8 @@ object Graph {
       else e2.select(col("src").as("node"))
         .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodesDf.count() // driver scalar: |V| is bounded metadata
+    if (n == 0) // empty edge set: no nodes, not a division by zero
+      return nodesDf.select(col("node"), lit(0d).as("pr")).limit(0)
     val dNum = math.round(damping * DampDen)
     // (1−d)/N in 10⁻¹⁸ units, exact via BigInt (1500·10¹⁸ overflows Long)
     val baseFx = (BigInt(DampDen - dNum) * OneFx / (BigInt(DampDen) * n)).toLong

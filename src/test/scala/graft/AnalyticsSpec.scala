@@ -502,6 +502,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(prSym == prS, s"symmetric path diverged: $prSym vs $prS")
   }
 
+  test("pageRank: no-in-edge nodes keep the constant base rank (generic " +
+      "completion join) and an empty edge set yields an empty frame") {
+    import graft.operators.Graph
+    // chain 1 -> 2 -> 3: node 1 never receives a message, so after any
+    // iteration pr(1) = (1-d)/3 exactly — the fixed-point recurrence gives
+    // baseFx = floor(1500 * 1e18 / (10000 * 3)) = 5e16 -> 0.05
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(chain, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(1L) == 0.05, s"no-in-edge node drifted: ${pr(1L)}")
+    // mass flows down the chain: the sink accumulates the most
+    assert(pr(1L) < pr(2L) && pr(2L) < pr(3L), pr.toString)
+    assert(Graph.pageRank(chain.limit(0), iters = 3, damping = 0.85)
+      .collect().isEmpty)
+  }
+
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
     val docs = Seq(
       (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
