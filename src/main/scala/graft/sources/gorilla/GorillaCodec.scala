@@ -217,12 +217,25 @@ object GorillaShardWriter {
       .mapPartitions { it =>
         // consecutive rows of one shard stream through one encoder; a
         // shard boundary closes the file and opens the next — no state
-        // beyond the codec's three longs and the stream's write buffer
+        // beyond the codec's three longs and the stream's write buffer.
+        // Each shard encodes into a task-unique dotfile and is ATOMICALLY
+        // renamed into its final name on close: a killed/retried task can
+        // never leave a truncated file under a final name, and the retry
+        // (or a speculative twin) just replaces the rename target with
+        // identical bytes (the sorted input is deterministic).
         var curShard = Long.MinValue
         var out: java.io.BufferedOutputStream = null
         var enc: GorillaCodec.StreamingEncoder = null
+        var tmp: java.nio.file.Path = null
+        var fin: java.nio.file.Path = null
+        val taskTag = java.util.UUID.randomUUID().toString
         val written = Seq.newBuilder[Long]
-        def close(): Unit = if (out != null) { out.close(); out = null }
+        def close(): Unit = if (out != null) {
+          out.close(); out = null
+          java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         it.foreach { case (ts, v, shard) =>
           if (shard != curShard || enc == null) {
             close()
@@ -230,9 +243,11 @@ object GorillaShardWriter {
             // end-INCLUSIVE filename, matching get_shard_path
             // (insight.cpp:11): the reference reconstructs exact paths in
             // query_range, so anything else is silently invisible to it
+            fin = java.nio.file.Paths.get(dir,
+              s"$start-${start + graft.model.ShardDurationMs - 1}.bin")
+            tmp = java.nio.file.Paths.get(dir, s".$taskTag-$start.tmp")
             out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(java.nio.file.Paths.get(dir,
-                s"$start-${start + graft.model.ShardDurationMs - 1}.bin").toFile))
+              new java.io.FileOutputStream(tmp.toFile))
             enc = new GorillaCodec.StreamingEncoder(out)
             curShard = shard
             written += shard
