@@ -23,16 +23,18 @@ import org.apache.spark.sql.functions._
   * use — and only ever *loses* mass, so no overflow path exists:
   * Σ pr_fx ≤ 10¹⁸ keeps every per-node message sum well under Long.Max.
   *
-  * Scale: per iteration one src-keyed join (edges co-partitioned with
-  * ranks) and one dst-keyed aggregation with MAP-SIDE PARTIAL sums —
-  * a power-law hub costs one long per partition upstream, so no skew
-  * handling is needed at all (the previous sorted-fold design needed a
-  * hot-set broadcast + two-level salt to bound its buffers; exact
-  * integer sums make all of that apparatus unnecessary). The rank frame
-  * is `localCheckpoint`ed each step so iteration i's plan does not
-  * replay iterations 0..i−1 (lineage would otherwise compound
-  * multiplicatively). Iteration count is fixed (an offline-analytics
-  * setting), not convergence-driven. */
+  * Scale: the bare (src, dst) edge frame is src-partitioned and
+  * checkpointed ONCE; each iteration joins a NODE-sized contribution-
+  * rate frame into it (AQE broadcasts while it fits; sort-merge against
+  * the existing partitioning beyond that — never an |E| re-shuffle) and
+  * aggregates per destination with MAP-SIDE PARTIAL sums — a power-law
+  * hub costs one long per partition upstream, so no skew handling is
+  * needed at all (the previous sorted-fold design needed a hot-set
+  * broadcast + two-level salt to bound its buffers; exact integer sums
+  * make all of that apparatus unnecessary). Only node-sized frames move
+  * between iterations; lineage grows linearly and is checkpointed every
+  * 4th step purely to bound plan depth. Iteration count is fixed (an
+  * offline-analytics setting), not convergence-driven. */
 object Graph {
 
   /** Undirected customer↔supplier co-transaction graph from the order
