@@ -127,6 +127,18 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("pagerank plans as plain integer hash aggregates (no fold apparatus)") {
+    // the round-6 redesign's contract: message sums are codegen'd long
+    // sums — any reappearance of collect_list/sort_array (the old
+    // sorted-fold) or an interpreted lambda in this plan is a regression
+    val df = SparkEntry.queries("q_pagerank")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(2000))
+    assert(!plan.contains("sort_array"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("quantile sketch (approx_percentile) lands within 1% of the exact positional median") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val sketch = ev.groupBy("event_type")
