@@ -1,7 +1,5 @@
 package graft.sources.gorilla
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Byte-exact codec for the reference engine's shard file format
   * (/root/reference/engine/shard.cpp):
   *
@@ -19,15 +17,6 @@ import scala.collection.mutable.ArrayBuffer
   * reference-format files; the decoder backs the DSv2 scan.
   */
 object GorillaCodec {
-
-  def writeVarint(out: ArrayBuffer[Byte], value: Long): Unit = {
-    var v = value
-    while ((v & ~0x7FL) != 0L) {
-      out += ((v & 0x7FL) | 0x80L).toByte
-      v = v >>> 7
-    }
-    out += (v & 0x7FL).toByte
-  }
 
   def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
   def unzigzag(z: Long): Long = (z >>> 1) ^ -(z & 1L)
