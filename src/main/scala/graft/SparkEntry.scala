@@ -40,6 +40,12 @@ object SparkEntry {
   private val QueryVecId    = 0L
   private val IvfCentroids  = 8
   private val IvfProbe      = 2
+  // personalized-PageRank seed nodes (customers 1 and 2 → ids 2k) and
+  // their fixed-point teleport constants, shared verbatim by the oracle
+  private val PprSeeds  = Seq(2L, 4L)
+  private val PprSeedFx = operators.Graph.OneFx / PprSeeds.size
+  private val PprBaseFx = (BigInt(1500) * operators.Graph.OneFx /
+    (BigInt(10000) * PprSeeds.size)).toLong
   private val TopTermsK     = 3
   private val StratifiedK   = 20
   private val BatchQueryIds = Seq(0L, 1L, 2L)
@@ -180,6 +186,14 @@ object SparkEntry {
           Tables.orders(s, dir), Tables.lineitem(s, dir)),
         iters = 3, damping = 0.85, symmetric = true)
         .orderBy(col("pr").desc, col("node")).limit(20)),
+    // personalized variant: teleport to two seed customers — the
+    // "related to THESE" local ranking; frontier-sparse by construction
+    "q_ppr" -> ((s, dir) =>
+      operators.Graph.personalizedPageRank(
+        operators.Graph.customerSupplierEdges(
+          Tables.orders(s, dir), Tables.lineitem(s, dir)),
+        PprSeeds, iters = 3, damping = 0.85)
+        .orderBy(col("pr").desc, col("node")).limit(30)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -1257,6 +1271,44 @@ object SparkEntry {
         |        FROM nodes n CROSS JOIN nn LEFT JOIN m3 m ON m.dst = n.node)
         |SELECT node, CAST(fx AS DOUBLE) / 1e18 AS pr FROM pr3
         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    // mirror of Graph.personalizedPageRank: same integer recurrence with
+    // the teleport CASE'd onto the seed set (the engine's zero-crate
+    // frontier filter only drops exact-zero summands, so summing them
+    // here changes nothing)
+    "q_ppr" ->
+      s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM base
+         |      UNION SELECT b AS src, a AS dst FROM base),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |m1 AS (SELECT e.dst,
+         |              sum((CASE WHEN e.src IN (${PprSeeds.mkString(", ")})
+         |                        THEN $PprSeedFx ELSE 0 END) // o.outdeg) AS msum
+         |       FROM e JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         |pr1 AS (SELECT n.node, CAST(
+         |              (CASE WHEN n.node IN (${PprSeeds.mkString(", ")})
+         |                    THEN $PprBaseFx ELSE 0 END) +
+         |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+         |        FROM nodes n LEFT JOIN m1 m ON m.dst = n.node),
+         |m2 AS (SELECT e.dst, sum(p.fx // o.outdeg) AS msum
+         |       FROM e JOIN pr1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+         |       GROUP BY 1),
+         |pr2 AS (SELECT n.node, CAST(
+         |              (CASE WHEN n.node IN (${PprSeeds.mkString(", ")})
+         |                    THEN $PprBaseFx ELSE 0 END) +
+         |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+         |        FROM nodes n LEFT JOIN m2 m ON m.dst = n.node),
+         |m3 AS (SELECT e.dst, sum(p.fx // o.outdeg) AS msum
+         |       FROM e JOIN pr2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+         |       GROUP BY 1),
+         |pr3 AS (SELECT n.node, CAST(
+         |              (CASE WHEN n.node IN (${PprSeeds.mkString(", ")})
+         |                    THEN $PprBaseFx ELSE 0 END) +
+         |              CAST(coalesce(m.msum, 0) AS HUGEINT) * 8500 // 10000 AS BIGINT) AS fx
+         |        FROM nodes n LEFT JOIN m3 m ON m.dst = n.node)
+         |SELECT node, CAST(fx AS DOUBLE) / 1e18 AS pr FROM pr3
+         |ORDER BY pr DESC, node LIMIT 30""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

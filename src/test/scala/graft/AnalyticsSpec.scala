@@ -502,6 +502,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(prSym == prS, s"symmetric path diverged: $prSym vs $prS")
   }
 
+  test("personalizedPageRank: teleport mass stays on the seed side, " +
+      "disconnected nodes rank exactly zero") {
+    import graft.operators.Graph
+    // chain 2 -> 4 -> 6 -> 8 seeded at {2}, plus a disconnected edge
+    // 100 -> 102 that the walk can never reach
+    val g = Seq((2L, 4L), (4L, 6L), (6L, 8L), (100L, 102L)).toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(g, Seq(2L), iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(2L, 4L, 6L, 8L, 100L, 102L))
+    // the seed has no in-edges: its rank is the teleport base exactly,
+    // (1-d)/|S| = 0.15 (floor(1500e18/10000)/1e18 — both factors exact)
+    assert(pr(2L) == 0.15, pr.toString)
+    assert(pr(100L) == 0.0 && pr(102L) == 0.0, pr.toString)
+    // every reachable node carries positive rank; total mass can only
+    // leak (truncation + the dangling sink), never exceed 1
+    assert(pr(4L) > 0 && pr(6L) > 0 && pr(8L) > 0)
+    assert(pr.values.sum <= 1.0 + 1e-12, pr.values.sum.toString)
+  }
+
   test("pageRank: no-in-edge nodes keep the constant base rank (generic " +
       "completion join) and an empty edge set yields an empty frame") {
     import graft.operators.Graph
