@@ -194,6 +194,18 @@ object SparkEntry {
           Tables.orders(s, dir), Tables.lineitem(s, dir)),
         PprSeeds, iters = 3, damping = 0.85)
         .orderBy(col("pr").desc, col("node")).limit(30)),
+    // frontier BFS from two seed customers: shortest hop distance over
+    // the same co-transaction graph, capped at 3 hops
+    "q_bfs_hops" -> ((s, dir) =>
+      operators.Graph.bfsHops(
+        operators.Graph.customerSupplierEdges(
+          Tables.orders(s, dir), Tables.lineitem(s, dir)),
+        Seq(4L, 8L), maxHops = 3)),
+    // exact triangle census of the part co-purchase graph — the
+    // degree-ordered orientation keeps the wedge join O(|E|^1.5)
+    "q_triangles" -> ((s, dir) =>
+      operators.Graph.triangleStats(
+        operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)))),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -1309,6 +1321,49 @@ object SparkEntry {
          |        FROM nodes n LEFT JOIN m3 m ON m.dst = n.node)
          |SELECT node, CAST(fx AS DOUBLE) / 1e18 AS pr FROM pr3
          |ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+    // mirror of Graph.bfsHops: the recursive closure enumerates every
+    // (node, hops ≤ 3) path endpoint; min(hops) is the BFS distance —
+    // identical to the engine's first-visit-wins frontier
+    "q_bfs_hops" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |      UNION SELECT b AS src, a AS dst FROM base),
+        |bfs(node, hops) AS (
+        |  SELECT * FROM (VALUES (CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        |                        (CAST(8 AS BIGINT), CAST(0 AS BIGINT))) v(node, hops)
+        |  UNION
+        |  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.hops < 3)
+        |SELECT node, min(hops) AS hops FROM bfs GROUP BY 1""".stripMargin,
+    // mirror of Graph.triangleStats over Graph.partCoPurchasePairs:
+    // same (deg, id) orientation, wedge-at-smallest-vertex census
+    "q_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |          (SELECT u AS node FROM pairs
+        |           UNION ALL SELECT v FROM pairs) t GROUP BY 1),
+        |oriented AS (SELECT
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst,
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END AS ddeg
+        |  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |wedges AS (SELECT e1.dst AS b, e2.dst AS c
+        |           FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        |           WHERE (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+        |tri AS (SELECT count(*) AS triangles FROM wedges w
+        |        WHERE EXISTS (SELECT 1 FROM oriented o
+        |                      WHERE o.src = w.b AND o.dst = w.c)),
+        |wcount AS (SELECT sum(deg * (deg - 1) // 2) AS wedges FROM deg)
+        |SELECT CAST(t.triangles AS BIGINT) AS triangles,
+        |       CAST(w.wedges AS BIGINT) AS wedges,
+        |       CAST(3 * t.triangles AS DOUBLE) / CAST(w.wedges AS DOUBLE)
+        |         AS clustering
+        |FROM tri t, wcount w""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

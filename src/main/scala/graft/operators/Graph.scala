@@ -195,6 +195,102 @@ object Graph {
           expr(damped("msum"))).cast("double") / lit(1e18)).as("pr"))
   }
 
+  /** Multi-source BFS: (node, hops) = shortest hop distance from the
+    * seed set for every node reachable within `maxHops` (seeds at 0,
+    * unreached nodes absent). Frontier-iterative: each step is
+    * frontier ⋈ edges (AQE broadcasts the frontier while it's small;
+    * the edge frame is src-partitioned once and never re-shuffles)
+    * followed by a node-bounded anti-join against the visited set —
+    * never |V|², at most `maxHops` passes over the edges, and an empty
+    * frontier exits early. Every frontier/visited frame is node-sized
+    * and checkpointed, so lineage stays flat at any hop count. */
+  def bfsHops(edges: DataFrame, sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "BFS needs a seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var visited = sources.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = e2.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select(col("node"))
+        h += 1
+      }
+    }
+    visited
+  }
+
+  /** Undirected part co-purchase graph: distinct (u < v) part pairs
+    * that share at least one order. The per-order self-join is bounded
+    * by order size (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs per order), so the
+    * expansion is linear in |lineitem|, never quadratic in |part|. */
+  def partCoPurchasePairs(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    a.join(b, Seq("k")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Exact triangle count + wedge count + global clustering coefficient
+    * (3·T/W) over an undirected simple graph given as distinct (u, v)
+    * pairs with u < v. Degree-ordered orientation (each edge points
+    * from its (deg, id)-smaller endpoint) bounds every node's
+    * out-degree by O(√|E|), so the wedge join enumerates O(|E|^1.5)
+    * candidates worst-case instead of Σdeg² — the standard
+    * skew-immunity argument for triangle listing; a celebrity node of
+    * degree millions RECEIVES its edges (in-degree) but fans out at
+    * most √|E| wedges. Each triangle {x ≺ y ≺ z} is counted exactly
+    * once, as a wedge at its smallest vertex closed by the (y, z)
+    * edge. No driver-side collection; wedge count is Σ C(deg, 2)
+    * straight off the node-sized degree frame. */
+  def triangleStats(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val firstU = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge set is reused three times (both wedge legs + the
+    // closing-edge probe): materialize it once
+    val oriented = pairs.join(du, Seq("u")).join(dv, Seq("v")).select(
+      when(firstU, col("u")).otherwise(col("v")).as("src"),
+      when(firstU, col("v")).otherwise(col("u")).as("dst"),
+      when(firstU, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // left-semi keeps each wedge row that closes (multiplicity of the
+    // wedge side is preserved — oriented edges are distinct, so one
+    // match per row). shuffle_hash: the probe side is wedge-sized
+    // (O(|E|^1.5) rows) — hashing the edge-sized build side beats
+    // sort-merge's O(W log W) sort of the wedges, and unlike a
+    // broadcast hint it still scales when |E| outgrows the driver
+    val tri = wedges.join(closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    val wed = deg.agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
+    tri.crossJoin(wed).select(col("triangles"), col("wedges"),
+      ((col("triangles") * 3).cast("double") / col("wedges").cast("double"))
+        .as("clustering"))
+  }
+
   /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
     * whole graph's mass with 9× headroom under Long.MaxValue). */
   val OneFx = 1000000000000000000L

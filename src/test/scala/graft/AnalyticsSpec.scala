@@ -538,6 +538,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .collect().isEmpty)
   }
 
+  test("bfsHops: shortest distance wins, hop cap truncates, early exit " +
+      "past the diameter, disconnected components stay unreached") {
+    import graft.operators.Graph
+    // directed chain 1→2→3→4 plus a shortcut 1→3 and an island 100→102
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (100L, 102L))
+      .toDF("src", "dst")
+    val capped = Graph.bfsHops(g, Seq(1L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), capped.toString)
+    // past the diameter: early exit, shortcut gives 3 its 1-hop distance
+    val full = Graph.bfsHops(g, Seq(1L), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), full.toString)
+    // multi-source: each node takes the NEAREST seed's distance; a seed
+    // with no edges at all still reports itself at hop 0
+    val multi = Graph.bfsHops(g, Seq(1L, 4L, 999L), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(4L) == 0L && multi(3L) == 1L && multi(999L) == 0L,
+      multi.toString)
+  }
+
+  test("triangleStats: exact census on known graphs (pendant triangle, " +
+      "complete K4)") {
+    import graft.operators.Graph
+    // triangle {1,2,3} with a pendant edge 3–4: T=1, W=ΣC(deg,2)=5
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = Graph.triangleStats(g).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 5L, r.toString)
+    assert(r.getDouble(2) == 3.0 / 5.0, r.toString)
+    // K4: every wedge closes — T=4, W=12, clustering exactly 1
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val rk = Graph.triangleStats(k4).collect().head
+    assert(rk.getLong(0) == 4L && rk.getLong(1) == 12L &&
+      rk.getDouble(2) == 1.0, rk.toString)
+  }
+
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
     val docs = Seq(
       (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
