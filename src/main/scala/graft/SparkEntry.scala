@@ -130,6 +130,11 @@ object SparkEntry {
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
+    // how sessions OPEN: top 20 three-step type prefixes of 30-min-gap
+    // sessions (path mining; funnel/Markov can't express ordered prefixes)
+    "q_session_paths" -> ((s, dir) =>
+      operators.Analytics.sessionPaths(Tables.events(s, dir), 1800000000L,
+        depth = 3, topK = 20)),
     "q_sliding_window" -> ((s, dir) =>
       TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
     "q_ewma" -> ((s, dir) =>
@@ -206,6 +211,24 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) =>
       operators.Graph.triangleStats(
         operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)))),
+    // 80-core of the part co-purchase graph: six peel rounds cascade to
+    // the dense backbone (early exit once the edge count stabilizes)
+    "q_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(
+        operators.Graph.symmetricEdges(
+          operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir))),
+        k = 80, maxRounds = 6)),
+    // "suppliers serving the same customers": RA-weighted link
+    // prediction over the customer→supplier interaction set — the
+    // wedge fan-out rides the BOUNDED side (customer degree), so no
+    // supplier hub ever quadratically explodes
+    "q_link_ra" -> ((s, dir) =>
+      operators.Graph.resourceAllocation(
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("z"), col("l_suppkey").as("s")),
+        maxDegree = 1000, topK = 50)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -929,6 +952,29 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // mirror of Analytics.sessionPaths: same gap sessions, ordered
+    // string_agg replays the engine's rn-sorted concat exactly
+    "q_session_paths" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, event_id, event_type, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m),
+        |r AS (SELECT user_id, session_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id, session_id
+        |                                ORDER BY ts_us, event_id) AS rn
+        |      FROM s),
+        |p AS (SELECT user_id, session_id,
+        |             string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_sliding_window" ->
       """SELECT window_start_us, count(*) AS n_points,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1364,6 +1410,50 @@ object SparkEntry {
         |       CAST(3 * t.triangles AS DOUBLE) / CAST(w.wedges AS DOUBLE)
         |         AS clustering
         |FROM tri t, wcount w""".stripMargin,
+    // mirror of Graph.kCore: six unrolled peel rounds — the engine's
+    // early exit only skips identity rounds, so the fixed unrolling
+    // replays it exactly
+    "q_kcore" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e0 AS (SELECT u AS src, v AS dst FROM pairs
+        |       UNION ALL SELECT v AS src, u AS dst FROM pairs),
+        |k1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 80),
+        |e1 AS (SELECT src, dst FROM e0 WHERE src IN (SELECT src FROM k1)
+        |                                 AND dst IN (SELECT src FROM k1)),
+        |k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 80),
+        |e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT src FROM k2)
+        |                                 AND dst IN (SELECT src FROM k2)),
+        |k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 80),
+        |e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT src FROM k3)
+        |                                 AND dst IN (SELECT src FROM k3)),
+        |k4 AS (SELECT src FROM e3 GROUP BY 1 HAVING count(*) >= 80),
+        |e4 AS (SELECT src, dst FROM e3 WHERE src IN (SELECT src FROM k4)
+        |                                 AND dst IN (SELECT src FROM k4)),
+        |k5 AS (SELECT src FROM e4 GROUP BY 1 HAVING count(*) >= 80),
+        |e5 AS (SELECT src, dst FROM e4 WHERE src IN (SELECT src FROM k5)
+        |                                 AND dst IN (SELECT src FROM k5)),
+        |k6 AS (SELECT src FROM e5 GROUP BY 1 HAVING count(*) >= 80),
+        |e6 AS (SELECT src, dst FROM e5 WHERE src IN (SELECT src FROM k6)
+        |                                 AND dst IN (SELECT src FROM k6))
+        |SELECT src AS node, count(*) AS deg FROM e6 GROUP BY 1""".stripMargin,
+    // mirror of Graph.resourceAllocation: same 10^-12 fixed-point
+    // weights, same degree cap, same total order
+    "q_link_ra" ->
+      """WITH adj AS (SELECT DISTINCT o_custkey AS z, l_suppkey AS s
+        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1
+        |        HAVING count(*) <= 1000),
+        |w AS (SELECT adj.z, adj.s, 1000000000000 // deg.deg AS wfx
+        |      FROM adj JOIN deg ON adj.z = deg.z),
+        |p AS (SELECT a.s AS item_a, b.s AS item_b, count(*) AS cn,
+        |             sum(a.wfx) AS ra_fx
+        |      FROM w a JOIN w b ON a.z = b.z AND a.s < b.s
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, cn, CAST(ra_fx AS DOUBLE) / 1e12 AS ra
+        |FROM p ORDER BY ra_fx DESC, item_a, item_b LIMIT 50""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

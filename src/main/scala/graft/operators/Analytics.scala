@@ -548,4 +548,45 @@ object Analytics {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("row_total").cast("double")).as("prob"))
   }
+
+  /** Top-k session-opening paths: the ordered sequence of the first
+    * `depth` event types of every gap-delimited session (same gap rule
+    * as [[TimeSeries.sessionize]], same (ts, event_id) total order),
+    * joined with ">" — the "how do sessions start" path-mining view
+    * that funnels (fixed stage list) and the transition matrix
+    * (memoryless pairs) can't express.
+    *
+    * Scale: two windows partitioned by user (the second, keyed by
+    * (user, session), reuses the user-hash exchange — hash on a key
+    * subset satisfies the clustering, only a re-sort happens), then the
+    * prefix rows collapse to one bounded array per session
+    * (`array_sort` on (rn, type) structs — rn is unique in-session, so
+    * the sort is total and the concat order engine-exact) and a
+    * map-side-partial hash count per path string. Nothing unbounded:
+    * paths are ≤ `depth` types long, sessions-per-user arbitrary but
+    * each contributes ≤ `depth` prefix rows. */
+  def sessionPaths(events: DataFrame, gapUs: Long, depth: Int,
+      topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeries.tsUs(col("ts")).as("ts_us"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= depth)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
 }

@@ -242,6 +242,48 @@ object Graph {
       .select(col("u"), col("v")).distinct()
   }
 
+  /** Both directed copies of an undirected (u < v) pair set — the two
+    * halves are disjoint by the u < v invariant, so no dedup. */
+  def symmetricEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+
+  /** At most `maxRounds` k-core peel rounds over a SYMMETRIC edge set
+    * (both directions present, so out-degree IS undirected degree):
+    * each round drops every node of residual degree < k and restricts
+    * the edges to survivors, cascading until the true k-core (or the
+    * round cap) is reached. Returns (node, deg) — the residual degree
+    * table of the final edge set. Every round is a hash aggregate plus
+    * two semi joins of the edge frame against a NODE-sized survivor
+    * frame (AQE broadcasts it while small); an unchanged edge count
+    * exits early, which is exact — peeling is monotone, so a fixed
+    * point stays fixed and the capped unrolling replays it. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var prevEdges = e.count()
+    var done = false
+    var r = 0
+    while (r < maxRounds && !done) {
+      val kept = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      // both semi joins broadcast the node-sized survivor frame (AQE
+      // sizes it off the agg stage), so the src partitioning of `e`
+      // survives the round — no re-shuffle, the next round's hash
+      // aggregate stays exchange-free
+      val next = e.join(kept, Seq("src"), "left_semi")
+        .join(kept.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val ec = next.count()
+      if (ec == prevEdges) done = true // nothing peeled: fixed point
+      else { e = next; prevEdges = ec }
+      r += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** Exact triangle count + wedge count + global clustering coefficient
     * (3·T/W) over an undirected simple graph given as distinct (u, v)
     * pairs with u < v. Degree-ordered orientation (each edge points
@@ -290,6 +332,43 @@ object Graph {
       ((col("triangles") * 3).cast("double") / col("wedges").cast("double"))
         .as("clustering"))
   }
+
+  /** Resource-Allocation link prediction (Zhou/Lü/Zhang 2009) over a
+    * bipartite interaction set (z, s): for every item pair (a < b),
+    * cn = |shared z| and ra = Σ_z 1/deg(z) over the shared z — common
+    * neighbors weighted by how DISCRIMINATIVE each shared neighbor is
+    * (a z connected to everything contributes ~nothing). RA is chosen
+    * over Adamic-Adar because 1/deg is rational: the weight is the
+    * exact integer 10¹² div deg, so the sum is associative and
+    * engine-replayable (1/ln(deg) would drift in the last ulp between
+    * runtimes). The per-z self-join emits C(deg, 2) pairs — bounded by
+    * the `maxDegree` cap, which drops hyper-connected z entirely (their
+    * per-pair weight is negligible and their pair fan-out is the one
+    * quadratic risk; same observable-cap pattern as the n-gram DF cap).
+    * Returns the `topK` pairs by exact fixed-point score with a
+    * (ra_fx, item_a, item_b) total order. */
+  def resourceAllocation(interactions: DataFrame, maxDegree: Int,
+      topK: Int): DataFrame = {
+    val adj = interactions.select(col("z"), col("s")).distinct()
+      .repartition(col("z")).localCheckpoint()
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val w = adj.join(deg.filter(col("deg") <= maxDegree), Seq("z"))
+      .select(col("z"), col("s"), expr(s"$RaFx div deg").as("wfx"))
+    val a = w.select(col("z"), col("s").as("item_a"), col("wfx"))
+    val b = w.select(col("z"), col("s").as("item_b"))
+    a.join(b, Seq("z")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("wfx")).as("ra_fx"))
+      .orderBy(col("ra_fx").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .select(col("item_a"), col("item_b"), col("cn"),
+        (col("ra_fx").cast("double") / lit(1e12)).as("ra"))
+  }
+
+  /** Fixed-point unit for [[resourceAllocation]] weights: 1/deg in
+    * 10⁻¹² units — exact under integer division, headroom for 10⁶-way
+    * sums under Long.MaxValue. */
+  val RaFx = 1000000000000L
 
   /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
     * whole graph's mass with 9× headroom under Long.MaxValue). */

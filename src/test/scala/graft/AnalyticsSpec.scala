@@ -575,6 +575,77 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       rk.getDouble(2) == 1.0, rk.toString)
   }
 
+  test("kCore: cascading peel reaches the true core, early exit past the " +
+      "fixed point, round cap truncates mid-cascade") {
+    import graft.operators.Graph
+    // K4 {1,2,3,4} with a pendant chain 4–5–6: the 3-core is exactly K4,
+    // but the chain peels one node per round (6 first, then 5)
+    val pairs = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v").unionByName(Seq((4L, 5L), (5L, 6L)).toDF("u", "v"))
+    val g = Graph.symmetricEdges(pairs)
+    val core = Graph.kCore(g, k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core.toString)
+    // k=2 chain cascade needs two rounds; capping at 1 leaves node 5
+    // (deg 1 after round 1) still in the edge set — capped semantics
+    val cap1 = Graph.kCore(g, k = 2, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cap1.contains(5L) && cap1(5L) == 1L && !cap1.contains(6L),
+      cap1.toString)
+    val conv = Graph.kCore(g, k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), conv.toString)
+    // k above the max degree: everything peels, empty frame
+    assert(Graph.kCore(g, k = 10, maxRounds = 5).collect().isEmpty)
+  }
+
+  test("resourceAllocation: exact RA weights, rarity beats raw count, " +
+      "degree cap drops hyper-connected neighbors") {
+    import graft.operators.Graph
+    // z1:{1,2} z2:{1,2,3} z3:{2,3} — wfx(z1)=wfx(z3)=5e11, wfx(z2)=3.3e11
+    val inter = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 2L), (30L, 3L)).toDF("z", "s")
+    val got = Graph.resourceAllocation(inter, maxDegree = 1000, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 3, got.toSeq.toString)
+    // (1,2) and (2,3) tie on ra_fx = 5e11 + 333333333333; (1,3) trails
+    assert(got(0) == (1L, 2L, 2L, 0.833333333333) &&
+      got(1) == (2L, 3L, 2L, 0.833333333333) &&
+      got(2) == (1L, 3L, 1L, 0.333333333333), got.toSeq.toString)
+    // cap at 2 drops z2 entirely: (1,3) vanishes, survivors keep only
+    // their rare-neighbor mass
+    val capped = Graph.resourceAllocation(inter, maxDegree = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 3L, 1L, 0.5)),
+      capped.toSeq.toString)
+  }
+
+  test("sessionPaths: gap splits sessions, prefix truncates at depth, " +
+      "short sessions keep their full path") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // user 1: one 4-event session (prefix truncates to 3) then, after a
+    // 40-min gap, a 2-event session; user 2: a single 1-event session
+    val events = Seq(
+      (1L, 10L, "a", t(0)), (1L, 11L, "b", t(1)), (1L, 12L, "c", t(2)),
+      (1L, 13L, "d", t(3)),
+      (1L, 14L, "a", t(50)), (1L, 15L, "b", t(51)),
+      (2L, 20L, "a", t(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.sessionPaths(events, gapUs = 1800000000L,
+      depth = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("a" -> 1L, "a>b" -> 1L, "a>b>c" -> 1L),
+      got.toSeq.toString)
+    // simultaneous timestamps: event_id breaks the tie deterministically
+    val ties = Seq(
+      (3L, 31L, "x", t(0)), (3L, 30L, "y", t(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val gt = Analytics.sessionPaths(ties, 1800000000L, 3, 10)
+      .collect().map(_.getString(0))
+    assert(gt.toSeq == Seq("y>x"), gt.toSeq.toString)
+  }
+
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
     val docs = Seq(
       (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
