@@ -714,6 +714,18 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("triangle closing-edge probe stays a shuffled-hash semi join " +
+      "(regression net)") {
+    // the wedge side is O(|E|^1.5) rows: sort-merge would sort it
+    // (4x slower at sf0.1) and a broadcast would die when |E| outgrows
+    // the driver — the shuffle_hash hint must keep winning
+    val df = SparkEntry.queries("q_triangles")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"closing-edge probe lost its shuffled-hash shape:\n$plan")
+  }
+
   test("no CartesianProduct anywhere in the declared surface (regression net)") {
     // every cross join in the engine is a broadcast of a bounded side
     // (single query row, scalar count, band table) — a TRUE cartesian
