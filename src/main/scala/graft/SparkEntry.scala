@@ -135,6 +135,12 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) =>
       operators.Analytics.sessionPaths(Tables.events(s, dir), 1800000000L,
         depth = 3, topK = 20)),
+    // historian-style time-weighted mean over irregular samples
+    "q_time_weighted_avg" -> ((s, dir) =>
+      TimeSeries.timeWeightedAvg(Tables.events(s, dir))),
+    // gap SLA report at a 30-min expected cadence
+    "q_availability" -> ((s, dir) =>
+      TimeSeries.availability(Tables.events(s, dir), 1800000000L)),
     "q_sliding_window" -> ((s, dir) =>
       TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
     "q_ewma" -> ((s, dir) =>
@@ -975,6 +981,34 @@ object SparkEntry {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // mirror of TimeSeries.timeWeightedAvg: INTEGER cent·µs numerator
+    // (a scale-2 decimal would double-round int128→double then /100),
+    // same two-division chain
+    "q_time_weighted_avg" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type,
+        |       CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+        |         / 100.0 AS twa,
+        |       count(*) AS n_intervals
+        |FROM d WHERE dur_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // mirror of TimeSeries.availability at the 30-min SLO
+    "q_availability" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type, max(gap_us) AS max_gap_us,
+        |       CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_breaches,
+        |       CAST(sum(least(gap_us, 1800000000)) AS DOUBLE) /
+        |         CAST(sum(gap_us) AS DOUBLE) AS uptime
+        |FROM d WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "q_sliding_window" ->
       """SELECT window_start_us, count(*) AS n_points,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -162,6 +162,55 @@ object TimeSeries {
         count(col("inc")).as("n_increases"))
   }
 
+  /** Time-weighted average per series: each sample holds its value
+    * until the NEXT sample, so the mean weights values by holding
+    * duration — the correct average over IRREGULARLY sampled series (a
+    * plain avg over-counts burst periods; every industrial historian
+    * ships this). The last sample has no holding interval and is
+    * excluded (left-closed convention). The numerator accumulates as a
+    * pure INTEGER (cent·µs units, decimal(38,0) against overflow): a
+    * scale-2 decimal sum here would hash-mismatch in the last ulp,
+    * because DuckDB converts decimal→double as int128→double THEN
+    * /100 (two roundings) while the JVM rounds the exact rational once
+    * — integers convert identically in both. The division chain
+    * (num/den then /100) is the same two IEEE ops on both sides. One
+    * per-series window sort + one map-side-partial hash agg; output is
+    * one row per series. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        tsUs(col("ts")).as("ts_us"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
+          sum(col("dur_us")).cast("double") / lit(100.0)).as("twa"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Per-series gap/SLA report over irregular samples: with an expected
+    * cadence `sloUs`, a series counts as covered for min(gap, sloUs)
+    * after each sample — uptime = covered span / total span, plus the
+    * max gap and the SLO-breach count. All-integer sums, one double
+    * division at the end. Same window + bounded-agg shape as
+    * [[timeWeightedAvg]]. */
+  def availability(events: DataFrame, sloUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("gap_us")).as("max_gap_us"),
+        sum(when(col("gap_us") > sloUs, 1L).otherwise(0L)).as("n_breaches"),
+        (sum(least(col("gap_us"), lit(sloUs))).cast("double") /
+          sum(col("gap_us")).cast("double")).as("uptime"))
+  }
+
   /** Hourly active users: tumbling-hour distinct-user counts plus event
     * volume — the DAU/WAU shape at hour grain. One aggregation; the exact
     * distinct count EXPANDs the input once (Spark's distinct-agg rewrite),

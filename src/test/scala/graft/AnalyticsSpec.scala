@@ -646,6 +646,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(gt.toSeq == Seq("y>x"), gt.toSeq.toString)
   }
 
+  test("timeWeightedAvg: holding durations weight the mean; availability: " +
+      "uptime + breach census at the SLO") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // value 10 held 30s, value 20 held 10s, last sample excluded:
+    // twa = (10*30 + 20*10)/40 = 12.5 — a plain avg would say 20
+    val e = Seq(
+      (1L, "m", t(0), 10.0), (2L, "m", t(30), 20.0), (3L, "m", t(40), 50.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val twa = TimeSeries.timeWeightedAvg(e).collect().head
+    assert(twa.getString(0) == "m" && twa.getDouble(1) == 12.5 &&
+      twa.getLong(2) == 2L, twa.toString)
+    // SLO 15s: the 30s gap breaches (covered only 15 of 30), the 10s
+    // gap is fine -> uptime = (15 + 10) / 40, max gap 30s, 1 breach
+    val av = TimeSeries.availability(e, sloUs = 15000000L).collect().head
+    assert(av.getLong(1) == 30000000L && av.getLong(2) == 1L &&
+      av.getDouble(3) == 25.0 / 40.0, av.toString)
+    // single-sample series: no interval, absent from both reports
+    val single = Seq((9L, "x", t(0), 1.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    assert(TimeSeries.timeWeightedAvg(single).collect().isEmpty)
+    assert(TimeSeries.availability(single, 15000000L).collect().isEmpty)
+  }
+
   test("invertedIndex: exact df, sorted postings, cap engages on hot terms") {
     val docs = Seq(
       (5L, "hot rare x"), (3L, "hot y"), (1L, "hot hot z"),
