@@ -259,28 +259,33 @@ object Graph {
     * exits early, which is exact — peeling is monotone, so a fixed
     * point stays fixed and the capped unrolling replays it. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
-    var prevEdges = e.count()
-    var done = false
+    // survivor sets shrink MONOTONICALLY (a node outside S has no edges
+    // in e(S), so it can never re-qualify), so the round-r edge set is
+    // just e0 semi-filtered by the LATEST survivors — each round is one
+    // pass over the single checkpointed edge frame with two broadcast
+    // semi joins (node-sized build sides, AQE-sized off the agg stage;
+    // src partitioning survives, the degree agg stays exchange-free)
+    // and only NODE-sized survivor frames ever materialize
+    def restrict(s: DataFrame): DataFrame =
+      e0.join(s, Seq("src"), "left_semi")
+        .join(s.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    var kept: DataFrame = null
+    var prevN = -1L
     var r = 0
+    var done = false
     while (r < maxRounds && !done) {
-      val kept = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      // both semi joins broadcast the node-sized survivor frame (AQE
-      // sizes it off the agg stage), so the src partitioning of `e`
-      // survives the round — no re-shuffle, the next round's hash
-      // aggregate stays exchange-free
-      val next = e.join(kept, Seq("src"), "left_semi")
-        .join(kept.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
-      val ec = next.count()
-      if (ec == prevEdges) done = true // nothing peeled: fixed point
-      else { e = next; prevEdges = ec }
+      val e = if (kept == null) e0 else restrict(kept)
+      val next = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src")).localCheckpoint()
+      val n = next.count()
+      if (n == prevN) done = true // nothing peeled: fixed point
+      else { kept = next; prevN = n }
       r += 1
     }
-    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eFinal = if (kept == null) e0 else restrict(kept)
+    eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
 
