@@ -222,6 +222,54 @@ object StreamingIngest {
       event_time: java.sql.Timestamp)
   final case class RateState(last_ts_us: Long, last_value: Double)
   final case class Increase(series: String, ts_us: Long, inc: Double)
+  final case class HoldingInterval(series: String, ts_us: Long,
+      dur_us: Long, value: Double)
+
+  /** Streaming twin of the interval derivation inside
+    * [[graft.operators.TimeSeries.timeWeightedAvg]]: state per series
+    * is the last sample; each arriving sample CLOSES the previous
+    * one's holding interval and emits (series, interval start, µs
+    * held, held value). The open tail interval stays in state — exactly
+    * the batch operator's excluded last sample — so any downstream
+    * aggregation of the emitted intervals (Σ value·dur / Σ dur per
+    * series) reproduces the batch TWA on closed data, spec-gated.
+    * Same micro-batch fold order, idle eviction, and state shape as
+    * [[counterRateStream]]. */
+  def holdingIntervalStream(events: Dataset[RatePoint],
+      idleTimeoutUs: Long = 24L * 3600L * 1000000L,
+      watermark: String = "10 minutes"): Dataset[HoldingInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[RatePointT]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RateState, HoldingInterval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, rows: Iterator[RatePointT], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[HoldingInterval]
+            rows.toSeq.sortBy(r => (r.ts_us, r.value)).foreach { r =>
+              last.foreach { s =>
+                out += HoldingInterval(series, s.last_ts_us,
+                  r.ts_us - s.last_ts_us, s.last_value)
+              }
+              last = Some(RateState(r.ts_us, r.value))
+            }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.last_ts_us / 1000L + idleTimeoutUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   /** Streaming counter rate — the stateful form of
     * [[graft.operators.TimeSeries.counterRate]]'s per-sample increase:

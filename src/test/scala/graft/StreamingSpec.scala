@@ -322,6 +322,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming holding intervals reproduce the batch time-weighted " +
+      "average on closed data") {
+    import graft.streaming.StreamingIngest.RatePoint
+    val src = Files.createTempDirectory("graft_twa_src_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type").as("series"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.holdingIntervalStream(
+      spark.readStream.schema(schema).parquet(src).as[RatePoint])
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("twa_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // aggregate the emitted intervals exactly like the batch operator
+    val got = spark.table("twa_out")
+      .groupBy(col("series").as("event_type"))
+      .agg(
+        (sum(((col("value").cast("decimal(18,2)") * 100).cast("long") *
+          col("dur_us")).cast("decimal(38,0)")).cast("double") /
+          sum(col("dur_us")).cast("double") / lit(100.0)).as("twa"),
+        count(lit(1)).as("n_intervals"))
+    // the batch source of truth over the same closed data
+    val want = graft.operators.TimeSeries.timeWeightedAvg(
+      graft.sources.Tables.events(spark, sf0001))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("idle session expires on event time: emitted closed, state entry dropped") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_sess_to_").toString
