@@ -107,6 +107,10 @@ object SparkEntry {
       TimeSeries.seriesAlign(Tables.events(s, dir), "purchase", "error")),
     "q_xcorr_lag" -> ((s, dir) =>
       TimeSeries.xcorrLag(Tables.events(s, dir), "purchase", "error", 1)),
+    // autocorrelation diagnostic: lag 1..6 self-Pearson of the hourly
+    // purchase series — one facts scan, then bucket-sized self-joins
+    "q_acf" -> ((s, dir) =>
+      TimeSeries.acf(Tables.events(s, dir), "purchase", 6)),
     "q_quantiles" -> ((s, dir) =>
       Relational.quantilesByType(Tables.events(s, dir))),
     "q_hourly_active" -> ((s, dir) =>
@@ -235,6 +239,18 @@ object SparkEntry {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("z"), col("l_suppkey").as("s")),
         maxDegree = 1000, topK = 50)),
+    // degree-mixing profile of the co-purchase graph: one exact-moment
+    // Pearson over the directed edge endpoint degrees
+    "q_assortativity" -> ((s, dir) =>
+      operators.Graph.degreeAssortativity(
+        operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)))),
+    // neighborhood-density ranking: top-50 nodes by local clustering
+    // coefficient — same O(|E|^1.5) oriented wedge census as
+    // q_triangles, but corner-credited per node
+    "q_local_clustering" -> ((s, dir) =>
+      operators.Graph.localClustering(
+        operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)),
+        minDeg = 2L, topK = 50)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -408,6 +424,11 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
     "q_split_drift" -> ((s, dir) =>
       operators.Sampling.splitDrift(Tables.documents(s, dir), "doc_id", "source", 80, 10)),
+    // numeric drift twin: per-bucket chi-square homogeneity terms of
+    // doc length between the train and val splits (50-char buckets)
+    "q_chisq_drift" -> ((s, dir) =>
+      operators.Sampling.chiSquareDrift(
+        Tables.documents(s, dir), "doc_id", "n_chars", 80, 10, 50L)),
     "q_stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedSample(
         Tables.events(s, dir), "event_type", "event_id", StratifiedK)
@@ -888,6 +909,35 @@ object SparkEntry {
         |                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |       END AS pearson_r
         |FROM m""".stripMargin,
+    // mirror of TimeSeries.acf: the engine's per-lag global aggregate
+    // emits a row even for an empty overlap, so the oracle LEFT JOINs
+    // the lag spine onto the grouped moments (coalesced n, NULL acf —
+    // the same row the engine's when() produces on NULL moments)
+    "q_acf" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT CAST(k AS BIGINT) AS lag_hours
+        |         FROM generate_series(1, 6) t(k)),
+        |m AS (SELECT lag_hours, count(*) AS n,
+        |             CAST(sum(a.s) AS DOUBLE) AS sx,
+        |             CAST(sum(b.s) AS DOUBLE) AS sy,
+        |             CAST(sum(a.s * b.s) AS DOUBLE) AS sxy,
+        |             CAST(sum(a.s * a.s) AS DOUBLE) AS sxx,
+        |             CAST(sum(b.s * b.s) AS DOUBLE) AS syy
+        |      FROM lags CROSS JOIN hourly a
+        |      JOIN hourly b ON b.bucket_us = a.bucket_us + lag_hours * 3600000000
+        |      GROUP BY 1)
+        |SELECT l.lag_hours, coalesce(m.n, 0) AS n,
+        |       CASE WHEN m.n * m.sxx - m.sx * m.sx <= 0
+        |              OR m.n * m.syy - m.sy * m.sy <= 0
+        |            THEN NULL
+        |            ELSE (m.n * m.sxy - m.sx * m.sy) /
+        |                   (sqrt(m.n * m.sxx - m.sx * m.sx) *
+        |                    sqrt(m.n * m.syy - m.sy * m.sy))
+        |       END AS acf
+        |FROM lags l LEFT JOIN m ON m.lag_hours = l.lag_hours""".stripMargin,
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |                  row_number() OVER (PARTITION BY event_type
@@ -1488,6 +1538,64 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT item_a, item_b, cn, CAST(ra_fx AS DOUBLE) / 1e12 AS ra
         |FROM p ORDER BY ra_fx DESC, item_a, item_b LIMIT 50""".stripMargin,
+    // mirror of Graph.degreeAssortativity: integer moments over both
+    // directed copies, the identical double Pearson tail
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |          (SELECT u AS node FROM pairs
+        |           UNION ALL SELECT v FROM pairs) t GROUP BY 1),
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v AS src, u AS dst FROM pairs),
+        |m AS (SELECT count(*) AS m2,
+        |             CAST(sum(dx.deg) AS DOUBLE) AS sx,
+        |             CAST(sum(dy.deg) AS DOUBLE) AS sy,
+        |             CAST(sum(dx.deg * dy.deg) AS DOUBLE) AS sxy,
+        |             CAST(sum(dx.deg * dx.deg) AS DOUBLE) AS sxx,
+        |             CAST(sum(dy.deg * dy.deg) AS DOUBLE) AS syy
+        |      FROM e JOIN deg dx ON dx.node = e.src
+        |             JOIN deg dy ON dy.node = e.dst)
+        |SELECT m2 AS n_edges,
+        |       CASE WHEN m2 * sxx - sx * sx <= 0 OR m2 * syy - sy * sy <= 0
+        |            THEN NULL
+        |            ELSE (m2 * sxy - sx * sy) /
+        |                   (sqrt(m2 * sxx - sx * sx) * sqrt(m2 * syy - sy * sy))
+        |       END AS assortativity
+        |FROM m""".stripMargin,
+    // mirror of Graph.localClustering: q_triangles' oriented wedge
+    // census with the apex kept, corners credited via 3-way union
+    "q_local_clustering" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |          (SELECT u AS node FROM pairs
+        |           UNION ALL SELECT v FROM pairs) t GROUP BY 1),
+        |oriented AS (SELECT
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst,
+        |    CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END AS ddeg
+        |  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |wedges AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |           FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        |           WHERE (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+        |tris AS (SELECT a, b, c FROM wedges w
+        |         WHERE EXISTS (SELECT 1 FROM oriented o
+        |                       WHERE o.src = w.b AND o.dst = w.c)),
+        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM
+        |           (SELECT a AS node FROM tris
+        |            UNION ALL SELECT b FROM tris
+        |            UNION ALL SELECT c FROM tris) t GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(t.tri, 0) AS tri,
+        |       CAST(coalesce(t.tri, 0) * 2 AS DOUBLE) /
+        |         CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY lcc DESC, d.node LIMIT 50""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -1820,6 +1928,35 @@ object SparkEntry {
          |                   (acc, x) -> acc + x)
          |       END AS tv_distance
          |FROM d""".stripMargin,
+    // mirror of Sampling.chiSquareDrift: same hash split, 50-char
+    // buckets, per-row double chi-square terms in the identical
+    // operation order (per-row doubles are summation-order-free)
+    "q_chisq_drift" ->
+      s"""WITH s AS (
+         |  SELECT n_chars,
+         |         ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents),
+         |per AS (
+         |  SELECT n_chars // 50 AS bucket,
+         |         CAST(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+         |         CAST(sum(CASE WHEN b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS val_n
+         |  FROM s WHERE b < 90 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(train_n) AS BIGINT) AS t_tot,
+         |               CAST(sum(val_n) AS BIGINT) AS v_tot FROM per),
+         |d AS (SELECT bucket, train_n, val_n, t_tot, v_tot,
+         |             CAST(train_n + val_n AS DOUBLE) * CAST(t_tot AS DOUBLE) /
+         |               CAST(t_tot + v_tot AS DOUBLE) AS et,
+         |             CAST(train_n + val_n AS DOUBLE) * CAST(v_tot AS DOUBLE) /
+         |               CAST(t_tot + v_tot AS DOUBLE) AS ev
+         |      FROM per CROSS JOIN tot)
+         |SELECT bucket, train_n, val_n,
+         |       CASE WHEN t_tot <= 0 OR v_tot <= 0 THEN NULL
+         |            ELSE (CAST(train_n AS DOUBLE) - et) *
+         |                   (CAST(train_n AS DOUBLE) - et) / et +
+         |                 (CAST(val_n AS DOUBLE) - ev) *
+         |                   (CAST(val_n AS DOUBLE) - ev) / ev
+         |       END AS chi2_term
+         |FROM d ORDER BY bucket""".stripMargin,
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          |c AS (SELECT doc_id, s,

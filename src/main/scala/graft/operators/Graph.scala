@@ -338,6 +338,103 @@ object Graph {
         .as("clustering"))
   }
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees over every DIRECTED edge (both directions of the
+    * undirected (u < v) pair set, the standard convention — so the
+    * marginal moments are symmetric by construction). Positive r =
+    * hubs attach to hubs; negative = hub-to-leaf (typical for
+    * transactional bipartite projections). Moments are exact
+    * DECIMAL(38,0) integer sums (degree products fit 10³⁸ at any real
+    * scale; an oracle engine's 128-bit integer sums reproduce them
+    * bit-for-bit) and only the final Pearson arithmetic is double —
+    * every double op is on exactly-converted integers in a fixed
+    * order, so it is IEEE-identical across engines. Zero variance
+    * (regular graph) nulls r rather than dividing to NaN.
+    *
+    * Scale: the degree frame is NODE-sized (one hash agg off the pair
+    * list); attaching it to both endpoints is two broadcast joins
+    * while it fits, sort-merge beyond; the moment reduction is one
+    * map-side-partial aggregate. Nothing quadratic, nothing sorted. */
+  def degreeAssortativity(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e = symmetricEdges(pairs)
+    val dx = deg.select(col("node").as("src"), col("deg").as("dx"))
+    val dy = deg.select(col("node").as("dst"), col("deg").as("dy"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    e.join(dx, Seq("src")).join(dy, Seq("dst"))
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(d38(col("dx"))).cast("double").as("sx"),
+        sum(d38(col("dy"))).cast("double").as("sy"),
+        sum(d38(col("dx")) * d38(col("dy"))).cast("double").as("sxy"),
+        sum(d38(col("dx")) * d38(col("dx"))).cast("double").as("sxx"),
+        sum(d38(col("dy")) * d38(col("dy"))).cast("double").as("syy"))
+      .select(col("m2").as("n_edges"),
+        when(col("m2") * col("sxx") - col("sx") * col("sx") <= 0d ||
+             col("m2") * col("syy") - col("sy") * col("sy") <= 0d,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("m2") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("m2") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("m2") * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+  }
+
+  /** Per-node local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
+    * over an undirected simple graph given as distinct (u < v) pairs:
+    * how close each node's neighborhood is to a clique — the top-K
+    * nodes by (coefficient DESC, node) among nodes of degree ≥
+    * `minDeg`. Reuses [[triangleStats]]' degree-ordered orientation
+    * (wedge fan-out O(√|E|) per node, O(|E|^1.5) total regardless of
+    * hub skew), but the closing-edge probe keeps the wedge APEX so
+    * every triangle surfaces as one (x, y, z) row and credits all
+    * three corners via a 3-way union + hash count — per-corner
+    * credit, never a per-node neighborhood materialization. The final
+    * coefficient is one double division of exactly-converted integers
+    * (IEEE-identical across engines); (coefficient, node) is a total
+    * order, so the limit is deterministic. */
+  def localClustering(pairsIn: DataFrame, minDeg: Long, topK: Int): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val firstU = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = pairs.join(du, Seq("u")).join(dv, Seq("v")).select(
+      when(firstU, col("u")).otherwise(col("v")).as("src"),
+      when(firstU, col("v")).otherwise(col("u")).as("dst"),
+      when(firstU, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("src"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // left-semi preserves the (src, b, c) triple — oriented edges are
+    // distinct, so each closed wedge row IS one triangle, exactly once
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+      .localCheckpoint()
+    val triCnt = tris.select(col("src").as("node"))
+      .unionByName(tris.select(col("b").as("node")))
+      .unionByName(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= minDeg)
+      .join(triCnt, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc",
+        (col("tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+      .orderBy(col("lcc").desc, col("node")).limit(topK)
+  }
+
   /** Resource-Allocation link prediction (Zhou/Lü/Zhang 2009) over a
     * bipartite interaction set (z, s): for every item pair (a < b),
     * cn = |shared z| and ra = Σ_z 1/deg(z) over the shared z — common

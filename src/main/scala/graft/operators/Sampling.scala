@@ -98,4 +98,47 @@ object Sampling {
               x.getField("val_n").cast("double") / col("vtot").cast("double"))))
           .as("tv_distance"))
   }
+
+  /** Two-sample chi-square homogeneity of a NUMERIC column between the
+    * train and val splits, bucketed at fixed width: the drift-detection
+    * twin of [[splitDrift]]'s categorical TV distance. Emits one row
+    * per occupied bucket — (bucket, train_n, val_n, chi2_term) with
+    * chi2_term = Σ_{cells} (O−E)²/E under the homogeneity model
+    * E_cell = rowTotal·colTotal/N — rather than a single pre-summed
+    * statistic, so every double is a PER-ROW expression over
+    * exactly-converted integer counts in a fixed operation order
+    * (engine-exact; a cross-engine sum of doubles would be
+    * order-dependent, per-row terms are not). The caller sums the
+    * column for the statistic; the per-bucket terms localize WHERE the
+    * drift lives, which is the operationally useful part. A split with
+    * zero total nulls its terms rather than dividing to NaN.
+    *
+    * Scale: hash-split projection (no shuffle) → one fixed-width
+    * bucket hash agg (map-side partials) → a broadcast single-row
+    * totals attach. Bucket cardinality is value-range/width bounded,
+    * independent of row count. */
+  def chiSquareDrift(df: DataFrame, keyCol: String, valCol: String,
+      trainPct: Int, valPct: Int, bucketWidth: Long): DataFrame = {
+    val per = hashSplit(df, keyCol, trainPct, valPct)
+      .filter(col("split") =!= "test")
+      .groupBy(expr(s"CAST($valCol AS BIGINT) div $bucketWidth").as("bucket"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_n"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_n"))
+    val tot = per.agg(sum(col("train_n")).as("t_tot"), sum(col("val_n")).as("v_tot"))
+    val rowD = (col("train_n") + col("val_n")).cast("double")
+    val nD = (col("t_tot") + col("v_tot")).cast("double")
+    val et = rowD * col("t_tot").cast("double") / nD
+    val ev = rowD * col("v_tot").cast("double") / nD
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("train_n"), col("val_n"),
+        when(col("t_tot") <= 0L || col("v_tot") <= 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("train_n").cast("double") - et) *
+              (col("train_n").cast("double") - et) / et +
+            (col("val_n").cast("double") - ev) *
+              (col("val_n").cast("double") - ev) / ev)
+          .as("chi2_term"))
+      .orderBy(col("bucket"))
+  }
 }

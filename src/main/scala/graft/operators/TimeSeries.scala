@@ -308,6 +308,53 @@ object TimeSeries {
           .as("pearson_r"))
   }
 
+  /** Autocorrelation function: lag-k Pearson of the hourly-sum series
+    * against itself for every k in 1..`maxLag` — the classic
+    * seasonality / persistence diagnostic (a daily-cycled series spikes
+    * at k=24). Same pairing rule as [[xcorrLag]]: the lagged copy is
+    * SHIFTED onto the probe's bucket so each lag is a plain equi-join
+    * (no range predicate, no window sort), and the Pearson moments are
+    * exact DECIMAL sums with the identical double tail — engine-exact.
+    * Zero-variance overlaps null out rather than NaN.
+    *
+    * Scale: the hourly aggregation runs ONCE (map-side partials over
+    * the raw events) and is checkpointed; each of the `maxLag` lag
+    * probes is a self-equi-join of that BUCKET-sized frame — at 100 TB
+    * of raw points the hourly frame is ~10⁵ rows/series-decade, so the
+    * whole ACF costs one scan of the facts plus `maxLag` joins of
+    * node-sized frames. */
+  def acf(events: DataFrame, eventType: String, maxLag: Int): DataFrame = {
+    val hourly = events
+      .filter(col("event_type") === lit(eventType))
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+      .localCheckpoint()
+    val perLag = (1 to maxLag).map { k =>
+      val a = hourly.select(col("bucket_us"), col("s").as("x"))
+      val b = hourly.select(
+        (col("bucket_us") - lit(k * 3600000000L)).as("bucket_us"),
+        col("s").as("y"))
+      a.join(b, "bucket_us")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(
+          lit(k.toLong).as("lag_hours"), col("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) <= 0d ||
+               (col("n") * col("syy") - col("sy") * col("sy")) <= 0d, lit(null))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("acf"))
+    }
+    perLag.reduce(_.unionByName(_))
+  }
+
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a
     * (signed) long: 1 byte per started 7-bit group; top-bit-set values
     * (negative as signed) always need the full 10 bytes. */

@@ -692,4 +692,86 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(got == Seq("x y" -> 3L, "y x" -> 1L, "y z" -> 1L))
   }
+
+  test("degreeAssortativity: star is exactly -1, regular graph nulls out") {
+    import graft.operators.Graph
+    // star K1,3: every directed edge pairs deg 3 with deg 1 — the
+    // moments cancel to exactly -1 (integer arithmetic end to end)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = Graph.degreeAssortativity(star).collect().head
+    assert(r.getLong(0) == 6L && r.getDouble(1) == -1.0, r.toString)
+    // K4 is 3-regular: zero degree variance -> NULL, not NaN
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val rk = Graph.degreeAssortativity(k4).collect().head
+    assert(rk.getLong(0) == 12L && rk.isNullAt(1), rk.toString)
+  }
+
+  test("localClustering: exact coefficients, corner credit, minDeg gate, " +
+      "deterministic top-k order") {
+    import graft.operators.Graph
+    // triangle {1,2,3} with pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3,
+    // node 4 (deg 1) is excluded by the minDeg=2 gate
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.localClustering(g, minDeg = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0)), got.toSeq.toString)
+    // K4: each node corners C(3,2)=3 triangles, lcc exactly 1; topK caps
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val gk = Graph.localClustering(k4, minDeg = 2L, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(gk.length == 2 && gk.forall(_._3 == 1.0), gk.toSeq.toString)
+  }
+
+  test("acf: linear series autocorrelates to exactly 1 at every lag; " +
+      "constant series nulls; n shrinks with the lag") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    // one point per hour, value = hour index: any lag pairs two linear
+    // sequences -> Pearson exactly 1 (small-integer double arithmetic)
+    val lin = (0L until 10L).map(h =>
+      (h, "purchase", new Timestamp(h * 3600000L), h.toDouble))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.acf(lin, "purchase", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 9L, 1.0), (2L, 8L, 1.0), (3L, 7L, 1.0)),
+      got.toSeq.toString)
+    // constant series: zero variance on both sides -> NULL acf, never NaN
+    val const = (0L until 5L).map(h =>
+      (h, "purchase", new Timestamp(h * 3600000L), 7.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val gc = TimeSeries.acf(const, "purchase", 2).collect()
+    assert(gc.forall(_.isNullAt(2)), gc.toSeq.toString)
+  }
+
+  test("chiSquareDrift: terms rebuild from the emitted counts, identical " +
+      "proportions zero out, an empty split nulls every term") {
+    // the split is hash-assigned, so assert the INVARIANTS: every term
+    // non-negative and exactly equal to the chi-square formula over the
+    // row's own counts + the board totals
+    val docs = (1L to 400L).map(i => (i, (i % 7) * 50 + 30))
+      .toDF("doc_id", "n_chars")
+    val rows = Sampling.chiSquareDrift(docs, "doc_id", "n_chars", 50, 40, 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val tTot = rows.map(_._2).sum
+    val vTot = rows.map(_._3).sum
+    assert(tTot > 0 && vTot > 0)
+    rows.foreach { case (_, tn, vn, term) =>
+      val rowD = (tn + vn).toDouble
+      val nD = (tTot + vTot).toDouble
+      val et = rowD * tTot.toDouble / nD
+      val ev = rowD * vTot.toDouble / nD
+      val want = (tn - et) * (tn - et) / et + (vn - ev) * (vn - ev) / ev
+      assert(term == want && term >= 0d, s"($tn,$vn): $term != $want")
+    }
+    // valPct = 0: v_tot = 0 -> every term NULL (no division blow-up)
+    val none = Sampling.chiSquareDrift(docs, "doc_id", "n_chars", 50, 0, 50L)
+      .collect()
+    assert(none.nonEmpty && none.forall(_.isNullAt(3)))
+  }
 }
