@@ -111,6 +111,10 @@ object SparkEntry {
     // purchase series — one facts scan, then bucket-sized self-joins
     "q_acf" -> ((s, dir) =>
       TimeSeries.acf(Tables.events(s, dir), "purchase", 6)),
+    // trailing 1h per-(type, user) rolling sum/count over irregular
+    // samples — the RANGE time-frame ROWS windows can't express
+    "q_rolling_range" -> ((s, dir) =>
+      TimeSeries.trailingWindow(Tables.events(s, dir), 3600000000L)),
     "q_quantiles" -> ((s, dir) =>
       Relational.quantilesByType(Tables.events(s, dir))),
     "q_hourly_active" -> ((s, dir) =>
@@ -251,6 +255,16 @@ object SparkEntry {
       operators.Graph.localClustering(
         operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)),
         minDeg = 2L, topK = 50)),
+    // community sizes after two synchronous LPA rounds (min-label ties
+    // — deterministic, oracle-replayable; async LPA is not)
+    "q_label_prop" -> ((s, dir) =>
+      operators.Graph.labelPropagation(
+        operators.Graph.symmetricEdges(
+          operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir))),
+        rounds = 2)
+        .groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
+        .select(col("lab").as("label"), col("n_members"))
+        .orderBy(col("n_members").desc, col("label")).limit(20)),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -289,6 +303,20 @@ object SparkEntry {
       Relational.productTypeProfit(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir),
         "PROMO")),
+    "q_tpch_q2" -> ((s, dir) =>
+      Relational.minCostSupplier(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+        15, "ECONOMY", "EUROPE", 100)),
+    "q_tpch_q11" -> ((s, dir) =>
+      Relational.importantPartValue(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), "NATION_7", 1000, 100)),
+    "q_tpch_q16" -> ((s, dir) =>
+      Relational.supplierCountByPartAttrs(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir), "Brand#1", "PROMO",
+        Seq(1, 4, 7, 10, 15, 22, 29, 36), 100)),
+    "q_tpch_q20" -> ((s, dir) =>
+      Relational.excessShippers(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), "small", 1996, 500)),
     "q_transition_matrix" -> ((s, dir) =>
       operators.Analytics.transitionMatrix(Tables.events(s, dir))),
     "q_lttb" -> ((s, dir) =>
@@ -938,6 +966,15 @@ object SparkEntry {
         |                    sqrt(m.n * m.syy - m.sy * m.sy))
         |       END AS acf
         |FROM lags l LEFT JOIN m ON m.lag_hours = l.lag_hours""".stripMargin,
+    // mirror of TimeSeries.trailingWindow: identical RANGE frame on the
+    // microsecond axis — peers enter together, so no tiebreak is needed
+    "q_rolling_range" ->
+      """SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+        |       count(*) OVER w AS w_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |                  row_number() OVER (PARTITION BY event_type
@@ -1596,6 +1633,36 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
         |WHERE d.deg >= 2
         |ORDER BY lcc DESC, d.node LIMIT 50""".stripMargin,
+    // mirror of Graph.labelPropagation: two unrolled synchronous
+    // rounds, argmax = (max count, then min label), prev-label carry
+    "q_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v AS src, u AS dst FROM pairs),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS lab FROM n),
+        |c1 AS (SELECT e.dst, l0.lab, count(*) AS cnt
+        |       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+        |m1 AS (SELECT dst, max(cnt) AS mc FROM c1 GROUP BY 1),
+        |b1 AS (SELECT c1.dst AS node, min(c1.lab) AS lab
+        |       FROM c1 JOIN m1 ON m1.dst = c1.dst AND c1.cnt = m1.mc
+        |       GROUP BY 1),
+        |l1 AS (SELECT l0.node, coalesce(b1.lab, l0.lab) AS lab
+        |       FROM l0 LEFT JOIN b1 ON b1.node = l0.node),
+        |c2 AS (SELECT e.dst, l1.lab, count(*) AS cnt
+        |       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+        |m2 AS (SELECT dst, max(cnt) AS mc FROM c2 GROUP BY 1),
+        |b2 AS (SELECT c2.dst AS node, min(c2.lab) AS lab
+        |       FROM c2 JOIN m2 ON m2.dst = c2.dst AND c2.cnt = m2.mc
+        |       GROUP BY 1),
+        |l2 AS (SELECT l1.node, coalesce(b2.lab, l1.lab) AS lab
+        |       FROM l1 LEFT JOIN b2 ON b2.node = l1.node)
+        |SELECT lab AS label, count(*) AS n_members
+        |FROM l2 GROUP BY 1
+        |ORDER BY n_members DESC, label LIMIT 20""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -1638,6 +1705,85 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // mirror of Relational.minCostSupplier: per-part min observed
+    // decimal cost; equality join keeps every achieving supplier
+    "q_tpch_q2" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_brand FROM part
+        |  WHERE p_size = 15 AND p_type = 'ECONOMY'),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM parts)
+        |    AND l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey, p_brand,
+        |       CAST(c.cost AS DOUBLE) AS supply_cost
+        |FROM cost c
+        |JOIN mc ON mc.l_partkey = c.l_partkey AND c.cost = mc.min_cost
+        |JOIN rs ON s_suppkey = c.l_suppkey
+        |JOIN parts ON p_partkey = c.l_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // mirror of Relational.importantPartValue: integer cent·bp units in
+    // DECIMAL(38,0); the HAVING compare stays integral on both engines
+    "q_tpch_q11" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                  (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |             AS DECIMAL(38,0))) AS val_units
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7')
+        |  GROUP BY 1),
+        |t AS (SELECT sum(val_units) AS total_units FROM pp)
+        |SELECT l_partkey AS p_partkey,
+        |       CAST(val_units AS DOUBLE) / 1e6 AS part_value
+        |FROM pp, t
+        |WHERE val_units * 1000 > total_units
+        |ORDER BY part_value DESC, p_partkey
+        |LIMIT 100""".stripMargin,
+    // mirror of Relational.supplierCountByPartAttrs: distinct trade
+    // pairs, negative-balance suppliers excluded
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 22, 29, 36)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+    // mirror of Relational.excessShippers: prefix parts, one shipping
+    // year, exact decimal quantity sum over the threshold
+    "q_tpch_q20" ->
+      """WITH heavy AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')
+        |  GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 500)
+        |SELECT s_suppkey, s_name, n_name,
+        |       CAST(qty AS DOUBLE) AS shipped_qty
+        |FROM supplier
+        |JOIN heavy ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin,
     "q_theta_band" ->
       """WITH bands AS (
         |  SELECT CAST(r_regionkey AS BIGINT) AS band,

@@ -338,6 +338,43 @@ object Graph {
         .as("clustering"))
   }
 
+  /** `rounds` SYNCHRONOUS label-propagation steps (Raghavan 2007) for
+    * community detection: every node simultaneously adopts the most
+    * frequent label among its in-neighbors, ties broken by SMALLEST
+    * label — both rules total, so the result is a pure function of the
+    * graph (asynchronous LPA's update order dependence is exactly what
+    * an oracle can't replay). A node with no in-edges keeps its own
+    * id (its seed label — it can never receive a message in any
+    * round). Labels seed as node ids. Returns (node, lab) after the
+    * fixed rounds; callers histogram by label for community sizes.
+    *
+    * Scale: per round, ONE pass of the src-partitioned checkpointed
+    * edge frame into a (dst, lab) hash count (map-side partials — a
+    * hub's messages collapse per label per partition upstream), then
+    * an argmax-by-struct over the label counts: max(struct(cnt, −lab))
+    * is associative, so no per-node label list ever materializes.
+    * Node-sized frames between rounds, checkpointed. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e2 = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e2.select(col("src").as("node"))
+      .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to rounds) {
+      val cnt = e2.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt, −lab): highest count, then smallest label —
+      // one associative struct-max, no collect_list, no window
+      val best = cnt.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("dst").as("node"), (-col("b.nl")).as("newlab"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of the
     * endpoint degrees over every DIRECTED edge (both directions of the
     * undirected (u < v) pair set, the standard convention — so the

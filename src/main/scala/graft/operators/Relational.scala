@@ -871,6 +871,154 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q2 SHAPE (minimum-cost supplier; adapted — the dataset has no
+    * partsupp table, so the catalog cost of a (part, supplier) pair is the
+    * MINIMUM l_extendedprice observed across their trade history — an exact
+    * decimal, no division): for parts of one size and type, every supplier
+    * in the region that achieves the per-part minimum cost. Q2's correlated
+    * min-cost subquery becomes a node-sized (partkey → min) aggregate
+    * joined back by equality — ties keep ALL achieving suppliers, exactly
+    * the reference semantics.
+    *
+    * Scale: part and supplier×nation×region prune to broadcast-sized dims,
+    * so the lineitem scan never shuffles before the (partkey, suppkey)
+    * aggregation; the per-part min is a second node-sized hash aggregate.
+    * Output order (s_acctbal DESC, n_name, s_name, p_partkey) is total
+    * because s_name determines the supplier and (p_partkey, suppkey) is
+    * unique per row. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      size: Int, pType: String, regionName: String, k: Int): DataFrame = {
+    val parts = part
+      .filter(col("p_size") === size && col("p_type") === pType)
+      .select(col("p_partkey"), col("p_brand"))
+    val regionSupp = supplier
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === regionName)
+          .select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = lineitem
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+    val minCost = cost.groupBy(col("l_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    cost.join(minCost, Seq("l_partkey"))
+      .filter(col("cost") === col("min_cost"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("cost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q11 SHAPE (important stock value; adapted — part "value" is the
+    * discounted revenue its nation-local suppliers shipped, partsupp's
+    * supplycost·availqty stand-in): parts whose value exceeds `perMille`
+    * thousandths of the total. Revenue is carried as INTEGER cent·basis-
+    * point units (extprice_cents × (10000 − discount_bp)) summed in
+    * DECIMAL(38,0) — exact, associative, and the HAVING compare
+    * `value · 1000 > total` stays in integer decimal on both engines (no
+    * fraction, no double drift).
+    *
+    * Scale: the nation's suppliers broadcast as a semi-join filter, so
+    * lineitem shuffles once on partkey (map-side partials); the grand
+    * total is a 1-row broadcast back onto the node-sized per-part frame. */
+  def importantPartValue(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String, perMille: Int,
+      k: Int): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val bp = lit(10000L) -
+      (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((cents * bp).cast("decimal(38,0)")).as("val_units"))
+    val total = perPart.agg(sum(col("val_units")).as("total_units"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_units") * perMille > col("total_units"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("val_units").cast("double") / 1e6).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q16 SHAPE (supplier count by part attributes; adapted — the
+    * part-supplier relation is the DISTINCT (l_partkey, l_suppkey) trade
+    * history, and the "customer complaints" supplier exclusion becomes the
+    * negative-account-balance set): how many distinct suppliers can source
+    * each surviving (brand, type, size) combination.
+    *
+    * Scale: the distinct pair set is the one fact shuffle (hash on the
+    * pair, map-side partial distinct); parts and the exclusion set
+    * broadcast; the count-distinct re-shuffles only the node-sized pair
+    * frame on the 3-attribute key. */
+  def supplierCountByPartAttrs(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, brandExcl: String, typeExcl: String,
+      sizes: Seq[Int], k: Int): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= brandExcl && col("p_type") =!= typeExcl &&
+        col("p_size").isin(sizes.map(Int.box): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(k)
+  }
+
+  /** TPC-H Q20 SHAPE (excess-volume shippers; adapted — without partsupp
+    * availability the "excess stock" predicate becomes a shipped-quantity
+    * threshold): suppliers whose total shipped quantity of `namePrefix`
+    * parts during `year` exceeds `qtyThreshold`, with their nation
+    * attached. Preserves Q20's nested-semi-join shape: parts prune
+    * lineitem, the aggregate prunes supplier.
+    *
+    * Scale: the part prefix set broadcasts; the year filter is a pushed
+    * timestamp range on the scan; one suppkey-keyed aggregation
+    * (supplier-sized output) then semi-prunes the supplier dim. */
+  def excessShippers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, namePrefix: String,
+      yr: Int, qtyThreshold: Int): DataFrame = {
+    val heavy = lineitem
+      .filter(col("l_shipdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > qtyThreshold)
+    supplier
+      .join(heavy, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("qty").cast("double").as("shipped_qty"))
+      .orderBy(col("s_name"))
+  }
+
   /** Skew-safe two-phase aggregation (salting pattern): spray hot keys over
     * `salt` sub-keys for the partial phase, then merge. Results identical to
     * the direct aggregation — exercised as the at-scale plan for skewed

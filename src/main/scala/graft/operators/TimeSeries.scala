@@ -355,6 +355,35 @@ object TimeSeries {
     perLag.reduce(_.unionByName(_))
   }
 
+  /** Trailing time-interval aggregate over IRREGULAR samples: for every
+    * event, the sum and count of the SAME series' values inside the
+    * half-open window (ts − `windowUs`, ts] — the rolling-1h-spend /
+    * rate-limit shape that ROWS frames cannot express when sampling is
+    * uneven (k rows back is not k seconds back). A RANGE frame on the
+    * microsecond axis: peers (equal ts) enter the frame together in
+    * every engine, so ties cannot reorder results — the output is
+    * deterministic with no tiebreak column at all. Sums are exact
+    * decimal; the one double appears at the output boundary.
+    *
+    * Scale: one window sort per (event_type, user_id) series — series
+    * cardinality IS the parallelism, and a single user-type's traffic
+    * is the natural skew bound (a series too hot for one task wants the
+    * [[lttb]]-style time-bucket two-pass, documented there). No
+    * self-join: the naive range self-join is O(n·window) and skew-prone;
+    * the frame is one pass over each sorted run. */
+  def trailingWindow(events: DataFrame, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-(windowUs - 1), Window.currentRow)
+    events
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        tsUs(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts_us"),
+        sum(col("v")).over(w).cast("double").as("w_sum"),
+        count(lit(1)).over(w).as("w_n"))
+  }
+
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a
     * (signed) long: 1 byte per started 7-bit group; top-bit-set values
     * (negative as signed) always need the full 10 bytes. */

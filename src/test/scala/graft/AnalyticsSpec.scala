@@ -747,6 +747,130 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(gc.forall(_.isNullAt(2)), gc.toSeq.toString)
   }
 
+  test("trailingWindow: half-open (t-w, t] frame over irregular samples; " +
+      "peers enter together; series stay independent") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // series (a,1): samples at 0s, 3000s, 3600s, 7200s — the 1h window
+    // at 3600s includes 3000s and 3600s but NOT 0s (half-open);
+    // at 7200s only itself (3600s is exactly w back -> excluded)
+    val e = Seq(
+      (1L, "a", 1L, t(0), 10.0), (2L, "a", 1L, t(3000), 20.0),
+      (3L, "a", 1L, t(3600), 30.0), (4L, "a", 1L, t(7200), 40.0),
+      (5L, "a", 2L, t(3600), 99.0), // other user: separate series
+      (6L, "b", 1L, t(3600), 7.0), (7L, "b", 1L, t(3600), 8.0) // peers
+    ).toDF("event_id", "event_type", "user_id", "ts", "value")
+    val got = TimeSeries.trailingWindow(e, 3600000000L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getLong(5))).toMap
+    assert(got(1L) == (10.0, 1L) && got(2L) == (30.0, 2L), got.toString)
+    assert(got(3L) == (50.0, 2L), got.toString) // 0s aged out, half-open
+    assert(got(4L) == (40.0, 1L), got.toString) // exactly-w back excluded
+    assert(got(5L) == (99.0, 1L), got.toString) // series isolation
+    // same-ts peers: BOTH rows see the full peer group (7+8)
+    assert(got(6L) == (15.0, 2L) && got(7L) == (15.0, 2L), got.toString)
+  }
+
+  test("labelPropagation: two cliques with a bridge collapse to their " +
+      "min-id labels; ties pick the smallest label; sync rounds") {
+    import graft.operators.Graph
+    // clique {1,2,3} + clique {10,11,12}, bridge 3-10
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("u", "v")
+    val g = Graph.symmetricEdges(pairs)
+    val l1 = Graph.labelPropagation(g, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every node takes its min neighbor label (all counts tie)
+    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L), l1.toString)
+    val l2 = Graph.labelPropagation(g, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2 from l1: node 1 sees {1(from2),1(from3)} -> 1; the right
+    // clique converges toward the bridge-imported low labels
+    assert(l2(1L) == 1L && l2(2L) == 1L && l2(12L) == 3L, l2.toString)
+    // an isolated directed source (no in-edges) keeps its seed forever
+    val chain = Seq((100L, 200L)).toDF("src", "dst")
+    val lc = Graph.labelPropagation(chain, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lc == Map(100L -> 100L, 200L -> 100L), lc.toString)
+  }
+
+  test("TPC-H shape quartet: Q2 keeps min-cost ties and region-prunes, " +
+      "Q11 strict integral threshold, Q16 distinct pairs minus flagged " +
+      "suppliers, Q20 strict quantity threshold inside the year") {
+    import graft.operators.Relational
+    import java.sql.Timestamp
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "N0", 0), (1, "N1", 0), (2, "N2", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1, "S1", 0, 100.0), (2, "S2", 0, 200.0),
+      (3, "S3", 2, 300.0), (4, "S4", 0, -5.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq((10, "small ring", "Brand#1", "ECONOMY", 15),
+      (11, "small bolt", "Brand#2", "ECONOMY", 15),
+      (12, "red gear", "Brand#2", "SMALL", 7))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    def li(rows: (Int, Int, Int, Double, Double, Double, String)*) =
+      rows.toSeq.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_sd")
+        .select(col("*"), col("l_sd").cast("timestamp").as("l_shipdate"))
+
+    // Q2: S1/S2 tie at 50.00 on part 10 (both kept); S1 alone wins part 11;
+    // S3's cheaper offer is outside EUROPE so it must not count
+    val l2 = li((1, 10, 1, 1, 50.0, 0.0, "1996-01-01 00:00:00"),
+      (2, 10, 2, 1, 50.0, 0.0, "1996-01-01 00:00:00"),
+      (3, 10, 2, 1, 80.0, 0.0, "1996-01-01 00:00:00"),
+      (4, 10, 3, 1, 10.0, 0.0, "1996-01-01 00:00:00"),
+      (5, 11, 1, 1, 30.0, 0.0, "1996-01-01 00:00:00"),
+      (6, 11, 2, 1, 40.0, 0.0, "1996-01-01 00:00:00"),
+      (7, 12, 1, 1, 5.0, 0.0, "1996-01-01 00:00:00"))
+    val q2 = Relational.minCostSupplier(l2, part, supplier, nation, region,
+        15, "ECONOMY", "EUROPE", 10)
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getDouble(5))).toSet
+    assert(q2 == Set(("S1", 10, 50.0), ("S2", 10, 50.0), ("S1", 11, 30.0)),
+      q2.toString)
+
+    // Q11: 60/40 revenue split with perMille=2 (val*2 > total) keeps only
+    // the 60% part; an exact 50/50 split keeps NOTHING (strict >); S3's
+    // out-of-nation revenue is invisible
+    val l11 = li((1, 10, 1, 1, 60.0, 0.0, "1996-01-01 00:00:00"),
+      (2, 11, 2, 1, 40.0, 0.0, "1996-01-01 00:00:00"),
+      (3, 12, 3, 1, 999.0, 0.0, "1996-01-01 00:00:00"))
+    val q11 = Relational.importantPartValue(l11, supplier, nation, "N0", 2, 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(q11 == Map(10 -> 60.0), q11.toString)
+    val l11b = li((1, 10, 1, 1, 50.0, 0.0, "1996-01-01 00:00:00"),
+      (2, 11, 2, 1, 50.0, 0.0, "1996-01-01 00:00:00"))
+    assert(Relational.importantPartValue(l11b, supplier, nation, "N0", 2, 10)
+      .count() == 0L)
+
+    // Q16: duplicate (part, supplier) lines count once; S4 (negative
+    // balance) is excluded; the SMALL part sits outside the size list
+    val l16 = li((1, 10, 1, 1, 1.0, 0.0, "1996-01-01 00:00:00"),
+      (2, 10, 1, 1, 2.0, 0.0, "1996-01-01 00:00:00"),
+      (3, 10, 4, 1, 3.0, 0.0, "1996-01-01 00:00:00"),
+      (4, 11, 1, 1, 4.0, 0.0, "1996-01-01 00:00:00"),
+      (5, 11, 2, 1, 5.0, 0.0, "1996-01-01 00:00:00"),
+      (6, 12, 1, 1, 6.0, 0.0, "1996-01-01 00:00:00"))
+    val q16 = Relational.supplierCountByPartAttrs(l16, part, supplier,
+        "Brand#9", "PROMO", Seq(15), 10)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(3))).toSet
+    assert(q16 == Set(("Brand#1", 15, 1L), ("Brand#2", 15, 2L)), q16.toString)
+
+    // Q20: S1 ships 150 of small parts inside 1996 (kept); S2 exactly the
+    // threshold (strict > drops it); 1995 shipments and non-small parts
+    // never count
+    val l20 = li((1, 10, 1, 90.0, 1.0, 0.0, "1996-03-01 00:00:00"),
+      (2, 11, 1, 60.0, 1.0, 0.0, "1996-06-01 00:00:00"),
+      (3, 10, 2, 100.0, 1.0, 0.0, "1996-03-01 00:00:00"),
+      (4, 10, 1, 500.0, 1.0, 0.0, "1995-12-31 00:00:00"),
+      (5, 12, 1, 500.0, 1.0, 0.0, "1996-03-01 00:00:00"))
+    val q20 = Relational.excessShippers(l20, part, supplier, nation,
+        "small", 1996, 100)
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    assert(q20.toSeq == Seq((1, "N0", 150.0)), q20.mkString(","))
+  }
+
   test("chiSquareDrift: terms rebuild from the emitted counts, identical " +
       "proportions zero out, an empty split nulls every term") {
     // the split is hash-assigned, so assert the INVARIANTS: every term
