@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,21 @@ object SparkEntry {
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
+    // concurrency detection: per customer, which finished orders' 7-day
+    // fulfillment windows overlapped a concurrently-open order — grid-cell
+    // interval × interval join, each pair emitted exactly once in its
+    // first common cell (no dedup shuffle)
+    "q_interval_overlap" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      def iv(cond: Column) = orders.filter(cond).select(
+        col("o_custkey").as("key"), col("o_orderkey").as("id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) +
+          lit(7L * 86400000000L)).as("end_us"))
+      operators.RangeJoin.intervalOverlapJoin(
+        iv(col("o_orderstatus") === "F"), iv(col("o_orderstatus") =!= "F"),
+        7L * 86400000000L)
+    }),
     // how sessions OPEN: top 20 three-step type prefixes of 30-min-gap
     // sessions (path mining; funnel/Markov can't express ordered prefixes)
     "q_session_paths" -> ((s, dir) =>
@@ -486,6 +501,14 @@ object SparkEntry {
     // "approximate" query is deterministic and has a full DuckDB oracle.
     "q_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), QueryVecId, 4, TopKSim)),
+    // hybrid retrieval: RRF late-fusion of the exact dense top-k and the
+    // LSH-bucket ANN top-k — rank-only, exact integer reciprocal weights
+    "q_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rrfFusion(Seq(
+        Similarity.cosineTopK(emb, QueryVecId, TopKSim),
+        Similarity.annTopK(emb, QueryVecId, 4, TopKSim)), 60, TopKSim)
+    }),
     // IVF ANN path: deterministic seed centroids, nProbe-cluster search
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfAnnTopK(Tables.embeddings(s, dir), QueryVecId,
@@ -1045,6 +1068,24 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // mirror of RangeJoin.intervalOverlapJoin over 7-day order
+    // fulfillment windows: the oracle is the plain theta join (closed
+    // intervals) — the engine's grid cells are invisible in the result
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS key, o_orderstatus AS st, o_orderkey AS id,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS start_us,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 604800000000 AS end_us
+        |  FROM orders)
+        |SELECT a.key, a.id AS a_id, b.id AS b_id,
+        |       greatest(a.start_us, b.start_us) AS overlap_start_us,
+        |       least(a.end_us, b.end_us) AS overlap_end_us,
+        |       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+        |         AS overlap_us
+        |FROM (SELECT * FROM iv WHERE st = 'F') a
+        |JOIN (SELECT * FROM iv WHERE st <> 'F') b
+        |  ON a.key = b.key
+        | AND a.start_us <= b.end_us AND b.start_us <= a.end_us""".stripMargin,
     // mirror of Analytics.sessionPaths: same gap sessions, ordered
     // string_agg replays the engine's rn-sorted concat exactly
     "q_session_paths" ->
@@ -2172,6 +2213,42 @@ object SparkEntry {
          |FROM e JOIN b USING (vec_id), q
          |WHERE b.ann_bucket = q.q_bucket
          |ORDER BY sim DESC, vec_id LIMIT $TopKSim""".stripMargin,
+    // mirror of Similarity.rrfFusion over the q_similarity_topk and
+    // q_ann_topk retrievals: integer 10^12 // (60 + rank) weights
+    "q_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |qd AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+         |dense AS (SELECT vec_id, label, ${sqlCosine("v", "qv")} AS sim
+         |          FROM e, qd ORDER BY sim DESC, vec_id LIMIT $TopKSim),
+         |planes AS (
+         |  SELECT p, [ (('0x' || substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 15))::BIGINT
+         |               % 2001 - 1000)::DOUBLE
+         |              for d in generate_series(1, 64) ] AS w
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+         |b AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN ${sqlDot("e.v", "planes.w")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ann_bucket
+         |  FROM e, planes GROUP BY 1),
+         |qa AS (SELECT b.ann_bucket AS q_bucket, e.v AS qv
+         |       FROM b JOIN e USING (vec_id) WHERE vec_id = $QueryVecId),
+         |ann AS (SELECT e.vec_id, e.label, ${sqlCosine("e.v", "qv")} AS sim
+         |        FROM e JOIN b USING (vec_id), qa
+         |        WHERE b.ann_bucket = qa.q_bucket
+         |        ORDER BY sim DESC, vec_id LIMIT $TopKSim),
+         |u AS (
+         |  SELECT vec_id, label,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM dense
+         |  UNION ALL
+         |  SELECT vec_id, label,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM ann)
+         |SELECT vec_id, label,
+         |       CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+         |       count(*) AS n_lists, min(rank) AS best_rank
+         |FROM u GROUP BY 1, 2
+         |ORDER BY rrf_fp DESC, vec_id LIMIT $TopKSim""".stripMargin,
     // mirror of Similarity.ivfAnnTopK: seed centroids = embeddings of the
     // IvfCentroids smallest vec_ids; assignment ties break to the smaller
     // centroid id on both engines (first-position argmax = ORDER BY cid)

@@ -42,4 +42,46 @@ object RangeJoin {
           rb(rightTs) >= lb(leftTs) && rb(rightTs) <= lb(leftTs) + lit(windowUs))
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join (the session-vs-incident /
+    * concurrency-detection shape): all pairs of CLOSED intervals
+    * [start, end] sharing a key that overlap (`a_start <= b_end AND
+    * b_start <= a_end`; zero-length point intervals count, touching
+    * endpoints count with overlap_us = 0).
+    *
+    * Scale: both sides replicate to the `bucketUs`-wide grid cells they
+    * cover (replication = length/bucketUs + 1 — pick the bucket near the
+    * typical interval length), the join is a plain (key, cell) equi-join
+    * — shuffle-hash, AQE-skew-splittable, never a nested loop — and the
+    * exact predicate re-applies after. Each overlapping pair would match
+    * in every shared cell, so a pair is EMITTED only in its first common
+    * cell (the one containing overlap_start = max of the two starts,
+    * which both sides always cover) — exactly-once output with NO
+    * distinct/dedup shuffle.
+    *
+    * Inputs need columns (key, id, start_us, end_us); rows with
+    * end < start are dropped as malformed.
+    * Output: (key, a_id, b_id, overlap_start_us, overlap_end_us,
+    * overlap_us). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      bucketUs: Long): DataFrame = {
+    def cells(df: DataFrame, p: String) = df
+      .filter(col("end_us") >= col("start_us"))
+      .select(col("key"), col("id").as(s"${p}_id"),
+        col("start_us").as(s"${p}_start_us"),
+        col("end_us").as(s"${p}_end_us"))
+      .withColumn("__cell", explode(sequence(
+        graft.model.floorDivCol(col(s"${p}_start_us"), bucketUs),
+        graft.model.floorDivCol(col(s"${p}_end_us"), bucketUs))))
+    val ov0 = greatest(col("a_start_us"), col("b_start_us"))
+    cells(a, "a").join(cells(b, "b"), Seq("key", "__cell"))
+      .filter(col("a_start_us") <= col("b_end_us") &&
+        col("b_start_us") <= col("a_end_us") &&
+        col("__cell") === graft.model.floorDivCol(ov0, bucketUs))
+      .select(col("key"), col("a_id"), col("b_id"),
+        ov0.as("overlap_start_us"),
+        least(col("a_end_us"), col("b_end_us")).as("overlap_end_us"))
+      .withColumn("overlap_us",
+        col("overlap_end_us") - col("overlap_start_us"))
+  }
 }

@@ -288,6 +288,37 @@ object Similarity {
     * window keeps the top k. Cost: one scan + Q·N similarity evaluations +
     * a shuffle of the scored rows keyed on query_id — for very large Q,
     * chunk the batch so each window shuffle stays balanced. */
+  /** Reciprocal-rank fusion (RRF, Cormack & Clarke 2009) of retrieval
+    * rankings: score(d) = Σ_lists 1/(K + rank_list(d)) — the standard
+    * rank-only late fusion for hybrid search (e.g. exact dense top-k +
+    * ANN bucket top-k, or dense + lexical). The reciprocal is carried as
+    * the EXACT integer `10^12 div (K + rank)`: engine-neutral (no double
+    * division) and associative under summation, so the fused order is a
+    * pure function of the input rankings.
+    *
+    * Scale: inputs are k-BOUNDED ranked lists (vec_id, label, sim) — the
+    * rank re-derivation (row_number over sim DESC, vec_id) runs a
+    * single-partition window over ≤ k rows, never corpus-sized; the
+    * fusion group-by moves ≤ Σk rows. The expensive part of hybrid
+    * search stays in the upstream retrievals.
+    * Output: top `topK` of (vec_id, label, rrf_fp, n_lists, best_rank). */
+  def rrfFusion(rankings: Seq[DataFrame], kConst: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("sim").desc, col("vec_id"))
+    rankings
+      .map(_.select(col("vec_id"), col("label"),
+        row_number().over(w).cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(graft.model.floorDivCol(lit(1000000000000L),
+          lit(kConst.toLong) + col("rank"))).as("rrf_fp"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"))
+      .orderBy(col("rrf_fp").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   def cosineTopKBatch(embeddings: DataFrame, queryVecIds: Seq[Long],
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

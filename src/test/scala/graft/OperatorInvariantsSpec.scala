@@ -187,6 +187,49 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("gap_us") < 0 || col("gap_us") > 3600000000L).count() == 0)
   }
 
+  test("RRF fusion: hand-computed integer reciprocal weights, doc in both " +
+      "lists outranks better single-list docs, ties impossible by vec_id") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val listA = Seq((1L, "x", 0.9), (2L, "x", 0.8), (3L, "x", 0.7))
+      .toDF("vec_id", "label", "sim")
+    val listB = Seq((2L, "x", 0.95), (4L, "x", 0.5))
+      .toDF("vec_id", "label", "sim")
+    val got = Similarity.rrfFusion(Seq(listA, listB), 60, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // w(r) = 10^12 div (60 + r): w(1)=16393442622, w(2)=16129032258,
+    // w(3)=15873015873 — doc 2 fuses w(2)+w(1) and wins
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L), got.mkString(","))
+    assert(got(0) == (2L, 16393442622L + 16129032258L, 2L, 1L), got(0).toString)
+    assert(got(1) == (1L, 16393442622L, 1L, 1L), got(1).toString)
+    assert(got(3) == (3L, 15873015873L, 1L, 3L), got(3).toString)
+  }
+
+  test("interval overlap join: exactly-once across cells, closed endpoints, " +
+      "point intervals, key isolation, malformed rows dropped") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // cell width 100: pair (a1, b1) shares cells 0..3 -> must emit ONCE
+    val a = Seq((1L, 10L, 50L, 350L),   // spans cells 0-3
+      (1L, 11L, 500L, 600L),            // touches b2 at exactly 600
+      (1L, 12L, 900L, 900L),            // point interval
+      (2L, 13L, 0L, 1000L),             // other key: must not pair with key 1
+      (1L, 14L, 80L, 20L))              // malformed (end < start): dropped
+      .toDF("key", "id", "start_us", "end_us")
+    val b = Seq((1L, 20L, 100L, 300L),  // overlaps a1 across 3 shared cells
+      (1L, 21L, 600L, 700L),            // touches a11 endpoint -> overlap 0
+      (1L, 22L, 900L, 950L),            // covers the a12 point
+      (1L, 23L, 2000L, 2100L))          // overlaps nothing
+      .toDF("key", "id", "start_us", "end_us")
+    val got = RangeJoin.intervalOverlapJoin(a, b, 100L)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 3, got.toString) // exactly-once: no multi-cell dups
+    assert(got((10L, 20L)) == (100L, 300L, 200L), got.toString)
+    assert(got((11L, 21L)) == (600L, 600L, 0L), got.toString)   // touch
+    assert(got((12L, 22L)) == (900L, 900L, 0L), got.toString)   // point
+  }
+
   test("sessionize: session bounds are consistent and gaps within sessions <= threshold") {
     val s = SparkEntry.queries("q_sessionize")(spark, sf0001)
     assert(s.filter(col("session_end_us") < col("session_start_us")).count() == 0)
