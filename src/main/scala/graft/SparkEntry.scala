@@ -164,6 +164,14 @@ object SparkEntry {
     // gap SLA report at a 30-min expected cadence
     "q_availability" -> ((s, dir) =>
       TimeSeries.availability(Tables.events(s, dir), 1800000000L)),
+    // arrival-process shape per type: CV and Goh–Barabási burstiness
+    // from exact integer gap moments
+    "q_interarrival" -> ((s, dir) =>
+      TimeSeries.interarrivalStats(Tables.events(s, dir))),
+    // reporting staple: monthly revenue joined on (year-1, month) —
+    // missing months can't mispair (no lag(12) row offset)
+    "q_yoy_growth" -> ((s, dir) =>
+      Relational.yoyGrowth(Tables.lineitem(s, dir))),
     "q_sliding_window" -> ((s, dir) =>
       TimeSeries.slidingWindowAgg(Tables.events(s, dir), "15 minutes", "5 minutes")),
     "q_ewma" -> ((s, dir) =>
@@ -1137,6 +1145,46 @@ object SparkEntry {
         |       CAST(sum(least(gap_us, 1800000000)) AS DOUBLE) /
         |         CAST(sum(gap_us) AS DOUBLE) AS uptime
         |FROM d WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // mirror of TimeSeries.interarrivalStats: exact DECIMAL(38,0) gap
+    // moments, identical IEEE tail ((√D − Σg)/(√D + Σg))
+    "q_interarrival" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_gaps, max(gap_us) AS max_gap_us,
+        |         CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+        |         CAST(sum(CAST(CAST(gap_us AS DECIMAL(38,0)) *
+        |                       CAST(gap_us AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+        |              AS DOUBLE) AS sgg
+        |  FROM d WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, max_gap_us,
+        |       sg / n_gaps AS mean_gap_us,
+        |       CASE WHEN n_gaps < 2 THEN NULL
+        |            ELSE sqrt(greatest(n_gaps * sgg - sg * sg, 0)) / sg
+        |       END AS cv,
+        |       CASE WHEN n_gaps < 2 THEN NULL
+        |            ELSE (sqrt(greatest(n_gaps * sgg - sg * sg, 0)) - sg) /
+        |                 (sqrt(greatest(n_gaps * sgg - sg * sg, 0)) + sg)
+        |       END AS burstiness
+        |FROM m""".stripMargin,
+    // mirror of Relational.yoyGrowth: (year-1, month) self-join, exact
+    // decimal delta, double ratio at the boundary
+    "q_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |         CAST(month(l_shipdate) AS INTEGER) AS mo,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |           AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m.yr, m.mo, CAST(m.rev AS DOUBLE) AS revenue,
+        |       CAST(p.rev AS DOUBLE) AS prev_revenue,
+        |       CAST(m.rev - p.rev AS DOUBLE) AS yoy_delta,
+        |       CAST(m.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) AS yoy_ratio
+        |FROM m LEFT JOIN m p ON p.yr = m.yr - 1 AND p.mo = m.mo""".stripMargin,
     "q_sliding_window" ->
       """SELECT window_start_us, count(*) AS n_points,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -871,6 +871,33 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Year-over-year monthly revenue growth — the reporting staple. The
+    * monthly frame self-equi-joins on (year − 1, month) rather than a
+    * lag(12) ROWS offset, which silently pairs wrong months when any
+    * month is missing. Revenue and the YoY delta stay exact decimal; the
+    * ratio is the one double at the output boundary. Missing prior year
+    * → NULL prev/delta/ratio (reported, not dropped).
+    *
+    * Scale: one lineitem scan + hash agg; the monthly frame is
+    * years×12-sized, so the self-join never matters. */
+  def yoyGrowth(lineitem: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    val monthly = lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(sum(rev).as("rev"))
+    val prior = monthly.select((col("yr") + 1).as("yr"), col("mo"),
+      col("rev").as("prev_rev"))
+    monthly.join(prior, Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"),
+        col("rev").cast("double").as("revenue"),
+        col("prev_rev").cast("double").as("prev_revenue"),
+        (col("rev") - col("prev_rev")).cast("double").as("yoy_delta"),
+        (col("rev").cast("double") / col("prev_rev").cast("double"))
+          .as("yoy_ratio"))
+  }
+
   /** TPC-H Q2 SHAPE (minimum-cost supplier; adapted — the dataset has no
     * partsupp table, so the catalog cost of a (part, supplier) pair is the
     * MINIMUM l_extendedprice observed across their trade history — an exact

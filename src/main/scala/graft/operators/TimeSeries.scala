@@ -384,6 +384,57 @@ object TimeSeries {
         count(lit(1)).over(w).as("w_n"))
   }
 
+  /** Inter-arrival burstiness per event type: moments of the successive
+    * arrival gaps of each type's event stream — mean/max gap, coefficient
+    * of variation, and the Goh–Barabási burstiness index
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1): −1 ⇒ perfectly periodic, 0 ⇒ Poisson,
+    * →1 ⇒ heavy-tailed bursts. The sampling-cadence twin of
+    * [[availability]] (which reports SLA coverage, not shape).
+    *
+    * Exactness: gaps are integer µs from one lead() pass; n, Σg, Σg² are
+    * exact DECIMAL(38,0) sums (order-free), and σ/μ/B are the one IEEE
+    * double tail off those integers — engine-exact like [[xcorrLag]].
+    * Σg² bounds the scale: gaps ≤ ~3·10⁵ s keep Σg² under 10³⁸ past
+    * 10¹⁵ points/type.
+    *
+    * Scale: one window sort per event type (type cardinality is the
+    * parallelism; a hotter-than-one-task type wants the time-bucket
+    * two-pass documented at [[lttb]]), then a map-side-partial hash agg. */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val d38 = "decimal(38,0)"
+    val gaps = events
+      .select(col("event_type"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us").cast(d38)).cast("double").as("sg"),
+        sum((col("gap_us").cast(d38) * col("gap_us").cast(d38))
+          .cast(d38)).cast("double").as("sgg"))
+      .select(
+        col("event_type"), col("n_gaps"), col("max_gap_us"),
+        (col("sg") / col("n_gaps")).as("mean_gap_us"),
+        // population σ, CV and B share one variance guard: a constant
+        // cadence (variance exactly 0) yields CV = 0 and B = -1; fewer
+        // than 2 gaps NULLs the shape stats (mirrored in the oracle)
+        when(col("n_gaps") < 2, lit(null)).otherwise(
+          sqrt(greatest(col("n_gaps") * col("sgg") - col("sg") * col("sg"),
+            lit(0d))) / col("sg"))
+          .as("cv"),
+        // B = (σ−μ)/(σ+μ) with the common /n cancelled: both engines
+        // evaluate the identical (√D − Σg)/(√D + Σg) expression
+        when(col("n_gaps") < 2, lit(null)).otherwise(
+          (sqrt(greatest(col("n_gaps") * col("sgg") - col("sg") * col("sg"),
+            lit(0d))) - col("sg")) /
+          (sqrt(greatest(col("n_gaps") * col("sgg") - col("sg") * col("sg"),
+            lit(0d))) + col("sg")))
+          .as("burstiness"))
+  }
+
   /** LEB128 varint byte count of an unsigned 64-bit value carried in a
     * (signed) long: 1 byte per started 7-bit group; top-bit-set values
     * (negative as signed) always need the full 10 bytes. */

@@ -795,6 +795,59 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(lc == Map(100L -> 100L, 200L -> 100L), lc.toString)
   }
 
+  test("interarrivalStats: periodic cadence gives cv=0 and B=-1; a lone " +
+      "gap NULLs the shape stats; moments match hand math") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val e = Seq(
+      // 'tick': perfectly periodic at 10s -> cv 0, burstiness -1
+      (1L, "tick", 1L, t(0), 0.0), (2L, "tick", 1L, t(10), 0.0),
+      (3L, "tick", 1L, t(20), 0.0), (4L, "tick", 1L, t(30), 0.0),
+      // 'burst': gaps 1s and 3s -> mean 2e6 us, sd 1e6, cv = sqrt(2)/... hand below
+      (5L, "burst", 1L, t(0), 0.0), (6L, "burst", 1L, t(1), 0.0),
+      (7L, "burst", 1L, t(4), 0.0),
+      // 'pair': single gap -> NULL cv/burstiness
+      (8L, "pair", 1L, t(0), 0.0), (9L, "pair", 1L, t(5), 0.0)
+    ).toDF("event_id", "event_type", "user_id", "ts", "value")
+    val got = TimeSeries.interarrivalStats(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tick = got("tick")
+    assert(tick.getLong(1) == 3L && tick.getLong(2) == 10000000L)
+    assert(tick.getDouble(3) == 10000000.0 && tick.getDouble(4) == 0.0 &&
+      tick.getDouble(5) == -1.0, tick.toString)
+    val burst = got("burst")
+    // gaps 1e6, 3e6: n=2, sg=4e6, sgg=1e13; D = 2e13 - 1.6e13 = 4e12
+    // cv = 2e6/4e6 = 0.5; B = (2e6-4e6)/(2e6+4e6) = -1/3
+    assert(burst.getLong(1) == 2L && burst.getDouble(4) == 0.5, burst.toString)
+    assert(math.abs(burst.getDouble(5) - (-1.0 / 3.0)) < 1e-15, burst.toString)
+    val pair = got("pair")
+    assert(pair.isNullAt(4) && pair.isNullAt(5), pair.toString)
+  }
+
+  test("yoyGrowth: pairs (year-1, month) exactly; a missing prior month " +
+      "yields NULL prev/delta/ratio, never a mispair") {
+    import graft.operators.Relational
+    def row(d: String, price: Double) = (d, price, 0.0)
+    val li = Seq(
+      row("1996-01-15 00:00:00", 100.0), row("1996-03-10 00:00:00", 50.0),
+      row("1997-01-20 00:00:00", 150.0), // YoY vs 1996-01
+      row("1997-02-05 00:00:00", 70.0))  // 1996-02 missing -> NULLs
+      .toDF("l_sd", "l_extendedprice", "l_discount")
+      .select(col("l_sd").cast("timestamp").as("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val got = Relational.yoyGrowth(li).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(got.size == 4, got.toString)
+    val jan97 = got((1997, 1))
+    assert(jan97.getDouble(2) == 150.0 && jan97.getDouble(3) == 100.0 &&
+      jan97.getDouble(4) == 50.0 && jan97.getDouble(5) == 1.5, jan97.toString)
+    val feb97 = got((1997, 2))
+    assert(feb97.getDouble(2) == 70.0 && feb97.isNullAt(3) &&
+      feb97.isNullAt(4) && feb97.isNullAt(5), feb97.toString)
+    assert(got((1996, 1)).isNullAt(3), got.toString)
+  }
+
   test("TPC-H shape quartet: Q2 keeps min-cost ties and region-prunes, " +
       "Q11 strict integral threshold, Q16 distinct pairs minus flagged " +
       "suppliers, Q20 strict quantity threshold inside the year") {
