@@ -288,6 +288,17 @@ object SparkEntry {
         .groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
         .select(col("lab").as("label"), col("n_members"))
         .orderBy(col("n_members").desc, col("label")).limit(20)),
+    // cheapest affinity path within 3 hops of the Brand#1 seed set —
+    // min-plus relaxation over exact integer 10^12 div cnt weights
+    "q_sssp" -> ((s, dir) => {
+      val cw = operators.Graph.coPurchaseWeights(Tables.lineitem(s, dir))
+      val edges = cw.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(
+          cw.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node"))
+      operators.Graph.sssp(edges, seeds, 3)
+    }),
     "q_tpch_q21" -> ((s, dir) =>
       Relational.loneFlaggedSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), 20)),
@@ -1722,6 +1733,35 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
         |WHERE d.deg >= 2
         |ORDER BY lcc DESC, d.node LIMIT 50""".stripMargin,
+    // mirror of Graph.sssp: three unrolled min-plus relaxations over
+    // the same integer weights (min/+ over BIGINT are exact)
+    "q_sssp" ->
+      """WITH pc AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT u AS src, v AS dst, 1000000000000 // cnt AS w FROM pc
+        |      UNION ALL
+        |      SELECT v AS src, u AS dst, 1000000000000 // cnt AS w FROM pc),
+        |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM part WHERE p_brand = 'Brand#1'),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst AS node, d0.dist + e.w AS dist
+        |  FROM e JOIN d0 ON d0.node = e.src) GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst AS node, d1.dist + e.w AS dist
+        |  FROM e JOIN d1 ON d1.node = e.src) GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst AS node, d2.dist + e.w AS dist
+        |  FROM e JOIN d2 ON d2.node = e.src) GROUP BY 1)
+        |SELECT node, dist FROM d3""".stripMargin,
     // mirror of Graph.labelPropagation: two unrolled synchronous
     // rounds, argmax = (max count, then min label), prev-label carry
     "q_label_prop" ->

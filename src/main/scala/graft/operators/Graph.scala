@@ -248,6 +248,53 @@ object Graph {
     pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
 
+  /** Co-purchase edges WEIGHTED by affinity: (u, v, w) with
+    * w = 10¹² div cnt — popular pairings are cheap to traverse, rare
+    * ones expensive (the standard similarity→distance flip). Integer
+    * division keeps weights exact longs, so path costs sum
+    * deterministically. Pair counting stays bounded: pairs per order are
+    * C(order size, 2), so the shuffle is |orders|·C(size,2) — no
+    * corpus² anywhere. */
+  def coPurchaseWeights(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    a.join(b, Seq("k")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      .select(col("u"), col("v"),
+        graft.model.floorDivCol(lit(1000000000000L), col("cnt")).as("w"))
+  }
+
+  /** Hop-limited single-source(-set) shortest paths: `rounds` Bellman-
+    * Ford relaxations of min-plus over exact integer weights — the
+    * "cheapest affinity path within k hops" query. Seeds enter at
+    * distance 0; after r rounds every node holds the exact minimum cost
+    * over paths of ≤ r hops from any seed (unreached nodes are absent).
+    * Min and + over longs are exact, so the result is a pure function of
+    * the graph — any engine replays it by unrolling the same rounds.
+    *
+    * Scale: same discipline as [[labelPropagation]]/[[kCore]] — the edge
+    * frame shuffles ONCE (src-partitioned, checkpointed); each round
+    * joins a node-sized distance frame into it (AQE broadcasts while it
+    * fits), then one map-side-partial min aggregate; between rounds only
+    * node-sized frames move, checkpointed to keep lineage flat.
+    *
+    * Inputs: edges (src, dst, w: long), seeds (node). Output: (node,
+    * dist) with dist in the weight's fixed-point units. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e2 = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = e2.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** At most `maxRounds` k-core peel rounds over a SYMMETRIC edge set
     * (both directions present, so out-degree IS undirected degree):
     * each round drops every node of residual degree < k and restricts

@@ -771,6 +771,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got(6L) == (15.0, 2L) && got(7L) == (15.0, 2L), got.toString)
   }
 
+  test("sssp: hop-limited min-plus — a cheap 2-hop path beats a direct " +
+      "edge only once rounds allow it; multi-seed takes the min; " +
+      "unreached nodes stay absent") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 30L),
+      (5L, 3L, 1L), (8L, 9L, 5L)).toDF("src", "dst", "w")
+    def run(seeds: Seq[Long], rounds: Int) =
+      Graph.sssp(edges, seeds.toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 round: only direct edges -> node 3 costs 30
+    assert(run(Seq(1L), 1) == Map(1L -> 0L, 2L -> 10L, 3L -> 30L))
+    // 2 rounds: the 10+10 path through 2 wins; 8/9 stay unreached
+    assert(run(Seq(1L), 2) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // extra rounds at the fixed point change nothing
+    assert(run(Seq(1L), 4) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // second seed 5 undercuts node 3 via its 1-cost edge
+    assert(run(Seq(1L, 5L), 2) ==
+      Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 5L -> 0L))
+  }
+
   test("labelPropagation: two cliques with a bridge collapse to their " +
       "min-id labels; ties pick the smallest label; sync rounds") {
     import graft.operators.Graph
