@@ -627,6 +627,17 @@ object SparkEntry {
     "q_funnel_latency" -> ((s, dir) =>
       operators.Analytics.funnelLatency(Tables.events(s, dir),
         Seq("view", "click", "purchase"), 24L * 3600000000L)),
+    // Benford leading-digit audit of order totals — string-extracted
+    // digit (no runtime log10), shared literal expectations
+    "q_benford" -> ((s, dir) =>
+      operators.Analytics.benfordDigits(Tables.orders(s, dir), "o_totalprice")),
+    // Simpson diversity (1 − Σp²) of each user's event-type mix — the
+    // libm-free concentration measure (entropy would pin libm's ulp)
+    "q_user_diversity" -> ((s, dir) =>
+      operators.Analytics.userDiversity(Tables.events(s, dir))),
+    // exact-decimal raw moments → skewness / excess kurtosis per type
+    "q_skew_kurtosis" -> ((s, dir) =>
+      operators.Analytics.skewKurtosis(Tables.events(s, dir))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -2774,6 +2785,76 @@ object SparkEntry {
         |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END)
         |         AS p90_lat_us
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |           FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+        |s AS (SELECT digit, cnt,
+        |             CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE)
+        |               AS share,
+        |             CASE digit
+        |               WHEN 1 THEN 0.3010299956639812
+        |               WHEN 2 THEN 0.17609125905568124
+        |               WHEN 3 THEN 0.12493873660829992
+        |               WHEN 4 THEN 0.09691001300805642
+        |               WHEN 5 THEN 0.07918124604762482
+        |               WHEN 6 THEN 0.06694678963061322
+        |               WHEN 7 THEN 0.05799194697768673
+        |               WHEN 8 THEN 0.05115252244738129
+        |               WHEN 9 THEN 0.04575749056067514
+        |             END AS expected
+        |      FROM c)
+        |SELECT digit, cnt, share, expected, share - expected AS dev
+        |FROM s""".stripMargin,
+    "q_user_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*) AS n_types,
+        |             CAST(sum(cnt) AS BIGINT) AS n_events,
+        |             CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n_types, n_events,
+        |       CAST(n_events * n_events - ss AS DOUBLE) /
+        |         CAST(n_events * n_events AS DOUBLE) AS simpson
+        |FROM u""".stripMargin,
+    "q_skew_kurtosis" ->
+      // the raw-moment sums convert to double VIA VARCHAR: DuckDB's
+      // direct int128/decimal→double cast is not correctly rounded
+      // (off by an ulp near 10¹⁹), but its string→double parse is —
+      // matching Spark's correctly-rounded Decimal.toDouble
+      """WITH v AS (SELECT event_type,
+        |                  CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                       AS DECIMAL(10,0)) AS HUGEINT) AS v
+        |           FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |             CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS s1,
+        |             CAST(CAST(sum(v*v) AS VARCHAR) AS DOUBLE) AS s2,
+        |             CAST(CAST(sum(v*v*v) AS VARCHAR) AS DOUBLE) AS s3,
+        |             CAST(CAST(sum(v*v*v*v) AS VARCHAR) AS DOUBLE) AS s4
+        |      FROM v GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |             s1 / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |             (s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |               / CAST(n AS DOUBLE) / 10000.0 AS m2,
+        |             (s3 - 3.0 * s1 * s2 / CAST(n AS DOUBLE)
+        |              + 2.0 * s1 * s1 * s1
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |               / CAST(n AS DOUBLE) / 1000000.0 AS m3,
+        |             (s4 - 4.0 * s1 * s3 / CAST(n AS DOUBLE)
+        |              + 6.0 * s1 * s1 * s2
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |              - 3.0 * s1 * s1 * s1 * s1
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                   * CAST(n AS DOUBLE)))
+        |               / CAST(n AS DOUBLE) / 100000000.0 AS m4
+        |      FROM a)
+        |SELECT event_type, n, mean, m2 AS variance,
+        |       CASE WHEN m2 <= 0 THEN NULL
+        |            ELSE m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END AS skewness,
+        |       CASE WHEN m2 <= 0 THEN NULL
+        |            ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis
+        |FROM m""".stripMargin,
     "q_pii_scrub" ->
       """WITH aug AS (SELECT doc_id,
         |                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||

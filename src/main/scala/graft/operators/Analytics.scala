@@ -589,4 +589,108 @@ object Analytics {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(topK)
   }
+
+  /** Benford first-digit audit of a positive amount column: observed vs
+    * expected leading-digit shares — the classic fabricated-data / drift
+    * screen for financial columns. The leading digit is extracted from
+    * the DECIMAL STRING of the truncated amount (bigint→string renders
+    * identically on every engine; `log10(amount)` would hinge on libm
+    * agreeing to the last ulp, and a power-of-10 boundary could round
+    * across a digit). Expected shares are the nine Benford constants as
+    * shared double literals (log10(1+1/d) precomputed once, identical
+    * text in the oracle) — no runtime logarithm anywhere. Shares divide
+    * exact counts as doubles; the final frame is 9 rows, so the global
+    * share window is trivially bounded. One map-side-partial hash
+    * aggregate over the scan — scales linearly. */
+  def benfordDigits(df: DataFrame, amountCol: String): DataFrame = {
+    val expected = Map(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val digit = substring(floor(col(amountCol)).cast("bigint").cast("string"), 1, 1)
+      .cast("int")
+    val exp = expected.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    df.filter(col(amountCol) >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      .withColumn("share", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy()).cast("double"))
+      .withColumn("expected", exp)
+      .select(col("digit"), col("cnt"), col("share"), col("expected"),
+        (col("share") - col("expected")).as("dev"))
+  }
+
+  /** Per-user Simpson diversity of event types: 1 − Σ pᵢ² — how spread a
+    * user's activity is across types (0 = single-type, →1 = uniform over
+    * many). Chosen over Shannon entropy DELIBERATELY: Simpson is pure
+    * rational-count arithmetic ((tot² − Σcntᵢ²)/tot², one IEEE division
+    * of exactly-converted integers), so any engine reproduces it
+    * bit-for-bit, whereas entropy's per-term logarithm would pin the
+    * result to libm's last ulp. tot ≤ a user's event count, so tot² is
+    * far under Long.Max. Two map-side-partial hash aggregates
+    * ((user, type) then user) — linear, no window, no skew exposure. */
+  def userDiversity(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        ((col("n_events") * col("n_events") - col("ss")).cast("double") /
+          (col("n_events") * col("n_events")).cast("double")).as("simpson"))
+
+  /** Per-type skewness and excess kurtosis from EXACT integer raw
+    * moments: value is quantized once to its cent grid (the established
+    * DECIMAL(18,2) engine-portable cast) and scaled to a fixed-point
+    * integer v = 100·value, then Σv, Σv², Σv³, Σv⁴ accumulate as
+    * DECIMAL(38,0) — associative and engine-replayable (v ≤ 5.7·10⁴ here
+    * puts v⁴ just OVER Long.Max, which is exactly why the sums are
+    * decimal, not bigint). The standardized moments then derive in ONE
+    * fixed-order double expression per column (mean = Σv/(100n), m2/m3/m4
+    * via the raw-moment expansions, skew = m3/(sd·sd·sd),
+    * kurt = m4/(m2·m2) − 3) — every double op is on exactly-converted
+    * decimals in identical textual order on both engines, and sqrt is
+    * IEEE-exact. Zero variance nulls both (guarded). One
+    * map-side-partial aggregate over the scan — linear at any scale. */
+  def skewKurtosis(events: DataFrame): DataFrame = {
+    val v = (col("value").cast("decimal(18,2)") * 100).cast("decimal(10,0)")
+    val d = (c: Column) => c.cast("double")
+    events
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s1"),
+        sum(col("v") * col("v")).cast("decimal(38,0)").as("s2"),
+        sum(col("v") * col("v") * col("v")).cast("decimal(38,0)").as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).cast("decimal(38,0)")
+          .as("s4"))
+      .select(col("event_type"), col("n"),
+        (d(col("s1")) / d(col("n")) / 100.0).as("mean"),
+        col("s1").as("s1_fx"), col("s2").as("s2_fx"),
+        col("s3").as("s3_fx"), col("s4").as("s4_fx"))
+      .withColumn("m2",
+        (d(col("s2_fx")) - d(col("s1_fx")) * d(col("s1_fx")) / d(col("n")))
+          / d(col("n")) / 10000.0)
+      .withColumn("m3",
+        (d(col("s3_fx")) - lit(3.0) * d(col("s1_fx")) * d(col("s2_fx")) / d(col("n"))
+          + lit(2.0) * d(col("s1_fx")) * d(col("s1_fx")) * d(col("s1_fx"))
+            / (d(col("n")) * d(col("n")))) / d(col("n")) / 1000000.0)
+      .withColumn("m4",
+        (d(col("s4_fx")) - lit(4.0) * d(col("s1_fx")) * d(col("s3_fx")) / d(col("n"))
+          + lit(6.0) * d(col("s1_fx")) * d(col("s1_fx")) * d(col("s2_fx"))
+            / (d(col("n")) * d(col("n")))
+          - lit(3.0) * d(col("s1_fx")) * d(col("s1_fx")) * d(col("s1_fx"))
+            * d(col("s1_fx")) / (d(col("n")) * d(col("n")) * d(col("n"))))
+          / d(col("n")) / 100000000.0)
+      .select(col("event_type"), col("n"), col("mean"), col("m2").as("variance"),
+        when(col("m2") <= 0d, lit(null).cast("double"))
+          .otherwise(col("m3") / (sqrt(col("m2")) * sqrt(col("m2"))
+            * sqrt(col("m2")))).as("skewness"),
+        when(col("m2") <= 0d, lit(null).cast("double"))
+          .otherwise(col("m4") / (col("m2") * col("m2")) - 3.0).as("kurtosis"))
+  }
 }

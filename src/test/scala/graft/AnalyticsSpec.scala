@@ -971,4 +971,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(none.nonEmpty && none.forall(_.isNullAt(3)))
   }
+
+  test("benfordDigits: string-extracted leading digit, sub-1 amounts dropped, " +
+      "shares sum to 1 against the Benford constants") {
+    // digits: 1.5->1, 19.9->1, 100.0->1, 2.3->2, 9.99->9; 0.5 filtered out
+    val amounts = Seq(1.5, 19.9, 100.0, 2.3, 0.5, 9.99)
+      .toDF("amt")
+    val rows = Analytics.benfordDigits(amounts, "amt")
+      .orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((1, 3L), (2, 1L), (9, 1L)))
+    assert(rows.map(_._3).toSeq == Seq(0.6, 0.2, 0.2)) // exact /5 shares
+    assert(rows.map(_._4).sum < 1.0) // only 3 of 9 expected shares present
+    assert(rows.find(_._1 == 1).get._4 == 0.3010299956639812)
+  }
+
+  test("userDiversity: Simpson index from exact counts, 0 for single-type users") {
+    val events = ev(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "b", 3L), // (3²-(4+1))/3² = 4/9
+      (2L, "a", 1L), (2L, "a", 2L))                // single type -> 0
+    val got = Analytics.userDiversity(events).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 4.0 / 9.0), (2L, 1L, 2L, 0.0)))
+  }
+
+  test("skewKurtosis: symmetric 3-point sample gives skew 0 / kurt -1.5; " +
+      "zero variance nulls both") {
+    val events = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
+        Seq.fill(4)(("b", 5.0)))
+      .toDF("event_type", "value")
+    val got = Analytics.skewKurtosis(events).orderBy("event_type").collect()
+    val a = got(0)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0)
+    assert(math.abs(a.getDouble(3) - 2.0 / 3.0) < 1e-15) // variance m2
+    assert(a.getDouble(4) == 0.0, "symmetric -> zero skewness")
+    assert(math.abs(a.getDouble(5) - (-1.5)) < 1e-12, "3-pt uniform kurtosis")
+    val b = got(1)
+    assert(b.getDouble(3) == 0.0 && b.isNullAt(4) && b.isNullAt(5))
+  }
 }
