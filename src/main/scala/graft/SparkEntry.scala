@@ -638,6 +638,20 @@ object SparkEntry {
     // exact-decimal raw moments → skewness / excess kurtosis per type
     "q_skew_kurtosis" -> ((s, dir) =>
       operators.Analytics.skewKurtosis(Tables.events(s, dir))),
+    // per-type Gini of user-spend concentration — distributed rank,
+    // tie-invariant ranked formula, exact decimal sums
+    "q_gini" -> ((s, dir) =>
+      operators.Analytics.giniConcentration(Tables.events(s, dir))),
+    // per-type OLS trend (slope/day, intercept, R²) from exact
+    // decimal moment sums over integer relative seconds
+    "q_trend_line" -> ((s, dir) =>
+      operators.Analytics.trendLine(Tables.events(s, dir))),
+    // SCD Type-2 state intervals from consecutive event-type runs
+    "q_scd2" -> ((s, dir) =>
+      operators.Analytics.scd2(Tables.events(s, dir))),
+    // RFM quintile segmentation of customers — three distributed ranks
+    "q_rfm" -> ((s, dir) =>
+      operators.Analytics.rfmSegments(Tables.orders(s, dir))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -2807,6 +2821,92 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, cnt, share, expected, share - expected AS dev
         |FROM s""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (SELECT event_type, user_id,
+        |                      CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |                           AS DECIMAL(18,2)) AS spend
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, spend,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY spend, user_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM spend),
+        |a AS (SELECT event_type, max(n) AS n_users,
+        |             CAST(sum(spend) AS DECIMAL(38,2)) AS total,
+        |             CAST(sum(rn * spend) AS DECIMAL(38,2)) AS rank_wsum
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_users, CAST(total AS DOUBLE) AS total_value,
+        |       (2.0 * CAST(rank_wsum AS DOUBLE)
+        |        - CAST(n_users + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+        |         / (CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+        |FROM a""".stripMargin,
+    "q_trend_line" ->
+      // HUGEINT sums convert to double via VARCHAR (correctly-rounded
+      // parse — matches Spark's Decimal.toDouble; the direct int128
+      // cast is off by an ulp near 10¹⁹), same trick as q_skew_kurtosis
+      """WITH v AS (SELECT event_type,
+        |                  (epoch_us(ts) - 1704067200000000) // 1000000 AS t0,
+        |                  CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                       AS DECIMAL(10,0)) AS HUGEINT) AS y
+        |           FROM events),
+        |w AS (SELECT event_type, CAST(t0 AS HUGEINT) AS t, y FROM v),
+        |a AS (SELECT event_type, count(*) AS n,
+        |             CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS st,
+        |             CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |             CAST(CAST(sum(t*t) AS VARCHAR) AS DOUBLE) AS stt,
+        |             CAST(CAST(sum(t*y) AS VARCHAR) AS DOUBLE) AS sty,
+        |             CAST(CAST(sum(y*y) AS VARCHAR) AS DOUBLE) AS syy
+        |      FROM w GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |             CAST(n AS DOUBLE) * stt - st * st AS var_t,
+        |             CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+        |             CAST(n AS DOUBLE) * sty - st * sy AS cov_ty,
+        |             st, sy
+        |      FROM a)
+        |SELECT event_type, n,
+        |       CASE WHEN var_t <= 0 THEN NULL
+        |            ELSE cov_ty / var_t * 86400.0 / 100.0 END AS slope_per_day,
+        |       CASE WHEN var_t <= 0 THEN NULL
+        |            ELSE (sy / CAST(n AS DOUBLE)
+        |                  - cov_ty / var_t * st / CAST(n AS DOUBLE)) / 100.0
+        |            END AS intercept,
+        |       CASE WHEN var_t <= 0 OR var_y <= 0 THEN NULL
+        |            ELSE cov_ty * cov_ty / (var_t * var_y) END AS r2
+        |FROM m""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                                      ORDER BY t, event_id) AS prev_type
+        |      FROM e),
+        |ch AS (SELECT * FROM c
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, t AS valid_from_us,
+        |       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |         AS valid_to_us,
+        |       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |         IS NULL AS is_current
+        |FROM ch""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey,
+        |                     max(epoch_us(o_orderdate)) AS rec_us,
+        |                     count(*) AS freq,
+        |                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                          AS DECIMAL(18,2)) AS money
+        |              FROM orders GROUP BY 1),
+        |r AS (SELECT base.*,
+        |             CAST(((row_number() OVER (ORDER BY rec_us, o_custkey) - 1)
+        |                   * 5) // (count(*) OVER ()) AS INTEGER) + 1 AS r_score,
+        |             CAST(((row_number() OVER (ORDER BY freq, o_custkey) - 1)
+        |                   * 5) // (count(*) OVER ()) AS INTEGER) + 1 AS f_score,
+        |             CAST(((row_number() OVER (ORDER BY money, o_custkey) - 1)
+        |                   * 5) // (count(*) OVER ()) AS INTEGER) + 1 AS m_score
+        |      FROM base)
+        |SELECT o_custkey, rec_us, freq, CAST(money AS DOUBLE) AS money,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |         || CAST(m_score AS VARCHAR) AS segment
+        |FROM r""".stripMargin,
     "q_user_diversity" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |           FROM events GROUP BY 1, 2),

@@ -590,6 +590,171 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Distributed global `row_number` within `partCols` over the strict
+    * total order `orderCols`: range-repartition on (part, order), rank
+    * inside each partition, then add per-(part, partition) exclusive
+    * offsets — one row per (part, pid), a broadcast. No single task ever
+    * buffers a whole partition key, unlike a bare `Window.orderBy`;
+    * the result is identical because range partitioning preserves the
+    * lexicographic (part, order) order across ascending partition ids.
+    * `localCheckpoint` PINS the pid assignment: both the ranked branch
+    * and the offsets branch descend from the same materialized exchange
+    * (`spark_partition_id` is documented non-deterministic otherwise).
+    * Shared by [[giniConcentration]] / [[rfmSegments]]; the same shape
+    * is inlined in [[paretoCurve]] / [[funnelLatency]]. */
+  private[operators] def distributedRank(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val keyed = partCols :+ "pid"
+    val parted = df
+      .repartitionByRange(partCols.map(col) ++ orderCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val local = parted.withColumn("rn_local", row_number().over(
+      Window.partitionBy(keyed.map(col): _*).orderBy(orderCols: _*)))
+    val offs = local.groupBy(keyed.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(partCols.map(col): _*).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(partCols.map(col): _*)))
+      .select(keyed.map(col) :+ col("off") :+ col("n"): _*)
+    local.join(broadcast(offs), keyed)
+      .withColumn("rn", col("off") + col("rn_local"))
+      .drop("pid", "rn_local")
+  }
+
+  /** Per-type Gini coefficient of user spend concentration — the scalar
+    * twin of [[paretoCurve]]'s decile curve (0 = perfectly equal spend,
+    * →1 = one user is the whole market). Uses the ranked form
+    * G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with spend ascending: Σ rᵢxᵢ
+    * is invariant under tie reordering (equal xᵢ swap ranks freely), so
+    * the (spend, user_id) total order makes it engine-exact. Spend and
+    * the rank-weighted sum accumulate as DECIMAL; one double division at
+    * the end in fixed textual order. The global rank is DISTRIBUTED
+    * ([[distributedRank]]) — no single-task window at any scale. */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val spend = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("spend"))
+    distributedRank(spend, Seq("event_type"),
+        Seq(col("spend").asc, col("user_id").asc))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_users"),
+        sum(col("spend")).cast("decimal(38,2)").as("total"),
+        sum(col("rn") * col("spend")).cast("decimal(38,2)").as("rank_wsum"))
+      .select(col("event_type"), col("n_users"),
+        col("total").cast("double").as("total_value"),
+        ((lit(2.0) * col("rank_wsum").cast("double")
+          - (col("n_users") + 1).cast("double") * col("total").cast("double"))
+          / (col("n_users").cast("double") * col("total").cast("double")))
+          .as("gini"))
+  }
+
+  /** Per-type OLS trend line of value against time: slope (value units
+    * per DAY), intercept (value units at the epoch base), and R². Time
+    * enters as INTEGER seconds since 2024-01-01 UTC (a shared literal
+    * base keeps the moment magnitudes bounded); value as its exact cent
+    * grid. The five moment sums (Σt, Σy, Σt², Σty, Σy²) accumulate as
+    * DECIMAL(38,0) — order-independent — and the slope/intercept/R²
+    * derive in ONE fixed-order double expression, so both engines
+    * reproduce the doubles bit-for-bit (the oracle converts its HUGEINT
+    * sums to double via VARCHAR: DuckDB's direct int128→double cast is
+    * off by an ulp near 10¹⁹, its string parse is correctly rounded).
+    * Zero time-variance (all events of a type in one second) nulls the
+    * slope (guarded). One map-side-partial aggregate over the scan. */
+  def trendLine(events: DataFrame): DataFrame = {
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val y = (col("value").cast("decimal(18,2)") * 100).cast("decimal(10,0)")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    events
+      .select((tsUs(col("ts")) - baseUs).as("t_us"), y.as("y"),
+        col("event_type"))
+      .select(expr("t_us div 1000000").as("t"), col("y"), col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dec(sum(col("t"))).as("st"), dec(sum(col("y"))).as("sy"),
+        dec(sum(col("t") * col("t"))).as("stt"),
+        dec(sum(col("t") * col("y"))).as("sty"),
+        dec(sum(col("y") * col("y"))).as("syy"))
+      .withColumn("var_t",
+        d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st")))
+      .withColumn("var_y",
+        d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .withColumn("cov_ty",
+        d(col("n")) * d(col("sty")) - d(col("st")) * d(col("sy")))
+      .select(col("event_type"), col("n"),
+        when(col("var_t") <= 0d, lit(null).cast("double"))
+          .otherwise(col("cov_ty") / col("var_t") * 86400.0 / 100.0)
+          .as("slope_per_day"),
+        when(col("var_t") <= 0d, lit(null).cast("double"))
+          .otherwise((d(col("sy")) / d(col("n"))
+            - col("cov_ty") / col("var_t") * d(col("st")) / d(col("n")))
+            / 100.0)
+          .as("intercept"),
+        when(col("var_t") <= 0d || col("var_y") <= 0d,
+            lit(null).cast("double"))
+          .otherwise(col("cov_ty") * col("cov_ty")
+            / (col("var_t") * col("var_y")))
+          .as("r2"))
+  }
+
+  /** SCD Type-2 state history from the event stream: collapse each
+    * user's consecutive same-type runs into (state, valid_from,
+    * valid_to, is_current) intervals — the standard
+    * slowly-changing-dimension build every warehouse pipeline runs.
+    * Change detection is `lag` over the (t, event_id) total order
+    * (duplicate timestamps break deterministically on event_id);
+    * `valid_to` is the NEXT change's start (`lead` over change rows
+    * only), NULL on the open current interval. Both windows partition
+    * by user_id — bounded by one user's history, never a global sort. */
+  def scd2(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(col("t"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("t").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** RFM customer segmentation over the orders table: quintile scores
+    * (1..5, higher = better) for Recency (latest order date), Frequency
+    * (order count), and Monetary (exact DECIMAL revenue), each ranked
+    * over a strict (metric, custkey) total order and bucketed by the
+    * integer formula score = (rn−1)·5 div n + 1 — pure integer
+    * arithmetic, no percentile interpolation, identical on any engine.
+    * All three ranks are DISTRIBUTED ([[distributedRank]]) over the
+    * customer-sized frame; the segment label concatenates the scores
+    * ("555" = best). At 100 TB the frame is |customers| rows — three
+    * range exchanges of a pre-aggregated frame, no global window. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val base = orders.groupBy(col("o_custkey"))
+      .agg(max(tsUs(col("o_orderdate"))).as("rec_us"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("money"))
+    def score(df: DataFrame, metric: Column, as: String): DataFrame =
+      distributedRank(df, Seq.empty, Seq(metric.asc, col("o_custkey").asc))
+        .withColumn(as, expr("((rn - 1) * 5) div n").cast("int") + 1)
+        .drop("rn", "n", "off", "cnt")
+    val scored = score(score(score(base,
+      col("rec_us"), "r_score"), col("freq"), "f_score"),
+      col("money"), "m_score")
+    scored.select(col("o_custkey"), col("rec_us"), col("freq"),
+      col("money").cast("double").as("money"),
+      col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+  }
+
   /** Benford first-digit audit of a positive amount column: observed vs
     * expected leading-digit shares — the classic fabricated-data / drift
     * screen for financial columns. The leading digit is extracted from

@@ -995,6 +995,69 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3L, 4.0 / 9.0), (2L, 1L, 2L, 0.0)))
   }
 
+  test("giniConcentration: (1,3) spend split gives G=0.25, equal spend gives 0") {
+    val events = ev(
+      (1L, "a", 1L), (2L, "a", 2L), (2L, "a", 3L), (2L, "a", 4L), // u1=1, u2=3
+      (1L, "b", 1L), (2L, "b", 2L))                               // equal -> 0
+    val got = Analytics.giniConcentration(events).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // G(1,3) = mean|xi-xj| / (2*mean) = 1/4
+    assert(got.toSeq == Seq(("a", 2L, 4.0, 0.25), ("b", 2L, 2.0, 0.0)))
+  }
+
+  test("trendLine: perfect 1-unit-per-minute line recovers slope/intercept/R2; " +
+      "single-instant type nulls out") {
+    val baseUs = 1704067200000000L
+    val events = (Seq((0L, 1.0), (60L, 2.0), (120L, 3.0)).map { case (s, v) =>
+        ("a", baseUs + s * 1000000L, v)
+      } ++ Seq(("b", baseUs, 5.0), ("b", baseUs, 9.0)))
+      .toDF("event_type", "t_us", "value")
+      .select(col("event_type"), timestamp_micros(col("t_us")).as("ts"),
+        col("value"))
+    val got = Analytics.trendLine(events).orderBy("event_type").collect()
+    val a = got(0)
+    assert(a.getLong(1) == 3L)
+    assert(math.abs(a.getDouble(2) - 1440.0) < 1e-9)  // 1 unit/min = 1440/day
+    assert(math.abs(a.getDouble(3) - 1.0) < 1e-12)    // intercept at base
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)    // perfect fit
+    val b = got(1) // all at one instant: var_t = 0 -> every stat NULL
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+  }
+
+  test("scd2 collapses consecutive runs; duplicate-ts changes order by event_id") {
+    val events = Seq(
+      (1L, 10L, "a", 1L), (1L, 11L, "a", 2L), (1L, 12L, "b", 3L),
+      (1L, 13L, "a", 4L),
+      (2L, 20L, "x", 5L), (2L, 21L, "y", 5L)) // same ts: event_id orders x->y
+      .toDF("user_id", "event_id", "event_type", "sec")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = Analytics.scd2(events)
+      .orderBy("user_id", "valid_from_us", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1000000L, 3000000L, false),
+      (1L, "b", 3000000L, 4000000L, false),
+      (1L, "a", 4000000L, -1L, true),
+      (2L, "x", 5000000L, 5000000L, false), // same-µs handoff, id-ordered
+      (2L, "y", 5000000L, -1L, true)))
+  }
+
+  test("rfmSegments: n=5 distinct metrics make score = ascending rank; " +
+      "frequency ties break on custkey") {
+    val orders = (1L to 5L).map(k =>
+        (k, 1704067200000000L + k * 86400000000L, k * 100.0))
+      .toDF("o_custkey", "d_us", "o_totalprice")
+      .select(col("o_custkey"), timestamp_micros(col("d_us")).as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.rfmSegments(orders).orderBy("o_custkey").collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getString(7)))
+    assert(got.toSeq == (1 to 5).map(k => (k.toLong, k, k, k, s"$k$k$k")))
+  }
+
   test("skewKurtosis: symmetric 3-point sample gives skew 0 / kurt -1.5; " +
       "zero variance nulls both") {
     val events = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
