@@ -652,6 +652,23 @@ object SparkEntry {
     // RFM quintile segmentation of customers — three distributed ranks
     "q_rfm" -> ((s, dir) =>
       operators.Analytics.rfmSegments(Tables.orders(s, dir))),
+    // last-touch attribution of purchase value to the preceding channel
+    "q_attribution" -> ((s, dir) =>
+      operators.Analytics.attributionLastTouch(Tables.events(s, dir),
+        "purchase", 24L * 3600000000L)),
+    // equi-depth histogram boundaries (optimizer statistics primitive)
+    "q_equidepth" -> ((s, dir) =>
+      operators.Analytics.equiDepthBoundaries(Tables.events(s, dir), 8)),
+    // order-total reconciliation vs exact lineitem recompute, per status
+    "q_audit_totals" -> ((s, dir) =>
+      operators.Relational.auditOrderTotals(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // referential-integrity orphan counts across every FK edge
+    "q_audit_orphans" -> ((s, dir) =>
+      operators.Relational.auditForeignKeys(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -2907,6 +2924,101 @@ object SparkEntry {
         |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |         || CAST(m_score AS VARCHAR) AS segment
         |FROM r""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |                  value
+        |           FROM events),
+        |w AS (SELECT *,
+        |             last_value(CASE WHEN event_type <> 'purchase'
+        |                             THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch_type,
+        |             last_value(CASE WHEN event_type <> 'purchase'
+        |                             THEN t END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch_t
+        |      FROM e),
+        |p AS (SELECT CASE WHEN touch_type IS NULL
+        |                    OR t - touch_t > 86400000000
+        |                  THEN 'direct' ELSE touch_type END AS channel, value
+        |      FROM w WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_conversions,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS attributed_value
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_equidepth" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_type, rn AS rk, n, value AS boundary
+        |FROM r
+        |WHERE rn = (n * 1) // 8 OR rn = (n * 2) // 8 OR rn = (n * 3) // 8
+        |   OR rn = (n * 4) // 8 OR rn = (n * 5) // 8 OR rn = (n * 6) // 8
+        |   OR rn = (n * 7) // 8 OR rn = (n * 8) // 8""".stripMargin,
+    "q_audit_totals" ->
+      """WITH rec AS (SELECT l_orderkey,
+        |                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                         * (CAST(1 AS DECIMAL(4,2))
+        |                            - CAST(l_discount AS DECIMAL(4,2)))
+        |                         * (CAST(1 AS DECIMAL(4,2))
+        |                            + CAST(l_tax AS DECIMAL(4,2))))
+        |                      AS DECIMAL(24,6)) AS recomputed
+        |             FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS declared,
+        |             coalesce(recomputed, CAST(0 AS DECIMAL(24,6)))
+        |               AS recomputed
+        |      FROM orders LEFT JOIN rec ON o_orderkey = l_orderkey),
+        |d AS (SELECT o_orderstatus, declared, recomputed,
+        |             recomputed - declared AS diff FROM j)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN abs(diff) > 0.01 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_mismatch,
+        |       CAST(max(abs(diff)) AS DOUBLE) AS max_abs_diff,
+        |       CAST(sum(declared) AS DOUBLE) AS sum_declared,
+        |       CAST(sum(recomputed) AS DOUBLE) AS sum_recomputed
+        |FROM d GROUP BY 1""".stripMargin,
+    "q_audit_orphans" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+        |       (SELECT count(*) FROM lineitem) AS n_child,
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |         AS n_orphan
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |       (SELECT count(*) FROM customer),
+        |       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |       (SELECT count(*) FROM supplier),
+        |       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |UNION ALL
+        |SELECT 'nation->region',
+        |       (SELECT count(*) FROM nation),
+        |       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |""".stripMargin,
     "q_user_diversity" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |           FROM events GROUP BY 1, 2),

@@ -336,27 +336,7 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
         .as("spend"))
-    // localCheckpoint PINS the partition assignment: `local` and `offs`
-    // both descend from `parted`, and without materialization each
-    // branch would re-evaluate the exchange + spark_partition_id()
-    // (documented non-deterministic) — correct today only via
-    // ReusedExchange, an optimizer accident, not a contract
-    val parted = spend
-      .repartitionByRange(col("spend").desc, col("user_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("rn_local",
-      row_number().over(Window.partitionBy("pid")
-        .orderBy(col("spend").desc, col("user_id"))))
-    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-      .select(col("pid"), col("off"), col("n"))
-    local
-      .join(broadcast(offs), "pid")
-      .withColumn("rn", col("off") + col("rn_local"))
+    distributedRank(spend, Seq.empty, Seq(col("spend").desc, col("user_id")))
       .withColumn("decile", expr("((rn - 1) * 10) div n").cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
@@ -432,25 +412,8 @@ object Analytics {
           .select(lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"),
             col("user_id"), (col("t") - col("t0")).as("lat_us"))
     }.reduce(_ unionByName _)
-    // pinned for the same reason as paretoCurve's `parted`: both
-    // branches must see ONE materialized pid assignment
-    val parted = lats
-      .repartitionByRange(col("stage_idx"), col("lat_us"), col("user_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("rn_local",
-      row_number().over(Window.partitionBy("stage_idx", "pid")
-        .orderBy(col("lat_us"), col("user_id"))))
-    val offs = local.groupBy(col("stage_idx"), col("pid"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy("stage_idx").orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("stage_idx")))
-      .select(col("stage_idx"), col("pid"), col("off"), col("n"))
-    local
-      .join(broadcast(offs), Seq("stage_idx", "pid"))
-      .withColumn("rn", col("off") + col("rn_local"))
+    distributedRank(lats, Seq("stage_idx"),
+        Seq(col("lat_us"), col("user_id")))
       .groupBy(col("stage_idx"), col("stage"))
       .agg(max(col("n")).as("n_converted"),
         max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("lat_us")))
@@ -600,8 +563,8 @@ object Analytics {
     * `localCheckpoint` PINS the pid assignment: both the ranked branch
     * and the offsets branch descend from the same materialized exchange
     * (`spark_partition_id` is documented non-deterministic otherwise).
-    * Shared by [[giniConcentration]] / [[rfmSegments]]; the same shape
-    * is inlined in [[paretoCurve]] / [[funnelLatency]]. */
+    * Shared by [[paretoCurve]], [[funnelLatency]], [[giniConcentration]]
+    * and [[rfmSegments]]. */
   private[operators] def distributedRank(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
     val keyed = partCols :+ "pid"
@@ -753,6 +716,57 @@ object Analytics {
       col("r_score"), col("f_score"), col("m_score"),
       concat(col("r_score").cast("string"), col("f_score").cast("string"),
         col("m_score").cast("string")).as("segment"))
+  }
+
+  /** Last-touch marketing attribution: each `convType` event's value is
+    * credited to the user's most recent OTHER event type within
+    * `horizonUs` before it ("what drove the purchase"); conversions
+    * with no qualifying touch credit the "direct" channel. The prior
+    * touch comes from `last(..., ignoreNulls)` over the (t, event_id)
+    * total order with a `[unbounded, -1]` frame — per-user windows,
+    * bounded by one user's history, and the tie order is deterministic.
+    * Values accumulate as exact DECIMAL; output is |channels| rows. */
+  def attributionLastTouch(events: DataFrame, convType: String,
+      horizonUs: Long): DataFrame = {
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= convType, col("event_type"))
+    val touchT = when(col("event_type") =!= convType, col("t"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("t"), col("value"))
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(before))
+      .withColumn("touch_t", last(touchT, ignoreNulls = true).over(before))
+      .filter(col("event_type") === convType)
+      .withColumn("channel",
+        when(col("touch_type").isNull ||
+          col("t") - col("touch_t") > horizonUs, lit("direct"))
+          .otherwise(col("touch_type")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+  }
+
+  /** Equi-depth histogram boundaries of `value` per event type — the
+    * statistics-collection primitive a cost-based optimizer (or a data
+    * profiler) materializes: the value at rank ⌊k·n/buckets⌋ for
+    * k = 1..buckets over the strict (value, event_id) total order.
+    * Built on [[distributedRank]], so no single-task global sort; the
+    * boundary filter keeps ≤ `buckets` rows per type. When a type has
+    * fewer rows than buckets, coinciding boundary ranks collapse (rank
+    * is emitted, so the collapse is visible). */
+  def equiDepthBoundaries(events: DataFrame, buckets: Int): DataFrame = {
+    val ranked = distributedRank(
+      events.select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
+    val isBoundary = (1 to buckets)
+      .map(k => col("rn") === expr(s"(n * $k) div $buckets"))
+      .reduce(_ || _)
+    ranked.filter(isBoundary)
+      .select(col("event_type"), col("rn").as("rk"), col("n"),
+        col("value").as("boundary"))
   }
 
   /** Benford first-digit audit of a positive amount column: observed vs

@@ -1059,4 +1059,63 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("partial_sum")).cast("double").as("sum_value"),
         sum(col("partial_n")).as("n"))
+
+  /** Warehouse reconciliation audit: recompute each order's total from
+    * its lineitems as the exact DECIMAL
+    * Σ extendedprice·(1−discount)·(1+tax) and compare to the declared
+    * o_totalprice, summarized per order status — the dbt-style "does
+    * the rollup match the fact table" test, bounded output. Orders with
+    * NO lineitems reconcile against 0 (visible as mismatches, not
+    * dropped — hence the left join). All sums are exact decimals; the
+    * tolerance compare (|diff| > 0.01) happens on the exact value. One
+    * fact-fact shuffle on orderkey (bucketing removes it at scale) then
+    * a |statuses|-row aggregate. */
+  def auditOrderTotals(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val recomputed = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+          * (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")))
+        .cast("decimal(24,6)").as("recomputed"))
+    orders
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("declared"),
+        coalesce(col("recomputed"), lit(0).cast("decimal(24,6)"))
+          .as("recomputed"))
+      .withColumn("diff", col("recomputed") - col("declared"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(abs(col("diff")) > 0.01, 1L).otherwise(0L)).as("n_mismatch"),
+        max(abs(col("diff"))).cast("double").as("max_abs_diff"),
+        sum(col("declared")).cast("double").as("sum_declared"),
+        sum(col("recomputed")).cast("double").as("sum_recomputed"))
+  }
+
+  /** Referential-integrity audit across the star schema's FK edges: for
+    * each child→parent edge, the child row count and the orphan count
+    * (child keys with no parent — left ANTI join, never a fan-out).
+    * Dimension parents broadcast; the two fact-sized edges shuffle on
+    * the key once. Output is |edges| rows. */
+  def auditForeignKeys(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, part: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(parent,
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"))
+    }
+    Seq(
+      edge("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      edge("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+      edge("lineitem->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      edge("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+      edge("customer->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      edge("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+      edge("nation->region", nation, "n_regionkey", region, "r_regionkey"))
+      .reduce(_ unionByName _)
+  }
 }

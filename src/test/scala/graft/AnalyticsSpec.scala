@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextAnalysis
-import graft.operators.{Analytics, Dedup, Sampling}
+import graft.operators.{Analytics, Dedup, Relational, Sampling}
 
 /** Hand-computed cases for the analytics + pipeline-hygiene operators:
   * funnel ordering, histogram-quantile interpolation, PII scrubbing,
@@ -1056,6 +1056,68 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6),
         r.getString(7)))
     assert(got.toSeq == (1 to 5).map(k => (k.toLong, k, k, k, s"$k$k$k")))
+  }
+
+  test("attributionLastTouch credits the nearest prior non-conversion within " +
+      "horizon, else 'direct'") {
+    val events = Seq(
+      (1L, 1L, "view", 100L, 1.0), (1L, 2L, "click", 200L, 1.0),
+      (1L, 3L, "purchase", 300L, 10.0),            // click credited
+      (2L, 4L, "purchase", 100L, 20.0),            // no prior -> direct
+      (3L, 5L, "view", 0L, 1.0),
+      (3L, 6L, "purchase", 90000L, 40.0))          // past 1-day horizon -> direct
+      .toDF("user_id", "event_id", "event_type", "sec", "value")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"), col("value"))
+    val got = Analytics.attributionLastTouch(events, "purchase",
+        24L * 3600000000L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 1L, 10.0), ("direct", 2L, 60.0)))
+  }
+
+  test("equiDepthBoundaries picks values at ranks k*n div buckets") {
+    val events = (1L to 8L).map(i => ("a", i, i.toDouble))
+      .toDF("event_type", "event_id", "value")
+    val got = Analytics.equiDepthBoundaries(events, 4)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 2.0), (4L, 4.0), (6L, 6.0), (8L, 8.0)))
+  }
+
+  test("auditOrderTotals reconciles exact recomputes and flags lineitem-less " +
+      "orders against zero") {
+    val orders = Seq((1L, "O", 110.0), (2L, "O", 50.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq((1L, 100.0, 0.0, 0.10))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = Relational.auditOrderTotals(orders, lineitem).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // order 1: 100*(1-0)*(1+0.1) = 110 exactly -> match; order 2: no
+    // lineitems -> recomputed 0, |diff| = 50 -> mismatch
+    assert(r.getString(0) == "O" && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 50.0 && r.getDouble(4) == 160.0 &&
+      r.getDouble(5) == 110.0)
+  }
+
+  test("auditForeignKeys counts orphans per edge (null keys are orphans)") {
+    val lineitem = Seq((1L, 10L, 100L), (2L, 10L, 100L), (9L, 10L, 100L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey") // orderkey 9 orphaned
+    val orders = Seq((1L, 5L), (2L, 5L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((5L, 1L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((100L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((10L, "p")).toDF("p_partkey", "p_name")
+    val nation = Seq((1L, 7L)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((7L, "r")).toDF("r_regionkey", "r_name")
+    val m = Relational.auditForeignKeys(lineitem, orders, customer,
+        supplier, part, nation, region)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("lineitem->orders") == ((3L, 1L)))
+    assert(m("lineitem->part") == ((3L, 0L)))
+    assert(m("orders->customer") == ((2L, 0L)))
+    assert(m("nation->region") == ((1L, 0L)))
   }
 
   test("skewKurtosis: symmetric 3-point sample gives skew 0 / kurt -1.5; " +
