@@ -669,6 +669,15 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.part(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // cohort LTV curves: cumulative value per first-seen-hour cohort
+    "q_cohort_ltv" -> ((s, dir) =>
+      operators.Analytics.cohortLtv(Tables.events(s, dir))),
+    // two-proportion A/B z-test on user-parity variants
+    "q_ab_test" -> ((s, dir) =>
+      operators.Analytics.abTest(Tables.events(s, dir), "purchase")),
+    // rank-based CDF feature normalization per type
+    "q_cdf_normalize" -> ((s, dir) =>
+      operators.Analytics.cdfNormalize(Tables.events(s, dir))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -2923,6 +2932,75 @@ object SparkEntry {
         |       r_score, f_score, m_score,
         |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |         || CAST(m_score AS VARCHAR) AS segment
+        |FROM r""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH fs AS (SELECT user_id,
+        |                   min(epoch_us(date_trunc('hour', ts))) AS cohort_us
+        |            FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_us, count(*) AS cohort_users FROM fs GROUP BY 1),
+        |per AS (SELECT fs.cohort_us,
+        |               (epoch_us(date_trunc('hour', e.ts)) - fs.cohort_us)
+        |                 // 3600000000 AS offset_h,
+        |               CAST(sum(CAST(e.value AS DECIMAL(18,2)))
+        |                    AS DECIMAL(18,2)) AS period_value
+        |        FROM events e JOIN fs ON e.user_id = fs.user_id
+        |        GROUP BY 1, 2),
+        |c AS (SELECT per.cohort_us, offset_h, cohort_users, period_value,
+        |             CAST(sum(period_value) OVER (PARTITION BY per.cohort_us
+        |                    ORDER BY offset_h
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                  AS DECIMAL(18,2)) AS cum_value
+        |      FROM per JOIN sz ON per.cohort_us = sz.cohort_us)
+        |SELECT cohort_us, offset_h, cohort_users,
+        |       CAST(period_value AS DOUBLE) AS period_value,
+        |       CAST(cum_value AS DOUBLE) AS cum_value,
+        |       CAST(cum_value AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+        |         AS ltv_per_user
+        |FROM c""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |                  max(CASE WHEN event_type = 'purchase'
+        |                           THEN 1 ELSE 0 END) AS conv,
+        |                  user_id % 2 = 0 AS is_a
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_a,
+        |             CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT)
+        |               AS conv_a,
+        |             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_b,
+        |             CAST(sum(CASE WHEN NOT is_a THEN conv ELSE 0 END)
+        |                  AS BIGINT) AS conv_b
+        |      FROM u),
+        |r AS (SELECT *,
+        |             CASE WHEN n_a > 0
+        |                  THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |                  END AS rate_a,
+        |             CASE WHEN n_b > 0
+        |                  THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |                  END AS rate_b,
+        |             CASE WHEN n_a + n_b > 0
+        |                  THEN CAST(conv_a + conv_b AS DOUBLE)
+        |                       / CAST(n_a + n_b AS DOUBLE) END AS p_pool
+        |      FROM a)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND p_pool > 0 AND p_pool < 1
+        |            THEN (rate_a - rate_b)
+        |                 / sqrt(p_pool * (1.0 - p_pool)
+        |                        * (1.0 / CAST(n_a AS DOUBLE)
+        |                           + 1.0 / CAST(n_b AS DOUBLE)))
+        |            END AS z
+        |FROM r""".stripMargin,
+    "q_cdf_normalize" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_id, event_type, value,
+        |       CASE WHEN n = 1 THEN 0.5
+        |            ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |            END AS cdf
         |FROM r""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,

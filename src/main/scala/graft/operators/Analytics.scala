@@ -769,6 +769,89 @@ object Analytics {
         col("value").as("boundary"))
   }
 
+  /** Cohort lifetime-value curves: users cohort by first-seen hour (the
+    * [[graft.operators.TimeSeries.retentionCohorts]] convention), then
+    * each (cohort, hour-offset) accumulates exact DECIMAL value into a
+    * running LTV-per-user. The cumulative window partitions by cohort
+    * over hour offsets — bounded by the calendar span, never by user
+    * volume; everything upstream is keyed hash aggregation. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(tsUs(date_trunc("hour", col("ts")))).as("cohort_us"))
+    val sizes = firstSeen.groupBy(col("cohort_us"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val period = events
+      .select(col("user_id"), tsUs(date_trunc("hour", col("ts"))).as("active_us"),
+        col("value"))
+      .join(firstSeen, "user_id")
+      .withColumn("offset_h", expr("(active_us - cohort_us) div 3600000000"))
+      .groupBy(col("cohort_us"), col("offset_h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("period_value"))
+    period
+      .join(sizes, "cohort_us")
+      .withColumn("cum_value",
+        sum(col("period_value")).over(Window.partitionBy(col("cohort_us"))
+          .orderBy(col("offset_h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)"))
+      .select(col("cohort_us"), col("offset_h"), col("cohort_users"),
+        col("period_value").cast("double").as("period_value"),
+        col("cum_value").cast("double").as("cum_value"),
+        (col("cum_value").cast("double") / col("cohort_users").cast("double"))
+          .as("ltv_per_user"))
+  }
+
+  /** Two-proportion A/B test on user conversion: variant = user_id
+    * parity (the deterministic hash-split convention), conversion = the
+    * user ever fired `convType`. Emits ONE row with both arms' exact
+    * counts, their rates, and the pooled two-proportion z statistic —
+    * rates and z derive from exact integers in one fixed-order double
+    * expression (sqrt is IEEE-exact), so engines agree bit-for-bit.
+    * Degenerate pools (p = 0 or 1, or an empty arm) null the z, never
+    * NaN. Two keyed aggregations, single-row result. */
+  def abTest(events: DataFrame, convType: String): DataFrame = {
+    val byUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("is_a", pmod(col("user_id"), lit(2L)) === 0)
+    val d = (c: Column) => c.cast("double")
+    byUser.agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("is_a"), col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a",
+        when(col("n_a") > 0, d(col("conv_a")) / d(col("n_a"))))
+      .withColumn("rate_b",
+        when(col("n_b") > 0, d(col("conv_b")) / d(col("n_b"))))
+      .withColumn("p_pool",
+        when(col("n_a") + col("n_b") > 0,
+          d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("p_pool") > 0d && col("p_pool") < 1d,
+          (col("rate_a") - col("rate_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))))
+      .drop("p_pool")
+  }
+
+  /** CDF / percent-rank normalization of `value` per event type — the
+    * rank-based feature-scaling transform an ML pipeline applies before
+    * training (robust to outliers, uniform marginals). cdf =
+    * (rn−1)/(n−1) over the strict (value, event_id) total order, 0.5
+    * for a single-row type (guarded). Rides [[distributedRank]]: no
+    * single-task global sort at any scale. */
+  def cdfNormalize(events: DataFrame): DataFrame =
+    distributedRank(
+        events.select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("n") === 1, 0.5)
+          .otherwise((col("rn") - 1).cast("double") /
+            (col("n") - 1).cast("double")).as("cdf"))
+
   /** Benford first-digit audit of a positive amount column: observed vs
     * expected leading-digit shares — the classic fabricated-data / drift
     * screen for financial columns. The leading digit is extracted from

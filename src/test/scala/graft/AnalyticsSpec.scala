@@ -1120,6 +1120,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(m("nation->region") == ((1L, 0L)))
   }
 
+  test("cohortLtv accumulates per-cohort value into LTV per user") {
+    // users 1,2 cohort at hour 0 (user 1 spends 2 then 4; user 2 spends 6
+    // at hour 1); user 3 cohorts at hour 1 alone
+    val events = ev(
+      (1L, "a", 100L), (2L, "a", 200L),      // hour 0, values 1.0 each
+      (1L, "a", 3700L), (2L, "a", 3800L),    // hour 1
+      (3L, "a", 3900L))                      // user 3 first seen hour 1
+    val got = Analytics.cohortLtv(events)
+      .orderBy("cohort_us", "offset_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getDouble(5)))
+    // cohort 0: 2 users, hour0 value 2.0 -> cum 2.0, ltv 1.0;
+    //           hour1 value 2.0 -> cum 4.0, ltv 2.0
+    // cohort 3600s: 1 user, value 1.0 -> ltv 1.0
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2.0, 1.0),
+      (0L, 1L, 2L, 4.0, 2.0),
+      (3600000000L, 0L, 1L, 1.0, 1.0)))
+  }
+
+  test("abTest: exact arm counts and the pooled two-proportion z") {
+    // users 2,4 (A): both convert; users 1,3 (B): one converts
+    val events = ev(
+      (2L, "purchase", 1L), (4L, "purchase", 2L),
+      (1L, "purchase", 3L), (3L, "view", 4L))
+    val r = Analytics.abTest(events, "purchase").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.5)
+    val p = 3.0 / 4.0
+    val want = (1.0 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 2 + 1.0 / 2))
+    assert(r.getDouble(6) == want)
+  }
+
+  test("abTest nulls z when every user converts (p_pool = 1)") {
+    val events = ev((1L, "purchase", 1L), (2L, "purchase", 2L))
+    val r = Analytics.abTest(events, "purchase").collect()(0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 && r.isNullAt(6))
+  }
+
+  test("cdfNormalize maps per-type values onto [0,1]; singleton type -> 0.5") {
+    val events = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+        ("b", 4L, 7.0))
+      .toDF("event_type", "event_id", "value")
+    val got = Analytics.cdfNormalize(events).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, 0.5)))
+  }
+
   test("skewKurtosis: symmetric 3-point sample gives skew 0 / kurt -1.5; " +
       "zero variance nulls both") {
     val events = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
