@@ -678,6 +678,9 @@ object SparkEntry {
     // rank-based CDF feature normalization per type
     "q_cdf_normalize" -> ((s, dir) =>
       operators.Analytics.cdfNormalize(Tables.events(s, dir))),
+    // p01/p99 winsorization per type (order-statistic clipping)
+    "q_winsorize" -> ((s, dir) =>
+      operators.Analytics.winsorize(Tables.events(s, dir))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -3002,6 +3005,21 @@ object SparkEntry {
         |            ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
         |            END AS cdf
         |FROM r""".stripMargin,
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events),
+        |b AS (SELECT event_type,
+        |             max(CASE WHEN rn = (n * 1 + 99) // 100
+        |                      THEN value END) AS lo,
+        |             max(CASE WHEN rn = (n * 99 + 99) // 100
+        |                      THEN value END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT event_id, r.event_type, value,
+        |       least(greatest(value, lo), hi) AS clipped
+        |FROM r JOIN b ON r.event_type = b.event_type""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |                  value

@@ -852,6 +852,28 @@ object Analytics {
           .otherwise((col("rn") - 1).cast("double") /
             (col("n") - 1).cast("double")).as("cdf"))
 
+  /** Winsorize `value` per event type at the integer-position p01/p99
+    * order statistics (rank ⌈n·p/100⌉ over the strict (value, event_id)
+    * total order — the engine-exact quantile convention shared with
+    * [[funnelLatency]]): values clip into [p01, p99], the standard
+    * outlier-taming transform before training. One [[distributedRank]]
+    * pass; the two boundary rows per type reduce map-side and broadcast
+    * back — the ranked fact re-evaluates once per branch from the
+    * helper's pinned exchange (deterministic either way). */
+  def winsorize(events: DataFrame): DataFrame = {
+    val ranked = distributedRank(
+      events.select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n * 1 + 99) div 100"), col("value")))
+          .as("lo"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value")))
+          .as("hi"))
+    ranked.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+  }
+
   /** Benford first-digit audit of a positive amount column: observed vs
     * expected leading-digit shares — the classic fabricated-data / drift
     * screen for financial columns. The leading digit is extracted from

@@ -1169,6 +1169,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, 0.5)))
   }
 
+  test("winsorize clips at the ceil-position p01/p99 order statistics") {
+    // n=100 values 1..100: lo = value at rank ceil(1) = 1, hi = rank 99
+    val events = (1L to 100L).map(i => ("a", i, i.toDouble))
+      .toDF("event_type", "event_id", "value")
+    val got = Analytics.winsorize(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got(1L) == 1.0 && got(50L) == 50.0)
+    assert(got(100L) == 99.0, "top value clips to the p99 statistic")
+    assert(got(99L) == 99.0)
+  }
+
   test("skewKurtosis: symmetric 3-point sample gives skew 0 / kurt -1.5; " +
       "zero variance nulls both") {
     val events = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
