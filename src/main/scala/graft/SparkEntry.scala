@@ -704,6 +704,14 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), n = 4)
     }),
+    // bloom prefilter + exact verify: same answer (and oracle) as
+    // q_contamination, but the semi-join only carries bloom candidates
+    "q_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.bloomContaminatedDocs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 4)
+    }),
     "q_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndexPostings(Tables.documents(s, dir), minDf = 100,
         maxPostings = 100)),
@@ -3198,6 +3206,20 @@ object SparkEntry {
          |FROM pairs JOIN documents x ON x.doc_id = doc_id_1
          |           JOIN documents y ON y.doc_id = doc_id_2
          |WHERE levenshtein(x.text, y.text) <= 100""".stripMargin,
+    // the bloom prefilter is exact-verified, so its oracle IS the
+    // contamination oracle (identical SQL text below)
+    "q_bloom_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |              FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |              unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
+         |                     FOR i IN range(1, greatest(len(ws) - 2, 1))])) AS g
+         |       FROM toks),
+         |ev AS (SELECT DISTINCT ${sqlTokHash("g")} AS h FROM sh
+         |       WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, ${sqlTokHash("g")} AS h FROM sh
+         |       WHERE source <> 'src0')
+         |SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (h)""".stripMargin,
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
          |              FROM documents),

@@ -412,4 +412,38 @@ object Dedup {
     shingleEx(train, n)
       .join(shingleEx(eval, n).select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
+
+  /** Bloom-accelerated decontamination — IDENTICAL answer to
+    * [[contaminatedDocs]] (same oracle), but the train-side shingle
+    * stream first passes a bloom filter built over the eval shingles,
+    * so at 100 TB the expensive shingle semi-join shuffle only carries
+    * the (tiny) candidate fraction instead of every train shingle;
+    * the exact semi-join afterwards kills the bloom's false positives,
+    * which is why the result stays engine-exact. The bloom itself is a
+    * FIXED-SIZE driver artifact (numBits/8 bytes regardless of corpus
+    * size — a bounded collect, like the IVF centroid literals) embedded
+    * as a binary literal into Catalyst's codegen'd
+    * `BloomFilterMightContain` predicate: no UDF, no broadcast join,
+    * evaluated inside the scan's WholeStageCodegen span. Bloom
+    * membership has NO false negatives, so no contaminated doc can be
+    * lost at the prefilter. */
+  def bloomContaminatedDocs(train: DataFrame, eval: DataFrame, n: Int = 8,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val evalH = shingleEx(eval, n).select(col("h")).distinct()
+    // stat.bloomFilter NPEs deserializing the aggregate's null result on
+    // an empty frame — an empty eval set trivially contaminates nothing
+    if (evalH.isEmpty) return train.select(col("doc_id")).filter(lit(false))
+    val bf = evalH.stat.bloomFilter("h", expectedShingles, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(out.toByteArray),
+      GraftColumnBridge.expression(col("h"))))
+    shingleEx(train, n)
+      .filter(mightContain)
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
 }

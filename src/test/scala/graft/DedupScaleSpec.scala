@@ -81,6 +81,28 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
       s"expected only the near-identical pair, got ${got.toSeq}")
   }
 
+  test("bloomContaminatedDocs: identical answer to the exact semi-join, " +
+      "prefilter visible in the plan, empty eval finds nothing") {
+    import spark.implicits._
+    val train = (1 to 30).map(i => (i.toLong,
+      if (i % 5 == 0) "the quick brown fox jumps high"
+      else s"t${i}a t${i}b t${i}c t${i}d")).toDF("doc_id", "text")
+    val eval = Seq((900L, "quick brown fox jumps over it")).toDF("doc_id", "text")
+    val bloom = Dedup.bloomContaminatedDocs(train, eval, n = 4,
+      expectedShingles = 1000L)
+    val exact = Dedup.contaminatedDocs(train, eval, n = 4)
+    assert(bloom.collect().map(_.getLong(0)).sorted.toSeq ==
+      exact.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(bloom.collect().map(_.getLong(0)).sorted.toSeq ==
+      (5 to 30 by 5).map(_.toLong))
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "the bloom predicate must sit in the physical plan")
+    val none = Dedup.bloomContaminatedDocs(train,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), n = 4,
+      expectedShingles = 1000L)
+    assert(none.count() == 0)
+  }
+
   test("distributed CC converges on a 40-deep chain (multi-round pointer jumping)") {
     import spark.implicits._
     // path graph 1-2-3-...-40: diameter 39 forces several label-propagation
