@@ -681,6 +681,16 @@ object SparkEntry {
     // p01/p99 winsorization per type (order-statistic clipping)
     "q_winsorize" -> ((s, dir) =>
       operators.Analytics.winsorize(Tables.events(s, dir))),
+    // linear multi-touch attribution at (channel, n_touches) grain
+    "q_attribution_linear" -> ((s, dir) =>
+      operators.Analytics.attributionLinear(Tables.events(s, dir),
+        "purchase", 24L * 3600000000L)),
+    // join-key skew diagnostics across the hot fact keys
+    "q_skew_report" -> ((s, dir) =>
+      operators.Analytics.skewReport(Tables.lineitem(s, dir), "lineitem",
+          Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .unionByName(operators.Analytics.skewReport(Tables.events(s, dir),
+          "events", Seq("user_id", "event_type")))),
 
     // --- LLM-pipeline additions: PII scrub, decontamination, corpus stats ---
     "q_pii_scrub" -> ((s, dir) => {
@@ -3028,6 +3038,79 @@ object SparkEntry {
         |SELECT event_id, r.event_type, value,
         |       least(greatest(value, lo), hi) AS clipped
         |FROM r JOIN b ON r.event_type = b.event_type""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |                  value
+        |           FROM events),
+        |c AS (SELECT user_id, t AS t_conv, event_id AS conv_id,
+        |             CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM e WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS tu, t AS t_touch, event_id AS touch_id,
+        |               event_type AS channel
+        |        FROM e WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.user_id, c.conv_id, c.v, tch.channel, tch.touch_id
+        |      FROM c LEFT JOIN tch ON c.user_id = tch.tu
+        |        AND (tch.t_touch < c.t_conv
+        |             OR (tch.t_touch = c.t_conv AND tch.touch_id < c.conv_id))
+        |        AND c.t_conv - tch.t_touch <= 86400000000),
+        |w AS (SELECT coalesce(channel, 'direct') AS channel,
+        |             count(touch_id) OVER (PARTITION BY user_id, conv_id)
+        |               AS n_touches,
+        |             v
+        |      FROM p)
+        |SELECT channel, n_touches, count(*) AS n_pairs,
+        |       CASE WHEN n_touches = 0
+        |            THEN CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+        |            ELSE CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+        |                 / CAST(n_touches AS DOUBLE)
+        |            END AS credited_value
+        |FROM w GROUP BY channel, n_touches""".stripMargin,
+    "q_skew_report" ->
+      """WITH lo AS (SELECT l_orderkey AS k, count(*) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |lp AS (SELECT l_partkey AS k, count(*) AS cnt
+        |       FROM lineitem GROUP BY 1),
+        |ls AS (SELECT l_suppkey AS k, count(*) AS cnt
+        |       FROM lineitem GROUP BY 1),
+        |eu AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |et AS (SELECT event_type AS k, count(*) AS cnt
+        |       FROM events GROUP BY 1)
+        |SELECT 'lineitem.l_orderkey' AS key_name,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       max(cnt) AS max_cnt,
+        |       (SELECT CAST(k AS VARCHAR) FROM lo
+        |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1) AS top_key,
+        |       CAST(max(cnt) * count(*) AS DOUBLE)
+        |         / CAST(sum(cnt) AS DOUBLE) AS skew_factor
+        |FROM lo
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey', CAST(sum(cnt) AS BIGINT), count(*),
+        |       max(cnt),
+        |       (SELECT CAST(k AS VARCHAR) FROM lp
+        |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1),
+        |       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |FROM lp
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey', CAST(sum(cnt) AS BIGINT), count(*),
+        |       max(cnt),
+        |       (SELECT CAST(k AS VARCHAR) FROM ls
+        |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1),
+        |       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |FROM ls
+        |UNION ALL
+        |SELECT 'events.user_id', CAST(sum(cnt) AS BIGINT), count(*),
+        |       max(cnt),
+        |       (SELECT CAST(k AS VARCHAR) FROM eu
+        |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1),
+        |       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |FROM eu
+        |UNION ALL
+        |SELECT 'events.event_type', CAST(sum(cnt) AS BIGINT), count(*),
+        |       max(cnt),
+        |       (SELECT CAST(k AS VARCHAR) FROM et
+        |        ORDER BY cnt DESC, CAST(k AS VARCHAR) DESC LIMIT 1),
+        |       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |FROM et""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |                  value

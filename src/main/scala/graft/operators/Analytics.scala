@@ -837,6 +837,69 @@ object Analytics {
       .drop("p_pool")
   }
 
+  /** Linear multi-touch attribution: each `convType` event's value
+    * splits EQUALLY across all its qualifying touches (non-conversion
+    * events strictly before it in the (t, event_id) order and within
+    * `horizonUs`); touchless conversions credit "direct" whole. Output
+    * granularity is (channel, n_touches): credited value there is the
+    * EXACT decimal sum of the member conversions' values divided by n
+    * ONCE — Σ value/n = (Σ value)/n within a fixed n, so no
+    * order-dependent double accumulation exists anywhere. The
+    * conversion×touch pairing is a per-user range join bounded by the
+    * horizon (the interval-join cost class, never corpus²); the
+    * n-per-conversion count is a window over one conversion's touches. */
+  def attributionLinear(events: DataFrame, convType: String,
+      horizonUs: Long): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+      tsUs(col("ts")).as("t"), col("value"))
+    val conv = e.filter(col("event_type") === convType)
+      .select(col("user_id"), col("t").as("t_conv"),
+        col("event_id").as("conv_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val touch = e.filter(col("event_type") =!= convType)
+      .select(col("user_id").as("tu"), col("t").as("t_touch"),
+        col("event_id").as("touch_id"), col("event_type").as("channel"))
+    val before = col("t_touch") < col("t_conv") ||
+      (col("t_touch") === col("t_conv") && col("touch_id") < col("conv_id"))
+    val pairs = conv.join(touch,
+      col("user_id") === col("tu") && before &&
+        col("t_conv") - col("t_touch") <= horizonUs, "left")
+    val perConv = Window.partitionBy(col("user_id"), col("conv_id"))
+    pairs
+      .withColumn("n_touches", count(col("touch_id")).over(perConv))
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        col("n_touches"), col("v"))
+      .groupBy(col("channel"), col("n_touches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).cast("decimal(38,2)").as("value_sum"))
+      .select(col("channel"), col("n_touches"), col("n_pairs"),
+        when(col("n_touches") === 0, col("value_sum").cast("double"))
+          .otherwise(col("value_sum").cast("double") /
+            col("n_touches").cast("double"))
+          .as("credited_value"))
+  }
+
+  /** Join-key skew report — the diagnostics a 100-TB deployment runs
+    * BEFORE choosing salting/broadcast strategies: per audited key, the
+    * row count, distinct-key count, hottest key (deterministic
+    * (cnt, key-string) struct-argmax: ties break on the string), and
+    * the skew factor max_cnt·n_keys/n_rows (1 = uniform). Each key is
+    * one map-side-partial count aggregate collapsing to a single row. */
+  def skewReport(df: DataFrame, table: String,
+      keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          max(struct(col("cnt"), col(k).cast("string").as("k")))
+            .as("top"))
+        .select(lit(s"$table.$k").as("key_name"), col("n_rows"),
+          col("n_keys"), col("max_cnt"),
+          col("top").getField("k").as("top_key"),
+          ((col("max_cnt") * col("n_keys")).cast("double") /
+            col("n_rows").cast("double")).as("skew_factor"))
+    }.reduce(_ unionByName _)
+
   /** CDF / percent-rank normalization of `value` per event type — the
     * rank-based feature-scaling transform an ML pipeline applies before
     * training (robust to outliers, uniform marginals). cdf =

@@ -1169,6 +1169,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, 0.5)))
   }
 
+  test("attributionLinear splits each conversion equally across its " +
+      "horizon touches; exact per-(channel,n) sums") {
+    val events = Seq(
+      (1L, 1L, "view", 100L, 1.0), (1L, 2L, "click", 200L, 1.0),
+      (1L, 3L, "purchase", 300L, 10.0),   // 2 touches: 5 each
+      (2L, 4L, "purchase", 100L, 20.0),   // direct (n=0)
+      (3L, 5L, "view", 100L, 1.0),
+      (3L, 6L, "purchase", 200L, 8.0))    // 1 touch: view gets 8
+      .toDF("user_id", "event_id", "event_type", "sec", "value")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"), col("value"))
+    val got = Analytics.attributionLinear(events, "purchase",
+        24L * 3600000000L)
+      .orderBy("channel", "n_touches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, 1L, 5.0),   // user 1's purchase: 10/2 via click
+      ("direct", 0L, 1L, 20.0),
+      ("view", 1L, 1L, 8.0),    // user 3
+      ("view", 2L, 1L, 5.0)))   // user 1's other half
+  }
+
+  test("skewReport: hot key, counts, and the uniformity factor") {
+    // key column k: value 7 appears 3x, 1 and 2 once each -> n=5, keys=3,
+    // max=3, skew = 3*3/5
+    val df = Seq(7L, 7L, 7L, 1L, 2L).toDF("k")
+    val r = Analytics.skewReport(df, "t", Seq("k")).collect()(0)
+    assert(r.getString(0) == "t.k" && r.getLong(1) == 5L &&
+      r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
+  }
+
   test("winsorize clips at the ceil-position p01/p99 order statistics") {
     // n=100 values 1..100: lo = value at rank ceil(1) = 1, hi = rank 99
     val events = (1L to 100L).map(i => ("a", i, i.toDouble))
