@@ -685,6 +685,12 @@ object SparkEntry {
     "q_attribution_linear" -> ((s, dir) =>
       operators.Analytics.attributionLinear(Tables.events(s, dir),
         "purchase", 24L * 3600000000L)),
+    // leave-one-out target encoding (leakage-safe categorical feature)
+    "q_target_encode" -> ((s, dir) =>
+      operators.Analytics.targetEncodeLoo(Tables.events(s, dir))),
+    // k-anonymity / l-diversity release audit on (type, hour) QI
+    "q_k_anonymity" -> ((s, dir) =>
+      operators.Analytics.kAnonymity(Tables.events(s, dir), 10L)),
     // join-key skew diagnostics across the hot fact keys
     "q_skew_report" -> ((s, dir) =>
       operators.Analytics.skewReport(Tables.lineitem(s, dir), "lineitem",
@@ -3038,6 +3044,33 @@ object SparkEntry {
         |SELECT event_id, r.event_type, value,
         |       least(greatest(value, lo), hi) AS clipped
         |FROM r JOIN b ON r.event_type = b.event_type""".stripMargin,
+    "q_target_encode" ->
+      """WITH s AS (SELECT event_type,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |                       AS DECIMAL(38,2)) AS s,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |       CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |       CASE WHEN n = 1 THEN NULL
+        |            ELSE CAST(s - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+        |                 / CAST(n - 1 AS DOUBLE)
+        |            END AS loo_mean
+        |FROM events e JOIN s ON e.event_type = s.event_type""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT event_type, hour(ts) AS hod, count(*) AS cnt,
+        |                  count(DISTINCT user_id) AS l_div
+        |           FROM events GROUP BY 1, 2)
+        |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_small_groups,
+        |       CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(cnt) AS DOUBLE) AS pct_rows_at_risk,
+        |       min(l_div) AS min_l_diversity
+        |FROM g""".stripMargin,
     "q_attribution_linear" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |                  value

@@ -937,6 +937,53 @@ object Analytics {
         least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
   }
 
+  /** Leave-one-out target encoding of event_type → value: each row gets
+    * the mean of its group's OTHER rows, (Σ−v)/(n−1) — the leakage-safe
+    * categorical feature an ML pipeline derives before training (plain
+    * group means leak the row's own label). Σ and v live on the exact
+    * cent grid, so Σ−v is exact decimal and the one double division is
+    * engine-identical; singleton groups yield NULL (guarded). The
+    * per-type (Σ, n) frame is |types| rows — a broadcast join back. */
+  def targetEncodeLoo(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .as("s"), count(lit(1)).as("n"))
+    events
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        when(col("n") === 1, lit(null).cast("double"))
+          .otherwise((col("s") - col("v")).cast("double") /
+            (col("n") - 1).cast("double"))
+          .as("loo_mean"))
+  }
+
+  /** k-anonymity / l-diversity audit over the (event_type, hour-of-day)
+    * quasi-identifier: how many QI groups are smaller than k (re-identi-
+    * fication risk), what fraction of rows sit in them, and the minimum
+    * per-group distinct-user count (l-diversity). One QI-keyed hash
+    * aggregate collapsing to a single summary row — the privacy gate a
+    * training-data release pipeline runs before export. */
+  def kAnonymity(events: DataFrame, k: Long): DataFrame =
+    events
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("user_id"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("l_div"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("cnt")).as("n_rows"),
+        min(col("l_div")).as("min_l_diversity"))
+      .select(lit(k).as("k"), col("n_groups"), col("n_small_groups"),
+        col("rows_at_risk"), col("n_rows"),
+        (col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+          .as("pct_rows_at_risk"),
+        col("min_l_diversity"))
+
   /** Benford first-digit audit of a positive amount column: observed vs
     * expected leading-digit shares — the classic fabricated-data / drift
     * screen for financial columns. The leading digit is extracted from

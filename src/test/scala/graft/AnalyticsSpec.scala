@@ -1201,6 +1201,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
   }
 
+  test("targetEncodeLoo excludes each row's own label; singleton -> NULL") {
+    val events = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 6.0),
+        ("b", 4L, 9.0))
+      .toDF("event_type", "event_id", "value")
+    val got = Analytics.targetEncodeLoo(events).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(got(0) == ((1L, 4.0)))  // (2+6)/2
+    assert(got(1) == ((2L, 3.5)))  // (1+6)/2
+    assert(got(2) == ((3L, 1.5)))  // (1+2)/2
+    assert(got(3)._2.isNaN)        // singleton group
+  }
+
+  test("kAnonymity flags sub-k QI groups and the worst l-diversity") {
+    // QI (type, hour): group (a, h0) has 3 rows/2 users; (b, h0) 1 row
+    val events = ev(
+      (1L, "a", 100L), (1L, "a", 200L), (2L, "a", 300L),
+      (3L, "b", 400L))
+    val r = Analytics.kAnonymity(events, 2L).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)     // k, n_groups
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L)     // small, at risk
+    assert(r.getLong(4) == 4L && r.getDouble(5) == 0.25)
+    assert(r.getLong(6) == 1L)                           // min l-div
+  }
+
   test("winsorize clips at the ceil-position p01/p99 order statistics") {
     // n=100 values 1..100: lo = value at rank ceil(1) = 1, hi = rank 99
     val events = (1L to 100L).map(i => ("a", i, i.toDouble))
