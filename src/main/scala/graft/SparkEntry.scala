@@ -750,6 +750,9 @@ object SparkEntry {
 
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroidRows(Tables.embeddings(s, dir))),
+    // L2-norm audit: out-of-unit census per label (pre-ANN sanity gate)
+    "q_embed_norms" -> ((s, dir) =>
+      Similarity.embeddingNormAudit(Tables.embeddings(s, dir))),
     "q_pq_topk" -> ((s, dir) =>
       Similarity.pqAnnTopK(Tables.embeddings(s, dir), QueryVecId,
         m = 4, kCent = 8, rerank = 50, k = TopKSim)),
@@ -3441,6 +3444,23 @@ object SparkEntry {
          |         AS priority
          |FROM documents WHERE n_chars > 0
          |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_embed_norms" ->
+      """WITH nn AS (SELECT label,
+        |                  CAST(sqrt(list_reduce(
+        |                       list_prepend(CAST(0.0 AS DOUBLE),
+        |                         [CAST(embedding[i] AS DOUBLE)
+        |                          * CAST(embedding[i] AS DOUBLE)
+        |                          for i in generate_series(1, len(embedding))]),
+        |                       (acc, x) -> acc + x)) AS DECIMAL(18,9)) AS nq
+        |            FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs(nq - 1) > 0.001 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_nonunit,
+        |       CAST(min(nq) AS DOUBLE) AS min_norm,
+        |       CAST(max(nq) AS DOUBLE) AS max_norm,
+        |       CAST(CAST(sum(nq) AS DECIMAL(38,9)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS mean_norm
+        |FROM nn GROUP BY 1""".stripMargin,
     "q_label_centroids" ->
       // salted two-level sorted double fold per (label, dim), mirroring
       // Similarity.labelCentroidRows' association tree exactly; flattened

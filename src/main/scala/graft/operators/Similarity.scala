@@ -374,6 +374,31 @@ object Similarity {
         (col("ssum") / col("n")).as("value"))
   }
 
+  /** Embedding L2-norm audit — the sanity gate an ANN pipeline runs
+    * before indexing (cosine retrieval silently degrades when vectors
+    * aren't unit-norm). Each row's ‖x‖² is the deterministic
+    * left-to-right fold (same evaluation order as [[dot]], mirrored by
+    * DuckDB's `list_reduce`), entirely row-local — no cross-row float
+    * summation exists; the summary aggregates the DECIMAL(18,9)-cast
+    * norm (the one mirrored quantization) per label: n, out-of-unit
+    * count at ±`tol`, min/max/mean norm. One scan, |labels| rows. */
+  def embeddingNormAudit(embeddings: DataFrame,
+      tol: Double = 1e-3): DataFrame = {
+    val norm2 = aggregate(asDouble(col("embedding")), lit(0d),
+      (acc, x) => acc + x * x)
+    embeddings
+      .select(col("label"), sqrt(norm2).as("norm"))
+      .select(col("label"), col("norm").cast("decimal(18,9)").as("nq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("nq") - 1) > tol, 1L).otherwise(0L))
+          .as("n_nonunit"),
+        min(col("nq")).cast("double").as("min_norm"),
+        max(col("nq")).cast("double").as("max_norm"),
+        (sum(col("nq")).cast("decimal(38,9)").cast("double") /
+          count(lit(1)).cast("double")).as("mean_norm"))
+  }
+
   /** [[labelCentroidRows]] reassembled to one centroid array per label —
     * the library-surface form. */
   def labelCentroids(embeddings: DataFrame, dims: Int = 64): DataFrame =

@@ -97,4 +97,19 @@ class SimilarityRefinedSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("embeddingNormAudit: unit vectors pass, a scaled one is flagged, " +
+      "norms are exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),    // unit
+      (2L, Array(0.0f, 2.0f, 0.0f), 0),    // norm 2 -> flagged
+      (3L, Array(0.6f, 0.8f, 0.0f), 1))    // 3-4-5 unit
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingNormAudit(vecs).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got(0) == ((0, 2L, 1L, 1.0, 2.0)))
+    assert(got(1)._3 == 0L && math.abs(got(1)._4 - 1.0) < 1e-7)
+  }
 }
