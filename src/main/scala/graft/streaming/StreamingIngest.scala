@@ -271,6 +271,62 @@ object StreamingIngest {
       }
   }
 
+  final case class StateEvent(user_id: Long, event_id: Long,
+      state_type: String, ts_us: Long)
+  final case class StateEventT(user_id: Long, event_id: Long,
+      state_type: String, ts_us: Long, event_time: java.sql.Timestamp)
+  final case class Scd2State(state_type: String, since_us: Long)
+  final case class ClosedInterval(user_id: Long, state: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD Type-2 — the stateful form of
+    * [[graft.operators.Analytics.scd2]]: state per user is the OPEN
+    * (type, since) interval; an arriving event of a DIFFERENT type
+    * closes it (emit (user, state, from, to)) and opens the new one,
+    * while same-type events extend silently. The open tail stays in
+    * state — exactly the batch operator's `is_current` row — so closed
+    * intervals match the batch build on closed data, spec-gated.
+    * Micro-batch rows fold in the batch operator's (ts, event_id)
+    * order; idle users are evicted by event-time timeout (their open
+    * interval is deliberately dropped, not emitted — it never closed). */
+  def scd2Stream(events: Dataset[StateEvent],
+      idleTimeoutUs: Long = 24L * 3600L * 1000000L,
+      watermark: String = "10 minutes"): Dataset[ClosedInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[StateEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, ClosedInterval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[StateEventT], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            val out = Vector.newBuilder[ClosedInterval]
+            rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+              cur match {
+                case Some(s) if s.state_type != r.state_type =>
+                  out += ClosedInterval(user, s.state_type, s.since_us, r.ts_us)
+                  cur = Some(Scd2State(r.state_type, r.ts_us))
+                case Some(_) => // same type: run extends, nothing to emit
+                case None => cur = Some(Scd2State(r.state_type, r.ts_us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.since_us / 1000L + idleTimeoutUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming counter rate — the stateful form of
     * [[graft.operators.TimeSeries.counterRate]]'s per-sample increase:
     * state per series is the last (ts, value) seen; each sample emits

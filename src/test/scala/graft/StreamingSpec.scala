@@ -353,6 +353,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming SCD2 closed intervals reproduce the batch build on closed data") {
+    import graft.streaming.StreamingIngest.StateEvent
+    val src = Files.createTempDirectory("graft_scd2_src_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state_type"), unix_micros(col("ts")).as("ts_us"))
+    ev.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.scd2Stream(
+      spark.readStream.schema(schema).parquet(src).as[StateEvent])
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2_out")
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"))
+    // batch source of truth: its CLOSED intervals (is_current = false)
+    val want = graft.operators.Analytics.scd2(
+        graft.sources.Tables.events(spark, sf0001))
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("idle session expires on event time: emitted closed, state entry dropped") {
     import graft.streaming.StreamingIngest.SessionEvent
     val src = Files.createTempDirectory("graft_sess_to_").toString
