@@ -685,6 +685,10 @@ object SparkEntry {
     "q_attribution_linear" -> ((s, dir) =>
       operators.Analytics.attributionLinear(Tables.events(s, dir),
         "purchase", 24L * 3600000000L)),
+    // hourly conversion rate + Wilson 95% lower bound
+    "q_wilson" -> ((s, dir) =>
+      operators.Analytics.wilsonConversion(Tables.events(s, dir),
+        "purchase")),
     // leave-one-out target encoding (leakage-safe categorical feature)
     "q_target_encode" -> ((s, dir) =>
       operators.Analytics.targetEncodeLoo(Tables.events(s, dir))),
@@ -3047,6 +3051,28 @@ object SparkEntry {
         |SELECT event_id, r.event_type, value,
         |       least(greatest(value, lo), hi) AS clipped
         |FROM r JOIN b ON r.event_type = b.event_type""".stripMargin,
+    "q_wilson" ->
+      // z² enters via a STRING parse: DuckDB types the bare 17-digit
+      // literal DECIMAL(17,16), whose int64→double conversion rounds an
+      // ulp off (38415999999999997 > 2⁵³); the string→double parse is
+      // correctly rounded and matches Scala's 1.96*1.96 exactly
+      """WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  count(DISTINCT user_id) AS n_users,
+        |                  count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                                      THEN user_id END) AS n_conv
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT *, CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |               AS p
+        |      FROM h)
+        |SELECT bucket_us, n_users, n_conv, p AS rate,
+        |       (p + CAST('3.8415999999999997' AS DOUBLE) / (2.0 * CAST(n_users AS DOUBLE))
+        |        - 1.96 * sqrt(p * (1.0 - p) / CAST(n_users AS DOUBLE)
+        |                      + CAST('3.8415999999999997' AS DOUBLE) /
+        |                        (4.0 * CAST(n_users AS DOUBLE)
+        |                         * CAST(n_users AS DOUBLE))))
+        |       / (1.0 + CAST('3.8415999999999997' AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |         AS wilson_lo
+        |FROM p""".stripMargin,
     "q_target_encode" ->
       """WITH s AS (SELECT event_type,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2)))

@@ -937,6 +937,33 @@ object Analytics {
         least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
   }
 
+  /** Hourly conversion rate with the Wilson 95% lower bound — the
+    * ranking statistic that doesn't overrate tiny samples (a 1/1 hour
+    * must not beat 95/100). Trials = distinct active users per hour,
+    * successes = distinct converting users; the bound
+    * (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n) uses the z=1.96
+    * literal and only exactly-converted integers, fixed-order double
+    * arithmetic, and IEEE sqrt — engine-identical, no libm
+    * transcendentals. Two distinct-aggregates per hour bucket. */
+  def wilsonConversion(events: DataFrame, convType: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val z = 1.96
+    events
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === convType, col("user_id")))
+          .as("n_conv"))
+      .withColumn("p", d(col("n_conv")) / d(col("n_users")))
+      .withColumn("wilson_lo",
+        (col("p") + lit(z * z) / (lit(2.0) * d(col("n_users")))
+          - lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / d(col("n_users"))
+            + lit(z * z) /
+              (lit(4.0) * d(col("n_users")) * d(col("n_users")))))
+          / (lit(1.0) + lit(z * z) / d(col("n_users"))))
+      .select(col("bucket_us"), col("n_users"), col("n_conv"),
+        col("p").as("rate"), col("wilson_lo"))
+  }
+
   /** Leave-one-out target encoding of event_type → value: each row gets
     * the mean of its group's OTHER rows, (Σ−v)/(n−1) — the leakage-safe
     * categorical feature an ML pipeline derives before training (plain

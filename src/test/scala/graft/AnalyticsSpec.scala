@@ -1201,6 +1201,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
   }
 
+  test("wilsonConversion: small samples rank below larger equal-rate hours") {
+    // hour 0: 1/1 converts (rate 1.0); hour 1: 9/10 convert (rate 0.9) —
+    // the Wilson lower bound must rank hour 1 ABOVE the 1/1 hour
+    val events = ev(
+      (1L, "purchase", 100L)) // hour 0: user 1 converts
+      .unionByName(ev((2L to 11L).map(u =>
+        (u, if (u <= 10) "purchase" else "view", 3700L)): _*))
+    val got = Analytics.wilsonConversion(events, "purchase")
+      .orderBy("bucket_us").collect()
+    val h0 = got(0); val h1 = got(1)
+    assert(h0.getLong(1) == 1L && h0.getLong(2) == 1L &&
+      h0.getDouble(3) == 1.0)
+    assert(h1.getLong(1) == 10L && h1.getLong(2) == 9L &&
+      h1.getDouble(3) == 0.9)
+    assert(h1.getDouble(4) > h0.getDouble(4),
+      s"9/10 Wilson ${h1.getDouble(4)} must beat 1/1 ${h0.getDouble(4)}")
+    // hand-check 1/1: (1 + z²/2 - z·sqrt(z²/4))/(1+z²) = 1/(1+z²)... via formula
+    val z = 1.96
+    val want = (1.0 + z * z / 2.0 - z * math.sqrt(z * z / 4.0)) / (1.0 + z * z)
+    assert(math.abs(h0.getDouble(4) - want) < 1e-15)
+  }
+
   test("targetEncodeLoo excludes each row's own label; singleton -> NULL") {
     val events = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 6.0),
         ("b", 4L, 9.0))
