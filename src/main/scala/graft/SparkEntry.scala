@@ -735,6 +735,9 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndexPostings(Tables.documents(s, dir), minDf = 100,
         maxPostings = 100)),
+    // per-source corpus mixing table (docs/token/char shares)
+    "q_corpus_mix" -> ((s, dir) =>
+      TextAnalysis.corpusMix(Tables.documents(s, dir))),
     "q_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(Tables.documents(s, dir), 30)),
     "q_repetition" -> ((s, dir) =>
@@ -2116,6 +2119,22 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
         |         / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                      AS n_tokens,
+        |                    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |               CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+        |               CAST(sum(n_chars) AS BIGINT) AS t_chars
+        |        FROM per)
+        |SELECT source, n_docs, n_tokens, n_chars,
+        |       CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+        |       CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)
+        |         AS token_share,
+        |       CAST(n_chars AS DOUBLE) / CAST(t_chars AS DOUBLE) AS char_share
+        |FROM per, tot""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,

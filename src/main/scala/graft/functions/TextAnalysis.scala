@@ -30,6 +30,31 @@ object TextAnalysis {
     * same as DuckDB's string_split). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Corpus composition report per source — the mixing table a training
+    * pipeline derives sampling weights from: docs, whitespace tokens,
+    * chars, and each source's share of the corpus totals. Exact integer
+    * sums; the four shares divide exactly-converted integers once. One
+    * map-side-partial aggregate; totals attach via a broadcast
+    * single-row frame. */
+  def corpusMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"), sum(col("n_chars")).as("t_chars"))
+    per.crossJoin(broadcast(tot)) // single-row side: fixed-size, safe
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double"))
+          .as("doc_share"),
+        (col("n_tokens").cast("double") / col("t_tokens").cast("double"))
+          .as("token_share"),
+        (col("n_chars").cast("double") / col("t_chars").cast("double"))
+          .as("char_share"))
+  }
+
   /** Per-document surface statistics: char/token counts, distinct tokens,
     * average token length. */
   def textStats(docs: DataFrame): DataFrame = {

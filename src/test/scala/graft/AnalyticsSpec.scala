@@ -685,6 +685,16 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 2) // single-doc terms fall under minDf
   }
 
+  test("corpusMix: per-source counts and exact shares sum to 1") {
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusMix(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == (("s1", 2L, 5L, 8L, 2.0 / 3.0, 5.0 / 6.0)))
+    assert(got(1) == (("s2", 1L, 1L, 1L, 1.0 / 3.0, 1.0 / 6.0)))
+  }
+
   test("bigramCounts counts corpus-wide (no per-doc dedup)") {
     val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     // doc1: "x y","y x","x y"; doc2: "x y","y z" -> x y:3, y x:1, y z:1
