@@ -275,7 +275,8 @@ object StreamingIngest {
       state_type: String, ts_us: Long)
   final case class StateEventT(user_id: Long, event_id: Long,
       state_type: String, ts_us: Long, event_time: java.sql.Timestamp)
-  final case class Scd2State(state_type: String, since_us: Long)
+  final case class Scd2State(state_type: String, since_us: Long,
+      last_seen_us: Long)
   final case class ClosedInterval(user_id: Long, state: String,
       valid_from_us: Long, valid_to_us: Long)
 
@@ -311,15 +312,20 @@ object StreamingIngest {
               cur match {
                 case Some(s) if s.state_type != r.state_type =>
                   out += ClosedInterval(user, s.state_type, s.since_us, r.ts_us)
-                  cur = Some(Scd2State(r.state_type, r.ts_us))
-                case Some(_) => // same type: run extends, nothing to emit
-                case None => cur = Some(Scd2State(r.state_type, r.ts_us))
+                  cur = Some(Scd2State(r.state_type, r.ts_us, r.ts_us))
+                case Some(s) => // same type: run extends, refresh liveness
+                  cur = Some(s.copy(last_seen_us = math.max(s.last_seen_us,
+                    r.ts_us)))
+                case None => cur = Some(Scd2State(r.state_type, r.ts_us,
+                  r.ts_us))
               }
             }
             cur.foreach { s =>
               state.update(s)
+              // idle = no events AT ALL, keyed off last activity — a long
+              // same-type run must not evict a still-active user
               state.setTimeoutTimestamp(math.max(
-                s.since_us / 1000L + idleTimeoutUs / 1000L,
+                s.last_seen_us / 1000L + idleTimeoutUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
