@@ -565,7 +565,7 @@ object Analytics {
     * (`spark_partition_id` is documented non-deterministic otherwise).
     * Shared by [[paretoCurve]], [[funnelLatency]], [[giniConcentration]]
     * and [[rfmSegments]]. */
-  private[operators] def distributedRank(df: DataFrame, partCols: Seq[String],
+  private[graft] def distributedRank(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
     val keyed = partCols :+ "pid"
     val parted = df

@@ -1005,6 +1005,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3L, 4.0 / 9.0), (2L, 1L, 2L, 0.0)))
   }
 
+  test("distributedRank equals the single-window row_number on seeded " +
+      "random data (with and without partition keys)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i =>
+      (s"g${rnd.nextInt(3)}", i, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("event_type", "event_id", "value")
+      .repartition(13) // deliberately more partitions than groups
+    val got = Analytics.distributedRank(df, Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc))
+      .select(col("event_type"), col("event_id"), col("rn"))
+    val want = df.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .select(col("event_type"), col("event_id"), col("rn"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // global (no partition key), descending order
+    val got2 = Analytics.distributedRank(df, Seq.empty,
+        Seq(col("value").desc, col("event_id").asc))
+      .select(col("event_id"), col("rn"))
+    val want2 = df.withColumn("rn", row_number().over(
+      Window.orderBy(col("value").desc, col("event_id"))))
+      .select(col("event_id"), col("rn"))
+    assert(got2.exceptAll(want2).count() == 0 &&
+      want2.exceptAll(got2).count() == 0)
+  }
+
   test("giniConcentration: (1,3) spend split gives G=0.25, equal spend gives 0") {
     val events = ev(
       (1L, "a", 1L), (2L, "a", 2L), (2L, "a", 3L), (2L, "a", 4L), // u1=1, u2=3
