@@ -477,6 +477,12 @@ object SparkEntry {
     // transitive closure of the near-dup relation → dedup groups
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4))),
+    // one representative per near-dup cluster (longest doc, id tiebreak)
+    "q_canonical_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.canonicalDocs(
+        Dedup.dedupClusters(Dedup.simhashNearDupPairs(docs, 4)), docs)
+    }),
     // deterministic 10% sample + split counts (reproducible across engines)
     "q_hash_sample" -> ((s, dir) =>
       operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 10)
@@ -2272,6 +2278,35 @@ object SparkEntry {
          |  UNION
          |  SELECT e.b AS doc_id, r.lab FROM reach r JOIN e ON e.a = r.doc_id)
          |SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+    "q_canonical_docs" ->
+      // the cluster CTE is q_dedup_clusters' oracle verbatim, plus the
+      // per-cluster (max chars, min doc_id) argmax
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |h AS (SELECT doc_id, ${sqlTokHash("tok")} h FROM t),
+         |b AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+         |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j) jj
+         |      GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM b GROUP BY 1),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2, d1 FROM p),
+         |reach AS (
+         |  SELECT DISTINCT a AS doc_id, a AS lab FROM e
+         |  UNION
+         |  SELECT e.b AS doc_id, r.lab FROM reach r JOIN e ON e.a = r.doc_id),
+         |cl AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+         |r AS (SELECT cluster_id, count(*) AS n_members,
+         |             min({'neg': -n_chars, 'd': doc_id}) AS top
+         |      FROM m GROUP BY 1)
+         |SELECT cluster_id, n_members, top.d AS canonical_doc,
+         |       -top.neg AS canonical_chars, n_members - 1 AS n_dropped
+         |FROM r""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${sqlTokHash("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,

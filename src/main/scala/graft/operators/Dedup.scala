@@ -413,6 +413,27 @@ object Dedup {
       .join(shingleEx(eval, n).select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
 
+  /** Canonical-document selection — the pipeline step AFTER clustering:
+    * within each near-dup cluster keep exactly one representative, the
+    * longest document (ties → smallest doc_id; the deterministic
+    * struct-argmax `min(struct(−n_chars, doc_id))`), and report how
+    * many members it displaces. The cluster frame is
+    * [[dedupClusters]]'s output; sizes join from the documents table on
+    * doc_id (dimension-sized broadcast is wrong here — both sides are
+    * doc-keyed facts, so it's one co-keyed shuffle). One hash aggregate
+    * per cluster — no windows, no pair space. */
+  def canonicalDocs(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d")))
+          .as("top"))
+      .select(col("cluster_id"), col("n_members"),
+        col("top").getField("d").as("canonical_doc"),
+        (-col("top").getField("neg")).as("canonical_chars"),
+        (col("n_members") - 1).as("n_dropped"))
+
   /** Bloom-accelerated decontamination — IDENTICAL answer to
     * [[contaminatedDocs]] (same oracle), but the train-side shingle
     * stream first passes a bloom filter built over the eval shingles,

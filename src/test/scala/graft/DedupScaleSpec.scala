@@ -103,6 +103,20 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("canonicalDocs keeps the longest member per cluster, id tiebreak") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 50L), (2L, 80L), (3L, 80L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalDocs(clusters, docs).orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 80L, 2L),   // 80-char tie: doc 2 < doc 3
+      (7L, 2L, 7L, 5L, 1L)))
+  }
+
   test("distributed CC converges on a 40-deep chain (multi-round pointer jumping)") {
     import spark.implicits._
     // path graph 1-2-3-...-40: diameter 39 forces several label-propagation
