@@ -138,6 +138,9 @@ object SparkEntry {
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
+    // the NATIVE session_window operator (half-open [ts, ts+gap) merge)
+    "q_session_native" -> ((s, dir) =>
+      TimeSeries.sessionizeNative(Tables.events(s, dir), 1800000000L)),
     // concurrency detection: per customer, which finished orders' 7-day
     // fulfillment windows overlapped a concurrently-open order — grid-cell
     // interval × interval join, each pair emitted exactly once in its
@@ -1181,6 +1184,26 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_session_native" ->
+      // session_window coalesces TOUCHING ranges: a gap of exactly 30 min
+      // still merges (split is strictly >, spec-pinned); end = last + gap
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                      > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id
+        |                     ORDER BY ts_us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |       max(ts_us) + 1800000000 AS session_end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // mirror of RangeJoin.intervalOverlapJoin over 7-day order
     // fulfillment windows: the oracle is the plain theta join (closed
     // intervals) — the engine's grid cells are invisible in the result

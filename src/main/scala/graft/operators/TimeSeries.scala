@@ -609,6 +609,21 @@ object TimeSeries {
         max(col("ts_us")).as("session_end_us"))
   }
 
+  /** [[sessionize]] via Spark's NATIVE `session_window` operator — the
+    * built-in (codegen'd `SessionWindowing` + merging state in streaming)
+    * rather than the lag/cumsum island method. Merge semantics are
+    * spec-pinned: a gap of EXACTLY `gapUs` still MERGES (split is
+    * strictly `>`, same as [[sessionize]] — the windows touch and Spark
+    * coalesces touching sessions); the reported end is last_ts + gap,
+    * not last_ts. */
+  def sessionizeNative(events: DataFrame, gapUs: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs / 1000000L} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), tsUs(col("sw.start")).as("session_start_us"),
+        tsUs(col("sw.end")).as("session_end_us"), col("n_events"))
+
   /** Top-k hour buckets by average value (TakeOrderedAndProject; deterministic
     * tiebreak on the bucket itself). */
   def topkHours(events: DataFrame, k: Int): DataFrame =

@@ -236,6 +236,28 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(s.filter(col("n_events") <= 0).count() == 0)
   }
 
+  test("sessionizeNative merges touching windows at EXACTLY gap and splits " +
+      "past it; end = last_ts + gap") {
+    import spark.implicits._
+    val gapUs = 10L * 1000000L
+    val touch = Seq((1L, 1L, 0L), (1L, 2L, gapUs)) // exactly gap apart
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val merged = graft.operators.TimeSeries.sessionizeNative(touch, gapUs)
+      .collect()
+    // session_window COALESCES touching ranges — same strict-> split rule
+    // as the island method (pinned here; the oracle encodes exactly this)
+    assert(merged.length == 1 && merged(0).getLong(3) == 2L)
+    assert(merged(0).getLong(2) == gapUs + gapUs, "end = last_ts + gap")
+    val split = Seq((1L, 1L, 0L), (1L, 2L, gapUs + 1L))
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    assert(graft.operators.TimeSeries.sessionizeNative(split, gapUs)
+      .collect().length == 2, "past the gap must split")
+  }
+
   test("IVF top-k: cluster assignment is shuffle-free (only the top-k exchanges)") {
     val df = SparkEntry.queries("q_ivf_topk")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
