@@ -283,6 +283,13 @@ object SparkEntry {
         minDeg = 2L, topK = 50)),
     // community sizes after two synchronous LPA rounds (min-label ties
     // — deterministic, oracle-replayable; async LPA is not)
+    // Newman modularity terms of the 2-round LPA communities
+    "q_modularity" -> ((s, dir) => {
+      val pairs = operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir))
+      operators.Graph.modularity(pairs,
+        operators.Graph.labelPropagation(
+          operators.Graph.symmetricEdges(pairs), rounds = 2))
+    }),
     "q_label_prop" -> ((s, dir) =>
       operators.Graph.labelPropagation(
         operators.Graph.symmetricEdges(
@@ -1881,6 +1888,54 @@ object SparkEntry {
         |SELECT node, dist FROM d3""".stripMargin,
     // mirror of Graph.labelPropagation: two unrolled synchronous
     // rounds, argmax = (max count, then min label), prev-label carry
+    "q_modularity" ->
+      // LPA CTE = q_label_prop's verbatim; int128 numerators convert to
+      // double via VARCHAR (the correctly-rounded path)
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v AS src, u AS dst FROM pairs),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS lab FROM n),
+        |c1 AS (SELECT e.dst, l0.lab, count(*) AS cnt
+        |       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+        |m1 AS (SELECT dst, max(cnt) AS mc FROM c1 GROUP BY 1),
+        |b1 AS (SELECT c1.dst AS node, min(c1.lab) AS lab
+        |       FROM c1 JOIN m1 ON m1.dst = c1.dst AND c1.cnt = m1.mc
+        |       GROUP BY 1),
+        |l1 AS (SELECT l0.node, coalesce(b1.lab, l0.lab) AS lab
+        |       FROM l0 LEFT JOIN b1 ON b1.node = l0.node),
+        |c2 AS (SELECT e.dst, l1.lab, count(*) AS cnt
+        |       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+        |m2 AS (SELECT dst, max(cnt) AS mc FROM c2 GROUP BY 1),
+        |b2 AS (SELECT c2.dst AS node, min(c2.lab) AS lab
+        |       FROM c2 JOIN m2 ON m2.dst = c2.dst AND c2.cnt = m2.mc
+        |       GROUP BY 1),
+        |l2 AS (SELECT l1.node, coalesce(b2.lab, l1.lab) AS lab
+        |       FROM l1 LEFT JOIN b2 ON b2.node = l1.node),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |intr AS (SELECT la.lab AS label, count(*) AS e_in
+        |         FROM pairs p JOIN l2 la ON la.node = p.u
+        |                      JOIN l2 lb ON lb.node = p.v
+        |         WHERE la.lab = lb.lab GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT u AS node FROM pairs
+        |              UNION ALL SELECT v AS node FROM pairs)
+        |        GROUP BY 1),
+        |dc AS (SELECT l2.lab AS label, count(*) AS n_nodes,
+        |              CAST(sum(deg.deg) AS BIGINT) AS d_sum
+        |       FROM l2 JOIN deg ON deg.node = l2.node GROUP BY 1)
+        |SELECT dc.label, n_nodes,
+        |       CAST(coalesce(e_in, 0) AS BIGINT) AS internal_edges, d_sum,
+        |       CAST(CAST(4 * CAST(m AS HUGEINT)
+        |                   * CAST(coalesce(e_in, 0) AS HUGEINT)
+        |                 - CAST(d_sum AS HUGEINT) * CAST(d_sum AS HUGEINT)
+        |                 AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(4 * CAST(m AS HUGEINT) * CAST(m AS HUGEINT)
+        |                     AS VARCHAR) AS DOUBLE) AS modularity_term
+        |FROM dc LEFT JOIN intr ON intr.label = dc.label CROSS JOIN mm""".stripMargin,
     "q_label_prop" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

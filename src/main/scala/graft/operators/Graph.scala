@@ -562,4 +562,40 @@ object Graph {
 
   /** Damping denominator: damping factors are exact multiples of 10⁻⁴. */
   val DampDen = 10000L
+
+  /** Newman modularity terms of a community labeling over the
+    * undirected (u < v) pair set: per community c, the exact-integer
+    * ingredients (n_nodes, internal undirected edges e_c, degree mass
+    * d_c) and its term (4m·e_c − d_c²)/(4m²) — Q is the sum of the
+    * terms, left to the consumer so the OUTPUT carries no
+    * order-dependent double accumulation (each row's term is one
+    * fixed-order double from DECIMAL(38,0)-exact products; the oracle
+    * converts its int128s via VARCHAR — the correctly-rounded path).
+    * Internal-edge counting joins labels onto both endpoints of the
+    * pair list (node-sized label frame, one co-keyed shuffle each);
+    * everything else is node- or community-sized. */
+  def modularity(pairsIn: DataFrame, labels: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val la = labels.select(col("node").as("u"), col("lab").as("lu"))
+    val lb = labels.select(col("node").as("v"), col("lab").as("lv"))
+    val internal = pairs.join(la, "u").join(lb, "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, "node")
+      .groupBy(col("lab").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    dc.join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(mRow)) // single-row scalar attach
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("internal_edges"), col("d_sum"),
+        ((dec(lit(4)) * dec(col("m")) * dec(coalesce(col("e_in"), lit(0L)))
+          - dec(col("d_sum")) * dec(col("d_sum"))).cast("double")
+          / (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double"))
+          .as("modularity_term"))
+  }
 }

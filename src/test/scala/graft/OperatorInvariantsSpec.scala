@@ -258,6 +258,24 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       .collect().length == 2, "past the gap must split")
   }
 
+  test("modularity: two bridged triangles under their natural labeling " +
+      "give Q = 5/14") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+        (5L, 6L), (3L, 4L)) // bridge 3-4
+      .toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+        (6L, 4L)).toDF("node", "lab")
+    val got = graft.operators.Graph.modularity(pairs, labels)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // per community: e_in=3, d=7, m=7 -> term (4*7*3-49)/196 = 35/196
+    assert(got.toSeq == Seq((1L, 3L, 3L, 7L, 35.0 / 196.0),
+      (4L, 3L, 3L, 7L, 35.0 / 196.0)))
+    assert(math.abs(got.map(_._5).sum - 5.0 / 14.0) < 1e-15)
+  }
+
   test("IVF top-k: cluster assignment is shuffle-free (only the top-k exchanges)") {
     val df = SparkEntry.queries("q_ivf_topk")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
