@@ -619,6 +619,9 @@ object SparkEntry {
       operators.Analytics.anomalyZScore(Tables.events(s, dir), 3.0)),
     "q_anomaly_mad" -> ((s, dir) =>
       operators.Analytics.anomalyMad(Tables.events(s, dir), 3.0)),
+    // Poisson sqrt-band anomaly on hourly counts (variance = mean)
+    "q_anomaly_poisson" -> ((s, dir) =>
+      operators.Analytics.anomalyPoisson(Tables.events(s, dir), 3.0)),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
     "q_seasonal_decompose" -> ((s, dir) =>
@@ -2771,6 +2774,19 @@ object SparkEntry {
         |WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
         |  AND abs((CAST(s AS DOUBLE) - sx / n) /
         |          sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0""".stripMargin,
+    "q_anomaly_poisson" ->
+      """WITH h AS (SELECT event_type,
+        |                  epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |             CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |               AS lambda
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, bucket_us, n, lambda,
+        |       (CAST(n AS DOUBLE) - lambda) / sqrt(lambda) AS dev
+        |FROM h JOIN b USING (event_type)
+        |WHERE abs((CAST(n AS DOUBLE) - lambda) / sqrt(lambda)) > 3.0""".stripMargin,
     "q_anomaly_mad" ->
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s

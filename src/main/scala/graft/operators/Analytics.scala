@@ -53,6 +53,32 @@ object Analytics {
         col("s").cast("double").as("hourly_sum"), col("z").as("zscore"))
   }
 
+  /** Poisson √-band anomaly on hourly EVENT COUNTS — the count-data
+    * twin of [[anomalyZScore]]: under a Poisson rate the variance IS
+    * the mean, so an hour is anomalous when
+    * |n − λ̂| > threshold·√λ̂ with λ̂ = that type's mean hourly count.
+    * No variance estimate, no second moment — exact integer counts,
+    * one division, one IEEE sqrt; engine-identical. The hourly frame is
+    * bucket-bounded; per-type baselines broadcast back. */
+  def anomalyPoisson(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val base = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_hours"))
+      .select(col("event_type"),
+        (col("total").cast("double") / col("n_hours").cast("double"))
+          .as("lambda"))
+    hourly.join(broadcast(base), "event_type")
+      .withColumn("dev",
+        (col("n").cast("double") - col("lambda")) / sqrt(col("lambda")))
+      .filter(abs(col("dev")) > threshold)
+      .select(col("event_type"), col("bucket_us"), col("n"),
+        col("lambda"), col("dev"))
+  }
+
   /** Per-type moment statistics (n, Σx, Σx²) of the hourly sums — the
     * baseline frame [[anomalyZScore]] derives inline and the streaming
     * flagger ([[graft.streaming.StreamingIngest.anomalyStream]]) takes

@@ -1237,6 +1237,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
   }
 
+  test("anomalyPoisson flags the hour breaking the sqrt(mean) band") {
+    // type a: three hours with 4, 4, 16 events -> lambda = 8,
+    // devs = (-4/√8, -4/√8, +8/√8) = (-1.41.., -1.41.., +2.83..);
+    // only the spike crosses a 2.0 threshold
+    val rows = (1 to 4).map(i => (1L, "a", 10L + i)) ++
+      (1 to 4).map(i => (2L, "a", 3700L + i)) ++
+      (1 to 16).map(i => (3L, "a", 7300L + i))
+    val got = Analytics.anomalyPoisson(ev(rows: _*), 2.0).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(2) == 16L && r.getDouble(3) == 8.0)
+    assert(math.abs(r.getDouble(4) - 8.0 / math.sqrt(8.0)) < 1e-15)
+  }
+
   test("wilsonConversion: small samples rank below larger equal-rate hours") {
     // hour 0: 1/1 converts (rate 1.0); hour 1: 9/10 convert (rate 0.9) —
     // the Wilson lower bound must rank hour 1 ABOVE the 1/1 hour
