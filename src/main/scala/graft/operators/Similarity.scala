@@ -384,8 +384,11 @@ object Similarity {
     * count at ±`tol`, min/max/mean norm. One scan, |labels| rows. */
   def embeddingNormAudit(embeddings: DataFrame,
       tol: Double = 1e-3): DataFrame = {
-    val norm2 = aggregate(asDouble(col("embedding")), lit(0d),
-      (acc, x) => acc + x * x)
+    // the codegen'd native DotProduct (same left-to-right fold order as
+    // the interpreted aggregate/zip_with — bit-parity spec'd), so the
+    // norm runs inside whole-stage codegen
+    val v = asDouble(col("embedding"))
+    val norm2 = dot(v, v)
     embeddings
       .select(col("label"), sqrt(norm2).as("norm"))
       .select(col("label"), col("norm").cast("decimal(18,9)").as("nq"))
