@@ -2669,16 +2669,19 @@ object SparkEntry {
         |             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_vv
         |      FROM events GROUP BY event_type)""".stripMargin,
     "q_correlation" ->
+      // the scale-4 product sums overflow 2⁵³, where DuckDB's direct
+      // decimal→double cast is not correctly rounded — convert via
+      // VARCHAR (the correctly-rounded parse, = Spark's Decimal.toDouble)
       """SELECT l_returnflag, n,
         |       (sxy - sx * sy / n) / (n - 1) AS cov_samp,
         |       (n * sxy - sx * sy)
         |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
         |FROM (SELECT l_returnflag, count(*) AS n,
-        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
         |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     "q_date_parts" ->
       """SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hod,
