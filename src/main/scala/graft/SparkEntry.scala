@@ -2258,11 +2258,12 @@ object SparkEntry {
         |         / len(string_split(text, ' ')) AS distinct_ratio,
         |       CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
         |         / len(string_split(text, ' ')) AS stopword_ratio,
-        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |               / len(string_split(text, ' ')) * 0.5
-        |             + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
-        |             + least(CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
-        |                       / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2, 6) AS quality
+        |       floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                / len(string_split(text, ' ')) * 0.5
+        |              + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |              + least(CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+        |                        / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id,
@@ -3378,9 +3379,12 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(CASE WHEN abs(diff) > 0.01 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_mismatch,
-        |       CAST(max(abs(diff)) AS DOUBLE) AS max_abs_diff,
-        |       CAST(sum(declared) AS DOUBLE) AS sum_declared,
-        |       CAST(sum(recomputed) AS DOUBLE) AS sum_recomputed
+        |       CAST(CAST(max(abs(diff)) AS VARCHAR) AS DOUBLE)
+        |         AS max_abs_diff,
+        |       CAST(CAST(sum(declared) AS VARCHAR) AS DOUBLE)
+        |         AS sum_declared,
+        |       CAST(CAST(sum(recomputed) AS VARCHAR) AS DOUBLE)
+        |         AS sum_recomputed
         |FROM d GROUP BY 1""".stripMargin,
     "q_audit_orphans" ->
       """SELECT 'lineitem->orders' AS fk_edge,

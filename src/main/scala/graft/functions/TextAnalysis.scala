@@ -111,21 +111,29 @@ object TextAnalysis {
   }
 
   /** Composite quality score from length/diversity/stopword ratios. All
-    * arithmetic is a fixed-order chain of double ops → engine-identical. */
+    * arithmetic is a fixed-order chain of double ops → engine-identical.
+    * The 6-decimal rounding is the EXPLICIT floor(x·10⁶ + 0.5)/10⁶ chain
+    * (plain IEEE ops) — built-in round(x, 6) implementations disagree by
+    * an ulp between engines on boundary inputs (found at sf0.1: Spark's
+    * BigDecimal HALF_UP of the exact binary vs DuckDB's scaled-double
+    * path), whereas this chain is bit-identical everywhere. x ≥ 0 here,
+    * so the +0.5 floor is round-half-up exactly. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val nChars = length(col("text")).cast("double")
     val distinctRatio = size(array_distinct(t)).cast("double") / size(t)
     val stopHits = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double")
+    val rawQuality = distinctRatio * lit(0.5) +
+      least(nChars / lit(500.0), lit(1.0)) * lit(0.3) +
+      least(stopHits / size(t) * lit(5.0), lit(1.0)) * lit(0.2)
     docs.select(
       col("doc_id"),
       (nTok / nChars).as("tokens_per_char"),
       distinctRatio.as("distinct_ratio"),
       (stopHits / size(t)).as("stopword_ratio"),
-      round(distinctRatio * lit(0.5) +
-        least(nChars / lit(500.0), lit(1.0)) * lit(0.3) +
-        least(stopHits / size(t) * lit(5.0), lit(1.0)) * lit(0.2), 6).as("quality"))
+      (floor(rawQuality * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .as("quality"))
   }
 
   /** Top-k rarity-weighted terms per document — the TF-IDF shape with a
