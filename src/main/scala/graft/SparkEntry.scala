@@ -1074,10 +1074,11 @@ object SparkEntry {
         |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
         |       FROM events WHERE event_type = 'error' GROUP BY 1),
         |m AS (SELECT count(*) AS n,
-        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |             CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |             CAST(sum(x * x) AS DOUBLE) AS sxx,
-        |             CAST(sum(y * y) AS DOUBLE) AS syy
+        |             CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |             CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |             CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+        |             CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |             CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
         |      FROM ha JOIN hb USING (bucket_us))
         |SELECT CAST(1 AS BIGINT) AS lag_hours, n,
         |       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
@@ -1098,11 +1099,11 @@ object SparkEntry {
         |lags AS (SELECT CAST(k AS BIGINT) AS lag_hours
         |         FROM generate_series(1, 6) t(k)),
         |m AS (SELECT lag_hours, count(*) AS n,
-        |             CAST(sum(a.s) AS DOUBLE) AS sx,
-        |             CAST(sum(b.s) AS DOUBLE) AS sy,
-        |             CAST(sum(a.s * b.s) AS DOUBLE) AS sxy,
-        |             CAST(sum(a.s * a.s) AS DOUBLE) AS sxx,
-        |             CAST(sum(b.s * b.s) AS DOUBLE) AS syy
+        |             CAST(CAST(sum(a.s) AS VARCHAR) AS DOUBLE) AS sx,
+        |             CAST(CAST(sum(b.s) AS VARCHAR) AS DOUBLE) AS sy,
+        |             CAST(CAST(sum(a.s * b.s) AS VARCHAR) AS DOUBLE) AS sxy,
+        |             CAST(CAST(sum(a.s * a.s) AS VARCHAR) AS DOUBLE) AS sxx,
+        |             CAST(CAST(sum(b.s * b.s) AS VARCHAR) AS DOUBLE) AS syy
         |      FROM lags CROSS JOIN hourly a
         |      JOIN hourly b ON b.bucket_us = a.bucket_us + lag_hours * 3600000000
         |      GROUP BY 1)
@@ -2768,8 +2769,9 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
         |           FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type, count(*) AS n, CAST(sum(s) AS DOUBLE) AS sx,
-        |              CAST(sum(s * s) AS DOUBLE) AS sxx
+        |st AS (SELECT event_type, count(*) AS n,
+        |              CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS sx,
+        |              CAST(CAST(sum(s * s) AS VARCHAR) AS DOUBLE) AS sxx
         |       FROM h GROUP BY 1)
         |SELECT event_type, bucket_us, CAST(s AS DOUBLE) AS hourly_sum,
         |       (CAST(s AS DOUBLE) - sx / n) /
@@ -3579,10 +3581,11 @@ object SparkEntry {
         |      FROM h a JOIN h b ON a.bucket_us = b.bucket_us
         |                       AND a.event_type < b.event_type),
         |m AS (SELECT type_a, type_b, count(*) AS n,
-        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |             CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |             CAST(sum(x * x) AS DOUBLE) AS sxx,
-        |             CAST(sum(y * y) AS DOUBLE) AS syy
+        |             CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |             CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |             CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+        |             CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |             CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
         |      FROM j GROUP BY 1, 2)
         |SELECT type_a, type_b, n,
         |       CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0

@@ -37,16 +37,17 @@ def main():
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.sql(sql).df()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not files:
                 # subset runs (Verify's dev-only 3rd arg) leave most
-                # queries without output — skip, don't fail
+                # queries without output — skip BEFORE running the oracle
+                # SQL (some oracles are expensive in DuckDB)
                 if len(sys.argv) > 3 and sys.argv[3] == "--subset":
                     continue
                 print(f"FAIL {name}: no spark output parquet")
                 fail += 1
                 continue
+            want = con.sql(sql).df()
             got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
             wr, wc = rows_multiset(want)
             gr, gc = rows_multiset(got)
