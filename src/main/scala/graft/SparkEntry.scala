@@ -622,6 +622,9 @@ object SparkEntry {
     // Poisson sqrt-band anomaly on hourly counts (variance = mean)
     "q_anomaly_poisson" -> ((s, dir) =>
       operators.Analytics.anomalyPoisson(Tables.events(s, dir), 3.0)),
+    // per-series freshness: last event, watermark lag, trailing-hour volume
+    "q_freshness" -> ((s, dir) =>
+      operators.Analytics.freshnessReport(Tables.events(s, dir))),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
     "q_seasonal_decompose" -> ((s, dir) =>
@@ -2780,6 +2783,19 @@ object SparkEntry {
         |WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
         |  AND abs((CAST(s AS DOUBLE) - sx / n) /
         |          sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0""".stripMargin,
+    "q_freshness" ->
+      """WITH per AS (SELECT event_type, max(epoch_us(ts)) AS last_event_us,
+        |                    count(*) AS n_events
+        |             FROM events GROUP BY 1),
+        |wm AS (SELECT max(last_event_us) AS watermark_us FROM per),
+        |lh AS (SELECT event_type, count(*) AS n_last_hour
+        |       FROM events, wm
+        |       WHERE epoch_us(ts) > watermark_us - 3600000000
+        |       GROUP BY 1)
+        |SELECT per.event_type, last_event_us,
+        |       watermark_us - last_event_us AS lag_us, n_events,
+        |       coalesce(n_last_hour, 0) AS n_last_hour
+        |FROM per CROSS JOIN wm LEFT JOIN lh ON lh.event_type = per.event_type""".stripMargin,
     "q_anomaly_poisson" ->
       """WITH h AS (SELECT event_type,
         |                  epoch_us(date_trunc('hour', ts)) AS bucket_us,

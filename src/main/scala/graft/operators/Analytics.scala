@@ -79,6 +79,29 @@ object Analytics {
         col("lambda"), col("dev"))
   }
 
+  /** Data-freshness report — the pipeline-health staple: per series,
+    * the last event time, its lag behind the freshest series (a stuck
+    * producer shows as a growing lag), and the volume within the
+    * trailing hour of the global watermark. All exact integer
+    * arithmetic; the global max attaches as a broadcast single-row
+    * frame. */
+  def freshnessReport(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("event_type"))
+      .agg(max(tsUs(col("ts"))).as("last_event_us"),
+        count(lit(1)).as("n_events"))
+    val wm = per.agg(max(col("last_event_us")).as("watermark_us"))
+    per.crossJoin(broadcast(wm)) // single-row scalar attach
+      .join(events.select(col("event_type"), tsUs(col("ts")).as("t"))
+          .crossJoin(broadcast(wm))
+          .filter(col("t") > col("watermark_us") - 3600000000L)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_last_hour")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("last_event_us"),
+        (col("watermark_us") - col("last_event_us")).as("lag_us"),
+        col("n_events"), coalesce(col("n_last_hour"), lit(0L))
+          .as("n_last_hour"))
+  }
+
   /** Per-type moment statistics (n, Σx, Σx²) of the hourly sums — the
     * baseline frame [[anomalyZScore]] derives inline and the streaming
     * flagger ([[graft.streaming.StreamingIngest.anomalyStream]]) takes

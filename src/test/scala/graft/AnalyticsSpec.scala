@@ -1237,6 +1237,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
   }
 
+  test("freshnessReport: lag vs the freshest series, trailing-hour volume") {
+    val events = ev(
+      (1L, "a", 10000L), (1L, "a", 10500L),   // 'a' fresh: 2 in last hour
+      (2L, "b", 1000L))                        // 'b' lags 9500s, 0 in last hour
+    val got = Analytics.freshnessReport(events).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", 10500000000L, 0L, 2L, 2L),
+      ("b", 1000000000L, 9500000000L, 1L, 0L)))
+  }
+
   test("anomalyPoisson flags the hour breaking the sqrt(mean) band") {
     // type a: three hours with 4, 4, 16 events -> lambda = 8,
     // devs = (-4/√8, -4/√8, +8/√8) = (-1.41.., -1.41.., +2.83..);
