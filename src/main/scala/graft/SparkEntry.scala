@@ -625,6 +625,9 @@ object SparkEntry {
     // per-series freshness: last event, watermark lag, trailing-hour volume
     "q_freshness" -> ((s, dir) =>
       operators.Analytics.freshnessReport(Tables.events(s, dir))),
+    // supervised-forecasting design matrix: lags, diff, trailing mean
+    "q_lag_features" -> ((s, dir) =>
+      operators.Analytics.lagFeatures(Tables.events(s, dir))),
     "q_seasonal_baseline" -> ((s, dir) =>
       operators.Analytics.seasonalBaseline(Tables.events(s, dir))),
     "q_seasonal_decompose" -> ((s, dir) =>
@@ -2783,6 +2786,24 @@ object SparkEntry {
         |WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
         |  AND abs((CAST(s AS DOUBLE) - sx / n) /
         |          sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0""".stripMargin,
+    "q_lag_features" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |                  CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events)
+        |SELECT event_id, event_type, ts_us, CAST(v AS DOUBLE) AS value,
+        |       CAST(lag(v, 1) OVER w AS DOUBLE) AS lag1,
+        |       CAST(lag(v, 2) OVER w AS DOUBLE) AS lag2,
+        |       CAST(v - lag(v, 1) OVER w AS DOUBLE) AS diff1,
+        |       CAST(sum(v) OVER (PARTITION BY event_type
+        |                         ORDER BY ts_us, event_id
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE)
+        |         / CAST(count(*) OVER (PARTITION BY event_type
+        |                               ORDER BY ts_us, event_id
+        |                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |                AS DOUBLE) AS mean3
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)""".stripMargin,
     "q_freshness" ->
       """WITH per AS (SELECT event_type, max(epoch_us(ts)) AS last_event_us,
         |                    count(*) AS n_events

@@ -79,6 +79,32 @@ object Analytics {
         col("lambda"), col("dev"))
   }
 
+  /** Lag-feature assembly — the supervised-forecasting design matrix:
+    * per series, each observation with its lag-1/lag-2 values, the
+    * first difference, and the trailing 3-row mean. Lags are exact
+    * cent-grid decimals over the (ts_us, event_id) total order; the
+    * rolling mean divides an exact decimal window sum by its row count
+    * once. One partitioned window pass per type — bounded by a series'
+    * own history, no global sort. Leading rows carry NULL lags (the
+    * model-side mask), never fabricated zeros. */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trailing3 = w.rowsBetween(-2, Window.currentRow)
+    val v = col("value").cast("decimal(18,2)")
+    events
+      .select(col("event_id"), col("event_type"), tsUs(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("v", v)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("v").cast("double").as("value"),
+        lag(col("v"), 1).over(w).cast("double").as("lag1"),
+        lag(col("v"), 2).over(w).cast("double").as("lag2"),
+        (col("v") - lag(col("v"), 1).over(w)).cast("double").as("diff1"),
+        (sum(col("v")).over(trailing3).cast("double") /
+          count(lit(1)).over(trailing3).cast("double")).as("mean3"))
+  }
+
   /** Data-freshness report — the pipeline-health staple: per series,
     * the last event time, its lag behind the freshest series (a stuck
     * producer shows as a growing lag), and the volume within the

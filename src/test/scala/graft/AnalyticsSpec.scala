@@ -1237,6 +1237,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(4) == "7" && r.getDouble(5) == 9.0 / 5.0)
   }
 
+  test("lagFeatures: lags, first difference, trailing-3 mean; leading NULLs") {
+    val events = Seq(("a", 1L, 1L, 2.0), ("a", 2L, 2L, 4.0), ("a", 3L, 3L, 9.0))
+      .toDF("event_type", "event_id", "sec", "value")
+      .select(col("event_type"), col("event_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"), col("value"))
+    val got = Analytics.lagFeatures(events).orderBy("ts_us").collect()
+    val r1 = got(0); val r3 = got(2)
+    assert(r1.isNullAt(4) && r1.isNullAt(5) && r1.isNullAt(6))
+    assert(r1.getDouble(7) == 2.0)                       // mean of itself
+    assert(r3.getDouble(4) == 4.0 && r3.getDouble(5) == 2.0)
+    assert(r3.getDouble(6) == 5.0)                       // 9 - 4
+    assert(r3.getDouble(7) == 5.0)                       // (2+4+9)/3
+  }
+
   test("freshnessReport: lag vs the freshest series, trailing-hour volume") {
     val events = ev(
       (1L, "a", 10000L), (1L, "a", 10500L),   // 'a' fresh: 2 in last hour
