@@ -417,6 +417,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream idle eviction drops the open tail; same-type activity " +
+      "refreshes liveness") {
+    import graft.streaming.StreamingIngest.StateEvent
+    val src = Files.createTempDirectory("graft_scd2_to_").toString
+    val t0 = 1700000000000000L // µs
+    val idleUs = 20000000L // 20 s
+    // batch 1: user 1 holds state "a" with steady SAME-TYPE activity
+    // spanning longer than the idle timeout — must NOT be evicted,
+    // because liveness keys off the LAST event, not the interval start
+    Seq(StateEvent(1L, 1L, "a", t0),
+        StateEvent(1L, 2L, "a", t0 + 15000000L),
+        StateEvent(1L, 3L, "a", t0 + 30000000L)).toDS()
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = graft.streaming.StreamingIngest.scd2Stream(
+      spark.readStream.schema(schema).parquet(src).as[StateEvent],
+      idleTimeoutUs = idleUs, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_timeout_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("scd2_timeout_out").count() == 0) // run still open
+      // batch 2: a type change CLOSES the run (proving the long
+      // same-type run survived its own start + idle horizon)
+      Seq(StateEvent(1L, 4L, "b", t0 + 35000000L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val closed = spark.table("scd2_timeout_out").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[String]("state") == "a" &&
+        closed.head.getAs[Long]("valid_from_us") == t0 &&
+        closed.head.getAs[Long]("valid_to_us") == t0 + 35000000L)
+      // batch 3: another user far ahead pushes the watermark past user
+      // 1's idle horizon — the open "b" tail is EVICTED, not emitted
+      Seq(StateEvent(2L, 5L, "x", t0 + 200000000L)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(spark.table("scd2_timeout_out").count() == 1,
+        "eviction must drop the never-closed tail silently")
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.head
+      assert(lastState.numRowsTotal == 1L, s"state rows: ${lastState.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("idle as-of key expires on event time: later probe starts from empty state") {
     import graft.streaming.StreamingAsOf
     val src = Files.createTempDirectory("graft_asof_to_").toString
