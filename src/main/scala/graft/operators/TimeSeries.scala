@@ -619,7 +619,7 @@ object TimeSeries {
   def sessionizeNative(events: DataFrame, gapUs: Long): DataFrame =
     events
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"${gapUs / 1000000L} seconds").as("sw"))
+        session_window(col("ts"), s"$gapUs microseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), tsUs(col("sw.start")).as("session_start_us"),
         tsUs(col("sw.end")).as("session_end_us"), col("n_events"))

@@ -289,7 +289,18 @@ object StreamingIngest {
     * intervals match the batch build on closed data, spec-gated.
     * Micro-batch rows fold in the batch operator's (ts, event_id)
     * order; idle users are evicted by event-time timeout (their open
-    * interval is deliberately dropped, not emitted — it never closed). */
+    * interval is deliberately dropped, not emitted — it never closed).
+    *
+    * Ordering caveat (declared): rows are sorted (ts, event_id) WITHIN a
+    * micro-batch only. An event that is within the watermark but arrives
+    * in a LATER micro-batch than a newer event for the same user folds
+    * after it, so batch parity holds only for in-order-across-batches
+    * delivery (the watermark drives state timeout, not reordering). The
+    * full-parity alternative — buffering events in state until the
+    * watermark passes before folding — costs a per-user event buffer and
+    * one watermark of emission latency; this operator deliberately trades
+    * that for immediate emission, matching the reference's
+    * append-in-arrival-order ingest (shard.cpp appends as received). */
   def scd2Stream(events: Dataset[StateEvent],
       idleTimeoutUs: Long = 24L * 3600L * 1000000L,
       watermark: String = "10 minutes"): Dataset[ClosedInterval] = {
