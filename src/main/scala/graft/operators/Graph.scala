@@ -336,19 +336,44 @@ object Graph {
       .select(col("src").as("node"), col("deg"))
   }
 
-  /** Exact triangle count + wedge count + global clustering coefficient
-    * (3·T/W) over an undirected simple graph given as distinct (u, v)
-    * pairs with u < v. Degree-ordered orientation (each edge points
-    * from its (deg, id)-smaller endpoint) bounds every node's
-    * out-degree by O(√|E|), so the wedge join enumerates O(|E|^1.5)
-    * candidates worst-case instead of Σdeg² — the standard
+  /** The oriented-wedge census shared by [[triangleStats]] and
+    * [[localClustering]]: degree totals, the degree-ordered oriented
+    * edge frame, the open-wedge frame, and the closing-edge probe side.
+    *
+    * @param deg      (node, deg) — undirected degree, checkpointed
+    * @param oriented (src, dst, ddeg) — each edge pointed from its
+    *                 (deg, id)-smaller endpoint, checkpointed (reused by
+    *                 both wedge legs AND the closing probe)
+    * @param wedges   (src, b, c) — open wedges apexed at src with
+    *                 b ≺ c in the same (deg, id) order
+    * @param closing  (b, c) — the oriented edges renamed for the probe
+    * @param droppedApexes apex nodes excluded by the fan-out budget
+    *                 (0 when the budget never trips) */
+  final case class WedgeCensus(deg: DataFrame, oriented: DataFrame,
+      wedges: DataFrame, closing: DataFrame, droppedApexes: Long)
+
+  /** Builds the degree-ordered wedge census over an undirected simple
+    * graph given as distinct (u, v) pairs with u < v. The orientation
+    * (each edge points from its (deg, id)-smaller endpoint) bounds every
+    * node's out-degree by O(√|E|), so the wedge join enumerates
+    * O(|E|^1.5) candidates worst-case instead of Σdeg² — the standard
     * skew-immunity argument for triangle listing; a celebrity node of
-    * degree millions RECEIVES its edges (in-degree) but fans out at
-    * most √|E| wedges. Each triangle {x ≺ y ≺ z} is counted exactly
-    * once, as a wedge at its smallest vertex closed by the (y, z)
-    * edge. No driver-side collection; wedge count is Σ C(deg, 2)
-    * straight off the node-sized degree frame. */
-  def triangleStats(pairsIn: DataFrame): DataFrame = {
+    * degree millions RECEIVES its edges (in-degree) but fans out at most
+    * √|E| wedges.
+    *
+    * Degeneracy budget (`maxFanout`, the [[resourceAllocation]] cap
+    * pattern): O(|E|^1.5) is skew-immune but still superlinear — a
+    * 100×-pathological near-clique component would grow wedge volume
+    * ~1000× and swamp the closing-probe shuffle. A finite `maxFanout`
+    * drops the wedge fan-out of any apex whose ORIENTED out-degree
+    * exceeds it (its edges still participate as wedge legs ending at it
+    * and as closing edges — only wedges APEXED there are skipped), which
+    * caps wedge volume at |V|·C(maxFanout, 2) and makes degradation
+    * predictable and OBSERVABLE: the dropped-apex count is computed and
+    * logged, never silent. With the default ∞ budget the census is exact
+    * and the sizing pass is skipped entirely (zero extra jobs). */
+  private[graft] def wedgeCensus(pairsIn: DataFrame,
+      maxFanout: Long = Long.MaxValue): WedgeCensus = {
     val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
@@ -364,22 +389,54 @@ object Graph {
       when(firstU, col("v")).otherwise(col("u")).as("dst"),
       when(firstU, col("dv")).otherwise(col("du")).as("ddeg"))
       .localCheckpoint()
-    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
-    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+    val (apexEdges, dropped) =
+      if (maxFanout == Long.MaxValue) (oriented, 0L)
+      else {
+        // one node-sized sizing job, only when a budget is set
+        val outdeg = oriented.groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+        val nDropped = outdeg.filter(col("outdeg") > maxFanout).count()
+        val kept = oriented.join(
+          outdeg.filter(col("outdeg") <= maxFanout).select(col("src")),
+          Seq("src"), "left_semi")
+        (kept, nDropped)
+      }
+    if (dropped > 0)
+      System.err.println(
+        s"[graft] wedgeCensus: fan-out budget $maxFanout dropped " +
+          s"$dropped apex node(s); wedge counts at those apexes are " +
+          "excluded (results are a declared under-count)")
+    val e1 = apexEdges.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = apexEdges.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
     val wedges = e1.join(e2, Seq("src"))
       .filter(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("b"), col("c"))
+      .select(col("src"), col("b"), col("c"))
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    WedgeCensus(deg, oriented, wedges, closing, dropped)
+  }
+
+  /** Exact triangle count + wedge count + global clustering coefficient
+    * (3·T/W) over an undirected simple graph given as distinct (u, v)
+    * pairs with u < v. Rides [[wedgeCensus]] (degree-ordered
+    * orientation, O(|E|^1.5) wedge bound). Each triangle {x ≺ y ≺ z} is
+    * counted exactly once, as a wedge at its smallest vertex closed by
+    * the (y, z) edge. No driver-side collection; wedge count is
+    * Σ C(deg, 2) straight off the node-sized degree frame. */
+  def triangleStats(pairsIn: DataFrame,
+      maxFanout: Long = Long.MaxValue): DataFrame = {
+    val cen = wedgeCensus(pairsIn, maxFanout)
     // left-semi keeps each wedge row that closes (multiplicity of the
     // wedge side is preserved — oriented edges are distinct, so one
     // match per row). shuffle_hash: the probe side is wedge-sized
     // (O(|E|^1.5) rows) — hashing the edge-sized build side beats
     // sort-merge's O(W log W) sort of the wedges, and unlike a
     // broadcast hint it still scales when |E| outgrows the driver
-    val tri = wedges.join(closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+    val tri = cen.wedges.select(col("b"), col("c"))
+      .join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
-    val wed = deg.agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
+    val wed = cen.deg
+      .agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
     tri.crossJoin(wed).select(col("triangles"), col("wedges"),
       ((col("triangles") * 3).cast("double") / col("wedges").cast("double"))
         .as("clustering"))
@@ -471,45 +528,28 @@ object Graph {
     * over an undirected simple graph given as distinct (u < v) pairs:
     * how close each node's neighborhood is to a clique — the top-K
     * nodes by (coefficient DESC, node) among nodes of degree ≥
-    * `minDeg`. Reuses [[triangleStats]]' degree-ordered orientation
-    * (wedge fan-out O(√|E|) per node, O(|E|^1.5) total regardless of
-    * hub skew), but the closing-edge probe keeps the wedge APEX so
+    * `minDeg`. Rides the same [[wedgeCensus]] as [[triangleStats]]
+    * (degree-ordered orientation, O(|E|^1.5) wedge bound, shared
+    * fan-out budget), but the closing-edge probe keeps the wedge APEX so
     * every triangle surfaces as one (x, y, z) row and credits all
     * three corners via a 3-way union + hash count — per-corner
     * credit, never a per-node neighborhood materialization. The final
     * coefficient is one double division of exactly-converted integers
     * (IEEE-identical across engines); (coefficient, node) is a total
     * order, so the limit is deterministic. */
-  def localClustering(pairsIn: DataFrame, minDeg: Long, topK: Int): DataFrame = {
-    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
-    val deg = pairs.select(col("u").as("node"))
-      .unionByName(pairs.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val du = deg.select(col("node").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val firstU = (col("du") < col("dv")) ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = pairs.join(du, Seq("u")).join(dv, Seq("v")).select(
-      when(firstU, col("u")).otherwise(col("v")).as("src"),
-      when(firstU, col("v")).otherwise(col("u")).as("dst"),
-      when(firstU, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint()
-    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
-    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("db") < col("dc") ||
-        (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("src"), col("b"), col("c"))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+  def localClustering(pairsIn: DataFrame, minDeg: Long, topK: Int,
+      maxFanout: Long = Long.MaxValue): DataFrame = {
+    val cen = wedgeCensus(pairsIn, maxFanout)
     // left-semi preserves the (src, b, c) triple — oriented edges are
     // distinct, so each closed wedge row IS one triangle, exactly once
-    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+    val tris = cen.wedges
+      .join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
       .localCheckpoint()
     val triCnt = tris.select(col("src").as("node"))
       .unionByName(tris.select(col("b").as("node")))
       .unionByName(tris.select(col("c").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-    deg.filter(col("deg") >= minDeg)
+    cen.deg.filter(col("deg") >= minDeg)
       .join(triCnt, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))

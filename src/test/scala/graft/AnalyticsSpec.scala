@@ -736,6 +736,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(gk.length == 2 && gk.forall(_._3 == 1.0), gk.toSeq.toString)
   }
 
+  test("wedgeCensus fan-out budget: over-budget apexes drop observably, " +
+      "at-budget census stays exact, both consumers degrade predictably") {
+    import graft.operators.Graph
+    // K4 oriented by (deg, id): all degrees 3, so every edge points from
+    // the smaller id. Oriented out-degrees: 1->3, 2->2, 3->1, 4->0.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    // budget 2 excludes exactly apex 1 (out-degree 3) and is observable
+    val capped = Graph.wedgeCensus(k4, maxFanout = 2L)
+    assert(capped.droppedApexes == 1L, capped.droppedApexes.toString)
+    // budget >= max out-degree trips nothing and stays exact
+    assert(Graph.wedgeCensus(k4, maxFanout = 3L).droppedApexes == 0L)
+    // predictable degradation: only wedges APEXED at 1 vanish; apex 2's
+    // wedge (3,4) still closes -> 1 of the 4 triangles survives. The
+    // wedge column is still the exact SigmaC(deg,2) = 12 off the degree
+    // frame (the budget bounds enumeration, not the degree census).
+    val tri = Graph.triangleStats(k4, maxFanout = 2L).collect().head
+    assert(tri.getLong(0) == 1L && tri.getLong(1) == 12L, tri.toString)
+    val triExact = Graph.triangleStats(k4, maxFanout = 3L).collect().head
+    assert(triExact.getLong(0) == 4L && triExact.getDouble(2) == 1.0,
+      triExact.toString)
+    // localClustering under the same budget: the surviving triangle
+    // (2,3,4) credits its three corners; node 1 keeps deg 3 but tri 0
+    val lcc = Graph.localClustering(k4, minDeg = 2L, topK = 10,
+        maxFanout = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(lcc.toSeq == Seq((2L, 1L, 1.0 / 3.0), (3L, 1L, 1.0 / 3.0),
+      (4L, 1L, 1.0 / 3.0), (1L, 0L, 0.0)), lcc.toSeq.toString)
+  }
+
   test("acf: linear series autocorrelates to exactly 1 at every lag; " +
       "constant series nulls; n shrinks with the lag") {
     import graft.operators.TimeSeries
