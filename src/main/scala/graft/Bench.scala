@@ -20,12 +20,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // At sf0.1 a static shuffle.partitions = cores is the right knob; at
+    // sf1+ it under-partitions the big shuffles. SPARK_GRAFT_INITIAL_PARTITIONS
+    // (recommended for sf1+: 4-8x cores) raises the AQE *initial* partition
+    // count instead — AQE coalesces small post-shuffle partitions back down,
+    // so small queries keep their low task count while big shuffles get
+    // real parallelism. This mirrors the production-cluster setting where
+    // initialPartitionNum is sized for the largest stage and AQE adapts.
+    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    initialParts.foreach { n =>
+      builder
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -47,16 +60,28 @@ object Bench {
     // times back-to-back and report the MEDIAN (plus the min, the best
     // throttle-free estimate). A failed query reports -1 (NOT a fake
     // elapsed time).
+    // Reps are INTERLEAVED (pass 1 of every query, then pass 2, ...), not
+    // back-to-back: round-6 post-mortem showed q_tpch_q5 measured 5.5 s on
+    // all 3 reps in the bench yet 0.7 s when its exact 38-query prefix was
+    // replayed — a host throttle window covered all three back-to-back reps
+    // (~17 s) and min==avg falsely read as "real". With passes separated by
+    // the full suite (~minutes apart) a throttle window can poison at most
+    // one rep of any query, so the per-query min survives it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }.sorted
+    val names = SparkEntry.queries.keys.toSeq
+    val timed = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 0 until reps; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
+      } catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
+      val times = timed.getOrElse(name, Nil).sorted
       name -> (if (times.isEmpty) (-1.0, -1.0)
                else (times(times.size / 2), times.head)) // (median, min)
-    }
+    }.toMap
 
     // ingest throughput + storage audit on the reference's own workload
     val nPoints = 1000000

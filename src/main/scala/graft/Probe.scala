@@ -38,6 +38,15 @@ object Probe {
         graft.operators.Graph.customerSupplierEdges(
           graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
         iters = 2, damping = 0.85)))
+    // "__order__" prints the bench Map-iteration order and exits — used to
+    // reproduce bench-context anomalies (a query can measure 5× slower in
+    // the bench than isolated purely from what ran before it).
+    if (names == "__order__") {
+      SparkEntry.queries.keys.zipWithIndex.foreach { case (k, i) =>
+        println(s"ORDER $i $k")
+      }
+      spark.stop(); return
+    }
     names.split(',').foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, extras(name))
       val times = (0 until reps).map { _ =>
