@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-up generator: `ScaleGen <srcSfDir> <outDir> <copies>`.
+  *
+  * Writes an N-times larger copy of a testdata sf dir for scale probes
+  * (the driver only materializes up to sf0.1). Method = N key-shifted
+  * copies of the scale-variant tables with FKs realigned per copy, dims
+  * left at one copy so broadcast sizes stay realistic:
+  *
+  *  - events: event_id/user_id shifted per copy, ts unshifted (N x density
+  *    per hour — same windows, more rows per window);
+  *  - orders/lineitem/customer/part/supplier: every TPC-H key
+  *    (orderkey, custkey, partkey, suppkey) shifted per copy and the
+  *    dims replicated with matching shifts — TPC-H itself grows part/
+  *    supplier/customer linearly with SF, and disjoint key spaces keep
+  *    the co-purchase graph N disjoint copies (scale-OUT, not
+  *    densification — graph work then scales exactly N x, the shape the
+  *    10x/100x growth probes need). nation/region stay fixed (25/5 at
+  *    every TPC-H SF), so c_nationkey/s_nationkey are unshifted;
+  *  - documents: doc_id shifted AND the text passed through a per-copy
+  *    alphabet-rotation cipher (`translate`). Round 6's plain duplication
+  *    made every doc a 10-twin near-dup, so pair counts grew
+  *    quadratically in the copy factor — a data artifact, not a plan
+  *    property. The cipher keeps length/token structure identical but
+  *    makes shingles disjoint across copies, so near-dup density per doc
+  *    stays flat while corpus size scales: the honest neardup-stress
+  *    shape.
+  *  - embeddings: vec_id shifted, vector elements ROTATED by copy index
+  *    (norm-preserving, cosine between rotations is ~random) so ANN/
+  *    near-dup candidate density also stays flat.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesS) = args
+    val copies = copiesS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rotAlpha(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
+
+    // one unioned frame per table: copy k gets its keys shifted by
+    // k * 10^9 (far above any real key) and its content perturbed
+    def scaled(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = graft.sources.Tables.load(spark, src, t)
+      val all = (0 until copies).map(k => f(base, k)).reduce(_ unionAll _)
+      all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SCALEGEN $t x$copies -> $out")
+    }
+    val shift = 1000000000L
+
+    scaled("events") { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * shift))
+        .withColumn("user_id", col("user_id") + lit(k * shift))
+    }
+    scaled("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * shift))
+    }
+    scaled("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * shift))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * shift))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * shift))
+    }
+    scaled("customer") { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * shift))
+    }
+    scaled("part") { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * shift))
+    }
+    scaled("supplier") { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * shift))
+    }
+    scaled("documents") { (df, k) =>
+      df.withColumn("doc_id", col("doc_id") + lit(k * shift))
+        .withColumn("text",
+          translate(col("text"), lower + upper,
+            rotAlpha(lower, k) + rotAlpha(upper, k)))
+    }
+    scaled("embeddings") { (df, k) =>
+      val dims = 64 // testdata embedding width
+      val rot = k % dims
+      df.withColumn("vec_id", col("vec_id") + lit(k * shift))
+        .withColumn("embedding",
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dims - rot),
+            slice(col("embedding"), 1, rot)))
+    }
+    // fixed dims: single copy, verbatim (25/5 rows at every TPC-H SF)
+    Seq("nation", "region").foreach { t =>
+      graft.sources.Tables.load(spark, src, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SCALEGEN $t x1 -> $out")
+    }
+    spark.stop()
+  }
+}
