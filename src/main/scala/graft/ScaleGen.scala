@@ -47,7 +47,16 @@ object ScaleGen {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rotAlpha(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
+    // per-copy AFFINE cipher i -> a*i + b (mod 26), a coprime to 26:
+    // 12 x 26 = 312 distinct letter permutations, so copies stay
+    // shingle-disjoint up to x312 (a plain rotation repeats at 26 and
+    // would reintroduce near-dup twins in a 100-copy stress set)
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(s: String, k: Int): String = {
+      val a = coprimes((k / 26) % coprimes.size)
+      val b = k % 26
+      s.indices.map(i => s((a * i + b) % 26)).mkString
+    }
 
     // one unioned frame per table: copy k gets its keys shifted by
     // k * 10^9 (far above any real key) and its content perturbed
@@ -85,16 +94,22 @@ object ScaleGen {
       df.withColumn("doc_id", col("doc_id") + lit(k * shift))
         .withColumn("text",
           translate(col("text"), lower + upper,
-            rotAlpha(lower, k) + rotAlpha(upper, k)))
+            affine(lower, k) + affine(upper, k)))
     }
     scaled("embeddings") { (df, k) =>
       val dims = 64 // testdata embedding width
       val rot = k % dims
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dims - rot),
+          slice(col("embedding"), 1, rot))
+      // negate alternate rotation cycles: 128 distinct norm-preserving
+      // variants (rotation alone repeats at 64 — twins at a 100-copy set)
+      val variant =
+        if ((k / dims) % 2 == 0) rotated
+        else transform(rotated, e => -e)
       df.withColumn("vec_id", col("vec_id") + lit(k * shift))
-        .withColumn("embedding",
-          if (rot == 0) col("embedding")
-          else concat(slice(col("embedding"), rot + 1, dims - rot),
-            slice(col("embedding"), 1, rot)))
+        .withColumn("embedding", variant)
     }
     // fixed dims: single copy, verbatim (25/5 rows at every TPC-H SF)
     Seq("nation", "region").foreach { t =>
