@@ -416,24 +416,67 @@ object Graph {
     WedgeCensus(deg, oriented, wedges, closing, dropped)
   }
 
+  /** Exact closing-edge probe of a wedge stream: which (src, b, c)
+    * wedges have the (b, c) edge? The closing side is |E| rows while
+    * the wedge side is O(|E|^1.5), and without intervention the
+    * semi-join's exchange writes the FULL wedge stream to shuffle —
+    * the one super-linear BYTE volume in the census (~8 B/row
+    * compressed ≈ 120 GB at a 120 M-edge graph; the wedge COMPUTE is
+    * inherent, the wedge SHUFFLE is not). Fix: a Bloom filter built
+    * over xxhash64(b, c) of the edge-sized closing side (fpp 1 % ≈
+    * 9.6 bits/edge) prefilters the wedge stream INSIDE the wedge
+    * join's codegen span, before the exchange — only true triangles
+    * plus an fpp-fraction of wedges ever hit the wire, and the exact
+    * semi-join afterwards kills the bloom's false positives, so the
+    * result is bit-identical to the unfiltered probe (same pattern as
+    * [[Dedup.bloomContaminatedDocs]]). shuffle_hash on the exact join:
+    * hashing the edge-sized build side beats sort-merge's sort of the
+    * candidate stream, without a broadcast hint's driver ceiling.
+    * Above `maxBloomEdges` the bloom itself outgrows the driver and
+    * is skipped with a log line — at that |E| a cluster's aggregate
+    * shuffle capacity is the right tool, and the plan degrades to the
+    * plain (still exact) shuffle_hash probe, never silently. */
+  private[graft] def closedWedges(cen: WedgeCensus,
+      maxBloomEdges: Long = 500000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val nEdges = cen.oriented.count() // one cheap job: localCheckpointed
+    val candidates =
+      if (nEdges == 0L || nEdges > maxBloomEdges) {
+        if (nEdges > maxBloomEdges)
+          System.err.println(s"[graft] closedWedges: $nEdges edges " +
+            s"exceed bloom budget $maxBloomEdges; probing without " +
+            "prefilter (exact, but full wedge shuffle)")
+        cen.wedges
+      } else {
+        val bf = cen.closing
+          .select(xxhash64(col("b"), col("c")).as("h"))
+          .stat.bloomFilter("h", nEdges, 0.01)
+        val bytes = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bytes)
+        val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+          Literal(bytes.toByteArray),
+          GraftColumnBridge.expression(xxhash64(col("b"), col("c")))))
+        cen.wedges.filter(mightContain)
+      }
+    // left-semi keeps each wedge row that closes (multiplicity of the
+    // wedge side is preserved — oriented edges are distinct, so one
+    // match per row)
+    candidates.join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+  }
+
   /** Exact triangle count + wedge count + global clustering coefficient
     * (3·T/W) over an undirected simple graph given as distinct (u, v)
     * pairs with u < v. Rides [[wedgeCensus]] (degree-ordered
     * orientation, O(|E|^1.5) wedge bound). Each triangle {x ≺ y ≺ z} is
     * counted exactly once, as a wedge at its smallest vertex closed by
-    * the (y, z) edge. No driver-side collection; wedge count is
-    * Σ C(deg, 2) straight off the node-sized degree frame. */
+    * the (y, z) edge — via [[closedWedges]]' bloom-prefiltered probe.
+    * No driver-side collection; wedge count is Σ C(deg, 2) straight off
+    * the node-sized degree frame. */
   def triangleStats(pairsIn: DataFrame,
       maxFanout: Long = Long.MaxValue): DataFrame = {
     val cen = wedgeCensus(pairsIn, maxFanout)
-    // left-semi keeps each wedge row that closes (multiplicity of the
-    // wedge side is preserved — oriented edges are distinct, so one
-    // match per row). shuffle_hash: the probe side is wedge-sized
-    // (O(|E|^1.5) rows) — hashing the edge-sized build side beats
-    // sort-merge's O(W log W) sort of the wedges, and unlike a
-    // broadcast hint it still scales when |E| outgrows the driver
-    val tri = cen.wedges.select(col("b"), col("c"))
-      .join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+    val tri = closedWedges(cen)
       .agg(count(lit(1)).as("triangles"))
     val wed = cen.deg
       .agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
@@ -540,11 +583,9 @@ object Graph {
   def localClustering(pairsIn: DataFrame, minDeg: Long, topK: Int,
       maxFanout: Long = Long.MaxValue): DataFrame = {
     val cen = wedgeCensus(pairsIn, maxFanout)
-    // left-semi preserves the (src, b, c) triple — oriented edges are
+    // closedWedges preserves the (src, b, c) triple — oriented edges are
     // distinct, so each closed wedge row IS one triangle, exactly once
-    val tris = cen.wedges
-      .join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
-      .localCheckpoint()
+    val tris = closedWedges(cen).localCheckpoint()
     val triCnt = tris.select(col("src").as("node"))
       .unionByName(tris.select(col("b").as("node")))
       .unionByName(tris.select(col("c").as("node")))

@@ -766,6 +766,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (4L, 1L, 1.0 / 3.0), (1L, 0L, 0.0)), lcc.toSeq.toString)
   }
 
+  test("closedWedges bloom prefilter: bit-identical to the unfiltered " +
+      "probe, and the over-budget fallback skips the bloom observably") {
+    import graft.operators.Graph
+    // irregular graph: K4 on {1..4} + triangle {10,11,12} + pendant
+    // chain 4-20-21 — mixes closing and non-closing wedges so the bloom
+    // actually has rows to pass AND to drop
+    val g = ((for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L), (4L, 20L), (20L, 21L)))
+      .toDF("u", "v")
+    val cen = Graph.wedgeCensus(g)
+    val bloomed = Graph.closedWedges(cen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // maxBloomEdges = 0 forces the no-bloom path (every edge count
+    // exceeds a zero budget) — the exact semi-join alone
+    val plain = Graph.closedWedges(cen, maxBloomEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(bloomed.toSeq == plain.toSeq, s"bloom=${bloomed.toSeq} " +
+      s"plain=${plain.toSeq}")
+    // 5 triangles total: 4 in K4 + 1 in {10,11,12}
+    assert(bloomed.length == 5, bloomed.toSeq.toString)
+  }
+
   test("acf: linear series autocorrelates to exactly 1 at every lag; " +
       "constant series nulls; n shrinks with the lag") {
     import graft.operators.TimeSeries
