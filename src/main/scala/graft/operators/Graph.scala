@@ -432,17 +432,31 @@ object Graph {
     * [[Dedup.bloomContaminatedDocs]]). shuffle_hash on the exact join:
     * hashing the edge-sized build side beats sort-merge's sort of the
     * candidate stream, without a broadcast hint's driver ceiling.
-    * Above `maxBloomEdges` the bloom itself outgrows the driver and
-    * is skipped with a log line — at that |E| a cluster's aggregate
-    * shuffle capacity is the right tool, and the plan degrades to the
-    * plain (still exact) shuffle_hash probe, never silently. */
+    * The bloom pays off only when the wedge stream dwarfs the edge
+    * set: below `minBloomWedges` (upper-bounded cheaply as Σ C(deg,2)
+    * off the node-sized degree frame) the wedge shuffle is small and
+    * the per-wedge hash+probe would cost more than it saves, so the
+    * prefilter is skipped. Above `maxBloomEdges` the bloom itself
+    * outgrows the driver and is skipped with a log line — at that |E|
+    * a cluster's aggregate shuffle capacity is the right tool, and the
+    * plan degrades to the plain (still exact) shuffle_hash probe,
+    * never silently. */
   private[graft] def closedWedges(cen: WedgeCensus,
-      maxBloomEdges: Long = 500000000L): DataFrame = {
+      maxBloomEdges: Long = 500000000L,
+      minBloomWedges: Long = 256000000L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val nEdges = cen.oriented.count() // one cheap job: localCheckpointed
+    // wedge-volume upper bound: one node-sized agg off the checkpointed
+    // degree frame (the ORIENTED volume is smaller still, so skipping
+    // under this bound never skips a case that needed the bloom)
+    val nWedges =
+      if (minBloomWedges == 0L) Long.MaxValue
+      else Option(cen.deg.agg(sum(expr("deg * (deg - 1) div 2")))
+        .head.get(0)).fold(0L)(_.asInstanceOf[Long])
     val candidates =
-      if (nEdges == 0L || nEdges > maxBloomEdges) {
+      if (nEdges == 0L || nEdges > maxBloomEdges ||
+          nWedges < minBloomWedges) {
         if (nEdges > maxBloomEdges)
           System.err.println(s"[graft] closedWedges: $nEdges edges " +
             s"exceed bloom budget $maxBloomEdges; probing without " +

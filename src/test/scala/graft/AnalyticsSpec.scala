@@ -776,7 +776,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       Seq((10L, 11L), (10L, 12L), (11L, 12L), (4L, 20L), (20L, 21L)))
       .toDF("u", "v")
     val cen = Graph.wedgeCensus(g)
-    val bloomed = Graph.closedWedges(cen)
+    // minBloomWedges = 0 forces the bloom ON despite the tiny wedge
+    // volume (the default gate would skip it below 256 M wedges)
+    val bloomed = Graph.closedWedges(cen, minBloomWedges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     // maxBloomEdges = 0 forces the no-bloom path (every edge count
     // exceeds a zero budget) — the exact semi-join alone
