@@ -76,6 +76,11 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).count()
         timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
       } catch { case _: Throwable => () }
+      // drop any cached blocks (localCheckpoints etc.) the query left
+      // behind: nothing is shared across queries, and at sf1+ the
+      // accumulated pins from 189 queries otherwise eat the heap
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     val results = names.map { name =>
       val times = timed.getOrElse(name, Nil).sorted

@@ -52,7 +52,12 @@ object Probe {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release cached blocks between reps — reps share nothing, and
+        // pinned leftovers at sf10 OOM the session before rep 2
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }.sorted
       println(f"PROBE $name%-24s median=${times(times.size / 2)}%.3f " +
         f"min=${times.head}%.3f max=${times.last}%.3f reps=$reps")

@@ -322,6 +322,8 @@ object Dedup {
             coalesce(col("plab"), col("lab"))).as("lab2"))
         .localCheckpoint(true)
       changed = stepped.filter(col("lab2") < col("lab")).count()
+      // stepped is materialized: the prior round's label blocks are dead
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(labels)
       labels = stepped.select(col("doc_id"), col("lab2").as("lab"))
     }
     labels.select(col("doc_id"), col("lab").as("cluster_id"))

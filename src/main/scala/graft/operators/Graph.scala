@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge.{releaseLocalCheckpoint => release}
 
 /** Iterative graph analytics over relational edge sets — the second graph
   * operator family next to [[Dedup.dedupClusters]]' connected components:
@@ -102,27 +103,37 @@ object Graph {
     // pr(src) div outdeg(src) built by joining the sums onto the outdeg
     // frame (|V|⋈|V|). A node absent from the sums (no in-edges) holds
     // the CONSTANT rank baseFx — coalesce completes it. The only |E|
-    // touch per iteration is e2 ⋈ crate, which AQE broadcasts while
-    // crate fits (billions of nodes: sort-merge against the already
+    // touch per iteration is e2 ⋈ crate, broadcast under the count-
+    // gated [[BroadcastNodeBudget]] — |V| = n is known EXACTLY here,
+    // and the 10 MB estimator default flips this join to per-iteration
+    // sort-merge passes over |E| a few million nodes too early
+    // (billions of nodes: sort-merge against the already
     // src-partitioned e2, still no |E| re-shuffle). Iteration 1 is
     // edge-join-lean outright: uniform pr₀ divides outdeg directly.
+    def maybeB(v: DataFrame): DataFrame =
+      if (n <= BroadcastNodeBudget) v.hint("broadcast") else v
     var crate = outdeg.select(col("src"),
       expr(s"CAST(${OneFx / n} AS BIGINT) div outdeg").as("crate"))
-    var sums = e2.join(crate, Seq("src"))
+    var sums = e2.join(maybeB(crate), Seq("src"))
       .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
+    var sumsCk: DataFrame = null
     for (i <- 1 until iters) {
       crate = outdeg
         .join(sums.withColumnRenamed("dst", "src"), Seq("src"), "left")
         .select(col("src"), expr(
           s"(CAST($baseFx AS BIGINT) + ${damped("msum")}) div outdeg")
           .as("crate"))
-      sums = e2.join(crate, Seq("src"))
+      sums = e2.join(maybeB(crate), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
       // lineage here grows LINEARLY (each step references e2/outdeg and
       // the previous sums once), so a full materialization job per step
       // costs more than it saves — checkpoint only every 4th step to
       // bound plan depth / compile time for high iteration counts
-      if (i % 4 == 3 && i != iters - 1) sums = sums.localCheckpoint()
+      if (i % 4 == 3 && i != iters - 1) {
+        sums = sums.localCheckpoint()
+        if (sumsCk != null) release(sumsCk) // the prior periodic
+        sumsCk = sums // checkpoint is 4 rounds stale: drop its blocks
+      }
     }
     // symmetric graphs have no message-less node, so the sums frame IS
     // the answer; otherwise complete with the constant-rank nodes
@@ -176,6 +187,7 @@ object Graph {
       .filter(col("crate") =!= 0L) // the frontier filter
     var sums = e2.join(crate, Seq("src"))
       .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
+    var sumsCk: DataFrame = null
     for (i <- 1 until iters) {
       crate = outdeg
         .join(sums.withColumnRenamed("dst", "src"), Seq("src"), "left")
@@ -186,7 +198,11 @@ object Graph {
         .filter(col("crate") =!= 0L)
       sums = e2.join(crate, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("crate")).as("msum"))
-      if (i % 4 == 3 && i != iters - 1) sums = sums.localCheckpoint()
+      if (i % 4 == 3 && i != iters - 1) {
+        sums = sums.localCheckpoint()
+        if (sumsCk != null) release(sumsCk) // the prior periodic
+        sumsCk = sums // checkpoint is 4 rounds stale: drop its blocks
+      }
     }
     nodesDf
       .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
@@ -221,13 +237,23 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      if (next.isEmpty) { done = true; release(next) }
       else {
+        val prevVisited = visited
         visited = visited.unionByName(next).localCheckpoint()
+        release(prevVisited) // folded into the new checkpoint above
+        // a frontier backed by a prior round's `next` is superseded;
+        // round 1's frontier is a view on the initial visited, whose
+        // blocks release(prevVisited) just handled
+        if (h > 1) release(frontier)
         frontier = next.select(col("node"))
         h += 1
       }
     }
+    // the last `next`-backed frontier backs nothing the caller sees —
+    // visited is its own checkpoint (h == 1 means frontier still views
+    // the LIVE initial visited: leave it)
+    if (h > 1) release(frontier)
     visited
   }
 
@@ -288,9 +314,11 @@ object Graph {
     for (_ <- 1 to rounds) {
       val cand = e2.join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
       dist = dist.unionByName(cand)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      release(prev) // eager checkpoint above: prev round's blocks are dead
     }
     dist
   }
@@ -315,23 +343,38 @@ object Graph {
     // semi joins (node-sized build sides, AQE-sized off the agg stage;
     // src partitioning survives, the degree agg stays exchange-free)
     // and only NODE-sized survivor frames ever materialize
-    def restrict(s: DataFrame): DataFrame =
-      e0.join(s, Seq("src"), "left_semi")
-        .join(s.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    // The survivor count is already known exactly (the fixed-point
+    // check counts it), so the build-side choice is made from REAL
+    // cardinality, not estimator stats: under the budget the survivor
+    // set is hinted broadcast — one pass over the src-partitioned edge
+    // blocks, zero exchange — because the default 10 MB threshold
+    // silently flips these semi-joins to sort-merge once |V| passes a
+    // few million (measured 81× at the 100× stress set); beyond the
+    // budget SMJ is the right plan and the hint is withheld.
+    def restrict(s: DataFrame, n: Long): DataFrame = {
+      val sb = if (n <= BroadcastNodeBudget) s.hint("broadcast") else s
+      e0.join(sb, Seq("src"), "left_semi")
+        .join(sb.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    }
     var kept: DataFrame = null
     var prevN = -1L
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      val e = if (kept == null) e0 else restrict(kept)
+      val e = if (kept == null) e0 else restrict(kept, prevN)
       val next = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src")).localCheckpoint()
       val n = next.count()
-      if (n == prevN) done = true // nothing peeled: fixed point
-      else { kept = next; prevN = n }
+      if (n == prevN) { // nothing peeled: fixed point
+        done = true
+        release(next) // identical to kept — drop the duplicate blocks
+      } else {
+        if (kept != null) release(kept) // next is materialized: the old
+        kept = next; prevN = n          // survivor blocks are superseded
+      }
       r += 1
     }
-    val eFinal = if (kept == null) e0 else restrict(kept)
+    val eFinal = if (kept == null) e0 else restrict(kept, prevN)
     eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
@@ -529,9 +572,11 @@ object Graph {
       val best = cnt.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("b"))
         .select(col("dst").as("node"), (-col("b.nl")).as("newlab"))
+      val prev = labels
       labels = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
         .localCheckpoint()
+      release(prev) // round 1's prev is the nodes view — no-op there
     }
     labels
   }
@@ -654,6 +699,14 @@ object Graph {
     * 10⁻¹² units — exact under integer division, headroom for 10⁶-way
     * sums under Long.MaxValue. */
   val RaFx = 1000000000000L
+
+  /** Node-frame broadcast budget for count-gated join hints: 8 M keys
+    * ≈ 300 MB hashed — comfortable on any executor sized for this
+    * workload, far above the 10 MB default threshold that flips
+    * node⋈edge joins to sort-merge long before broadcast stops being
+    * the right plan. Gated on EXACT counts the iterative operators
+    * already compute, never on estimator stats. */
+  val BroadcastNodeBudget = 8000000L
 
   /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
     * whole graph's mass with 9× headroom under Long.MaxValue). */

@@ -14,6 +14,20 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Release the cached blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries (`.persist`/
+    * `.cache`); a local checkpoint persists the UNDERLYING RDD directly,
+    * so iterative operators that re-checkpoint per round would otherwise
+    * pin every superseded round's blocks for the life of the session —
+    * a real leak on a long-running cluster job. No-op on frames that
+    * aren't checkpoint-backed. */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Idempotently register an extra planner strategy on a live session. */
   def addStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
