@@ -563,9 +563,17 @@ object Graph {
       .repartition(col("src")).localCheckpoint()
     val nodes = e2.select(col("src").as("node"))
       .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // |V| is exact off the checkpointed node frame: broadcast the
+    // node-sized label frame into the edge join under the count-gated
+    // budget (the 10 MB estimator default flips this to a per-round
+    // sort-merge over |E| a few million nodes too early), sort-merge
+    // beyond — same rule as kCore/pageRank
+    val bcastLabels = nodes.count() <= BroadcastNodeBudget
+    def maybeB(v: DataFrame): DataFrame =
+      if (bcastLabels) v.hint("broadcast") else v
     var labels = nodes.select(col("node"), col("node").as("lab"))
     for (_ <- 1 to rounds) {
-      val cnt = e2.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      val cnt = e2.join(maybeB(labels).withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
       // argmax by (cnt, −lab): highest count, then smallest label —
       // one associative struct-max, no collect_list, no window
