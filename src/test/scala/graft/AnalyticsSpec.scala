@@ -766,6 +766,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (4L, 1L, 1.0 / 3.0), (1L, 0L, 0.0)), lcc.toSeq.toString)
   }
 
+  test("releaseLocalCheckpoint frees the blocks behind a checkpointed " +
+      "frame and is a no-op on plain frames") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val ck = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
+    assert(sc.getPersistentRDDs.size == before + 1)
+    GraftColumnBridge.releaseLocalCheckpoint(ck)
+    // the registry entry is dropped synchronously (only block deletion
+    // is async under blocking = false)
+    assert(sc.getPersistentRDDs.size == before)
+    // derived frames release their backing checkpoint too (the loop
+    // pattern: labels = checkpointed.select(...))
+    val ck2 = Seq(4L).toDF("x").localCheckpoint()
+    GraftColumnBridge.releaseLocalCheckpoint(ck2.select(col("x") + 1))
+    assert(sc.getPersistentRDDs.size == before)
+    // plain (never-persisted) frames: no-op, no throw
+    GraftColumnBridge.releaseLocalCheckpoint(Seq(5L).toDF("x"))
+  }
+
   test("closedWedges bloom prefilter: bit-identical to the unfiltered " +
       "probe, and the over-budget fallback skips the bloom observably") {
     import graft.operators.Graph
