@@ -71,16 +71,21 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val timed = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 0 until reps; name <- names) {
+      // snapshot the persisted-RDD ids BEFORE the query, and release only
+      // the DELTA after: drops each query's leftover localCheckpoints
+      // (at sf1+ the accumulated pins from 189 queries eat the heap)
+      // without touching blocks persisted outside this query — a blanket
+      // unpersist would make any intentionally shared cache silently
+      // recompute, and a still-referenced localCheckpoint unrecoverable
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
       } catch { case _: Throwable => () }
-      // drop any cached blocks (localCheckpoints etc.) the query left
-      // behind: nothing is shared across queries, and at sf1+ the
-      // accumulated pins from 189 queries otherwise eat the heap
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false) }
     }
     val results = names.map { name =>
       val times = timed.getOrElse(name, Nil).sorted

@@ -50,13 +50,16 @@ object Probe {
     names.split(',').foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, extras(name))
       val times = (0 until reps).map { _ =>
+        // release only the rep's OWN leftovers (snapshot/delta, same
+        // discipline as Bench) — reps share nothing, and pinned
+        // leftovers at sf10 OOM the session before rep 2
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        // release cached blocks between reps — reps share nothing, and
-        // pinned leftovers at sf10 OOM the session before rep 2
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!before.contains(id)) rdd.unpersist(blocking = false) }
         dt
       }.sorted
       println(f"PROBE $name%-24s median=${times(times.size / 2)}%.3f " +

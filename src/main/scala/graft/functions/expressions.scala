@@ -174,6 +174,61 @@ case class TimeBucket(child: Expression, widthUs: Long)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe against a TORRENT-BROADCAST filter —
+  * the scale-safe form of Spark's `BloomFilterMightContain(Literal(bytes),
+  * h)`. A literal bloom is copied on the driver (source array → Literal →
+  * serialized plan) and shipped inside every stage's task binary, so a
+  * hundreds-of-MB filter multiplies across driver copies and stages —
+  * that driver ceiling is exactly what capped the wedge-census prefilter
+  * ([[graft.operators.Graph.closedWedges]]) at 500 M edges. Here the
+  * expression carries only the `Broadcast` HANDLE (a few bytes in the
+  * task binary); the filter bits travel once per executor over the
+  * torrent protocol and are cached in a generated-class field, so the
+  * driver holds exactly one copy and every probe is a field read +
+  * `mightContainLong` inside the enclosing whole-stage-codegen span.
+  * `BloomFilter.mightContainLong` only reads the bit array — safe under
+  * concurrent task threads. Child must be a LONG hash (xxhash64). */
+case class BroadcastBloomMightContain(
+    bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter],
+    child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_might_contain needs a LONG hash child, got $other")
+    }
+
+  // interpreted path: resolve the broadcast once per (deserialized)
+  // expression instance, not per row
+  @transient private lazy val bloom = bloomBc.value
+
+  override def nullSafeEval(h: Any): Any =
+    bloom.mightContainLong(h.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    // one .value() per generated-class instance (≈ per task), cached in a
+    // field so the per-row probe never touches the broadcast manager
+    val bloomTerm = ctx.addMutableState(bloomCls, "graftBloom",
+      v => s"$v = ($bloomCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = $bloomTerm.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BroadcastBloomMightContain =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Codegen'd sequential dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge.{releaseLocalCheckpoint => release}
 
@@ -356,27 +356,38 @@ object Graph {
       e0.join(sb, Seq("src"), "left_semi")
         .join(sb.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
     }
-    var kept: DataFrame = null
+    // each round checkpoints the DEGREE frame (node-sized) and derives
+    // the survivor set as a narrow filter view over it — so when the
+    // fixed point is detected, that round's degree checkpoint IS the
+    // answer (at the fixed point every surviving src has deg ≥ k, so
+    // the unfiltered degree frame equals the final restriction's
+    // degrees) and no extra restrict + |E|-pass agg is needed on exit
+    var kept: DataFrame = null    // survivor view over the latest degree checkpoint
+    var lastDeg: DataFrame = null // that checkpoint (set when the fixed point hits)
     var prevN = -1L
     var r = 0
-    var done = false
-    while (r < maxRounds && !done) {
+    while (r < maxRounds && lastDeg == null) {
       val e = if (kept == null) e0 else restrict(kept, prevN)
-      val next = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src")).localCheckpoint()
+      val degF = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val next = degF.filter(col("deg") >= k).select(col("src"))
       val n = next.count()
-      if (n == prevN) { // nothing peeled: fixed point
-        done = true
-        release(next) // identical to kept — drop the duplicate blocks
+      if (n == prevN) { // nothing peeled: fixed point — degF is the answer
+        if (kept != null) release(kept) // prior round's checkpoint superseded
+        lastDeg = degF
       } else {
-        if (kept != null) release(kept) // next is materialized: the old
-        kept = next; prevN = n          // survivor blocks are superseded
+        if (kept != null) release(kept) // next is materialized (via degF):
+        kept = next; prevN = n          // the old round's blocks are superseded
       }
       r += 1
     }
-    val eFinal = if (kept == null) e0 else restrict(kept, prevN)
-    eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
+    val result =
+      if (lastDeg != null) lastDeg // fixed-point exit: zero extra passes
+      else { // round cap hit before convergence: one final restriction
+        val eFinal = if (kept == null) e0 else restrict(kept, prevN)
+        eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      }
+    result.select(col("src").as("node"), col("deg"))
   }
 
   /** The oriented-wedge census shared by [[triangleStats]] and
@@ -479,16 +490,29 @@ object Graph {
     * set: below `minBloomWedges` (upper-bounded cheaply as Σ C(deg,2)
     * off the node-sized degree frame) the wedge shuffle is small and
     * the per-wedge hash+probe would cost more than it saves, so the
-    * prefilter is skipped. Above `maxBloomEdges` the bloom itself
-    * outgrows the driver and is skipped with a log line — at that |E|
-    * a cluster's aggregate shuffle capacity is the right tool, and the
-    * plan degrades to the plain (still exact) shuffle_hash probe,
-    * never silently. */
+    * prefilter is skipped.
+    *
+    * Delivery is a TORRENT BROADCAST, not a plan literal
+    * ([[graft.functions.BroadcastBloomMightContain]]): the filter is
+    * built distributed (`stat.bloomFilter` merges partial blooms on
+    * executors), the driver holds exactly ONE merged copy, and tasks
+    * carry only the broadcast handle — no literal re-copied into every
+    * stage's task binary. That converts the old fixed 500 M-edge driver
+    * ceiling into a HEAP-PROPORTIONAL budget ([[bloomEdgeBudget]]:
+    * ~1.2 B/edge at 1 % fpp, ≤ 10 % of driver max heap, conf
+    * `spark.graft.bloom.maxEdges` to pin it): a 64 g driver clears
+    * ~5 B edges. Above the budget the bloom genuinely cannot fit one
+    * driver merge and is skipped with a log line — the plan degrades
+    * to the plain (still exact) shuffle_hash probe, never silently;
+    * at that |E| shard the graph or grow the driver. */
   private[graft] def closedWedges(cen: WedgeCensus,
-      maxBloomEdges: Long = 500000000L,
+      maxBloomEdges: Long = -1L,
       minBloomWedges: Long = 256000000L): DataFrame = {
+    import graft.functions.BroadcastBloomMightContain
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val edgeBudget =
+      if (maxBloomEdges >= 0L) maxBloomEdges
+      else bloomEdgeBudget(cen.oriented.sparkSession)
     val nEdges = cen.oriented.count() // one cheap job: localCheckpointed
     // wedge-volume upper bound: one node-sized agg off the checkpointed
     // degree frame (the ORIENTED volume is smaller still, so skipping
@@ -498,22 +522,23 @@ object Graph {
       else Option(cen.deg.agg(sum(expr("deg * (deg - 1) div 2")))
         .head.get(0)).fold(0L)(_.asInstanceOf[Long])
     val candidates =
-      if (nEdges == 0L || nEdges > maxBloomEdges ||
+      if (nEdges == 0L || nEdges > edgeBudget ||
           nWedges < minBloomWedges) {
-        if (nEdges > maxBloomEdges)
+        if (nEdges > edgeBudget)
           System.err.println(s"[graft] closedWedges: $nEdges edges " +
-            s"exceed bloom budget $maxBloomEdges; probing without " +
+            s"exceed bloom budget $edgeBudget; probing without " +
             "prefilter (exact, but full wedge shuffle)")
         cen.wedges
       } else {
         val bf = cen.closing
           .select(xxhash64(col("b"), col("c")).as("h"))
           .stat.bloomFilter("h", nEdges, 0.01)
-        val bytes = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bytes)
-        val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
-          Literal(bytes.toByteArray),
-          GraftColumnBridge.expression(xxhash64(col("b"), col("c")))))
+        // torrent-broadcast the merged filter: tasks get a handle, the
+        // bits move once per executor (the ContextCleaner reclaims the
+        // broadcast when the expression is GC'd after the query)
+        val bc = cen.oriented.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = GraftColumnBridge.column(BroadcastBloomMightContain(
+          bc, GraftColumnBridge.expression(xxhash64(col("b"), col("c")))))
         cen.wedges.filter(mightContain)
       }
     // left-semi keeps each wedge row that closes (multiplicity of the
@@ -584,7 +609,10 @@ object Graph {
       labels = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
         .localCheckpoint()
-      release(prev) // round 1's prev is the nodes view — no-op there
+      // round 1's prev is a Project over `nodes`, so this DOES release
+      // the nodes checkpoint — intentional: nodes is dead once the first
+      // eager labels checkpoint exists (don't reuse `nodes` after this)
+      release(prev)
     }
     labels
   }
@@ -708,13 +736,31 @@ object Graph {
     * sums under Long.MaxValue. */
   val RaFx = 1000000000000L
 
-  /** Node-frame broadcast budget for count-gated join hints: 8 M keys
-    * ≈ 300 MB hashed — comfortable on any executor sized for this
-    * workload, far above the 10 MB default threshold that flips
-    * node⋈edge joins to sort-merge long before broadcast stops being
-    * the right plan. Gated on EXACT counts the iterative operators
-    * already compute, never on estimator stats. */
-  val BroadcastNodeBudget = 8000000L
+  /** Node-frame broadcast budget for count-gated join hints — far above
+    * the 10 MB default threshold that flips node⋈edge joins to
+    * sort-merge long before broadcast stops being the right plan
+    * (measured 81× at the 100× stress set). Gated on EXACT counts the
+    * iterative operators already compute, never on estimator stats.
+    * The hint bypasses every Spark size safeguard, so the budget is NOT
+    * a fixed constant: at most 8 M keys (≈ 300 MB hashed) AND at most
+    * what ~4 % of this JVM's max heap can hash at ~40 B/key — a 1 g
+    * driver gets ~1 M keys, a 64 g bench host the full 8 M. Pin it with
+    * conf `spark.graft.broadcastNodeBudget` (keys). */
+  val BroadcastNodeBudget: Long = {
+    val conf = sys.props.get("spark.graft.broadcastNodeBudget")
+      .orElse(sys.env.get("SPARK_GRAFT_BROADCAST_NODE_BUDGET"))
+    conf.map(_.toLong).getOrElse(
+      math.min(8000000L, Runtime.getRuntime.maxMemory / 25 / 40))
+  }
+
+  /** Edge budget for [[closedWedges]]' broadcast bloom prefilter, sized
+    * from the DRIVER heap: the filter is built distributed, but its one
+    * merged copy (plus the broadcast manager's serialized blocks) lives
+    * on the driver. ~9.6 bits/edge at 1 % fpp ≈ 1.2 B/edge, allowed
+    * ≤ 10 % of max heap; conf `spark.graft.bloom.maxEdges` pins it. */
+  private[graft] def bloomEdgeBudget(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bloom.maxEdges").map(_.toLong)
+      .getOrElse((Runtime.getRuntime.maxMemory / 10 / 1.2).toLong)
 
   /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
     * whole graph's mass with 9× headroom under Long.MaxValue). */

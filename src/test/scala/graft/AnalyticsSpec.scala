@@ -798,7 +798,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val cen = Graph.wedgeCensus(g)
     // minBloomWedges = 0 forces the bloom ON despite the tiny wedge
     // volume (the default gate would skip it below 256 M wedges)
-    val bloomed = Graph.closedWedges(cen, minBloomWedges = 0L)
+    val bloomedDf = Graph.closedWedges(cen, minBloomWedges = 0L)
+    // the prefilter must be the BROADCAST-handle probe, not a plan
+    // literal: a literal bloom is re-copied into every stage's task
+    // binary and caps the census at driver-heap scale
+    val plan = bloomedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"broadcast bloom probe missing from plan:\n$plan")
+    val bloomed = bloomedDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     // maxBloomEdges = 0 forces the no-bloom path (every edge count
     // exceeds a zero budget) — the exact semi-join alone
@@ -808,6 +815,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"plain=${plain.toSeq}")
     // 5 triangles total: 4 in K4 + 1 in {10,11,12}
     assert(bloomed.length == 5, bloomed.toSeq.toString)
+  }
+
+  test("bloomEdgeBudget: heap-proportional by default, pinned by conf") {
+    import graft.operators.Graph
+    val derived = Graph.bloomEdgeBudget(spark)
+    // ~1.2 B/edge at ≤ 10% of max heap — must be strictly positive and
+    // track the JVM actually running the driver
+    assert(derived == (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong)
+    spark.conf.set("spark.graft.bloom.maxEdges", "12345")
+    try assert(Graph.bloomEdgeBudget(spark) == 12345L)
+    finally spark.conf.unset("spark.graft.bloom.maxEdges")
   }
 
   test("acf: linear series autocorrelates to exactly 1 at every lag; " +
