@@ -74,9 +74,20 @@ object SparkEntry {
     * else is pure plan construction). Pair with `GraftExtensions`
     * (spark.sql.extensions=graft.functions.GraftExtensions) for the
     * graft_dot / graft_cosine / graft_double_bits SQL functions and the
-    * native as-of strategy. */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    queries.foreach { case (name, fn) => fn(spark, dir).createOrReplaceTempView(name) }
+    * native as-of strategy.
+    *
+    * `global = true` publishes to `global_temp` instead — the serving
+    * mode: a Thrift JDBC connection runs in its OWN Spark session, and
+    * global temp views are the cross-session publication mechanism, so
+    * `SELECT * FROM global_temp.q_range_scan` works from any JDBC
+    * client once `HiveThriftServer2.startWithContext` is up. */
+  def registerViews(spark: SparkSession, dir: String,
+      global: Boolean = false): Unit =
+    queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      if (global) df.createOrReplaceGlobalTempView(name)
+      else df.createOrReplaceTempView(name)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1767,32 +1778,48 @@ object SparkEntry {
         |FROM tri t, wcount w""".stripMargin,
     // mirror of Graph.kCore: six unrolled peel rounds — the engine's
     // early exit only skips identity rounds, so the fixed unrolling
-    // replays it exactly
+    // replays it exactly. Every CTE is MATERIALIZED: each eN is
+    // referenced three times by round N+1, so DuckDB's default CTE
+    // inlining re-evaluates the whole chain 3^6-fold and blows its
+    // temp budget past sf0.01 — materialization makes the oracle one
+    // linear pass per round (3 s at sf0.1), same rows
     "q_kcore" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e0 AS (SELECT u AS src, v AS dst FROM pairs
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
         |       UNION ALL SELECT v AS src, u AS dst FROM pairs),
-        |k1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 80),
-        |e1 AS (SELECT src, dst FROM e0 WHERE src IN (SELECT src FROM k1)
-        |                                 AND dst IN (SELECT src FROM k1)),
-        |k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 80),
-        |e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT src FROM k2)
-        |                                 AND dst IN (SELECT src FROM k2)),
-        |k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 80),
-        |e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT src FROM k3)
-        |                                 AND dst IN (SELECT src FROM k3)),
-        |k4 AS (SELECT src FROM e3 GROUP BY 1 HAVING count(*) >= 80),
-        |e4 AS (SELECT src, dst FROM e3 WHERE src IN (SELECT src FROM k4)
-        |                                 AND dst IN (SELECT src FROM k4)),
-        |k5 AS (SELECT src FROM e4 GROUP BY 1 HAVING count(*) >= 80),
-        |e5 AS (SELECT src, dst FROM e4 WHERE src IN (SELECT src FROM k5)
-        |                                 AND dst IN (SELECT src FROM k5)),
-        |k6 AS (SELECT src FROM e5 GROUP BY 1 HAVING count(*) >= 80),
-        |e6 AS (SELECT src, dst FROM e5 WHERE src IN (SELECT src FROM k6)
-        |                                 AND dst IN (SELECT src FROM k6))
+        |k1 AS MATERIALIZED (
+        |  SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 80),
+        |e1 AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 WHERE src IN (SELECT src FROM k1)
+        |                            AND dst IN (SELECT src FROM k1)),
+        |k2 AS MATERIALIZED (
+        |  SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 80),
+        |e2 AS MATERIALIZED (
+        |  SELECT src, dst FROM e1 WHERE src IN (SELECT src FROM k2)
+        |                            AND dst IN (SELECT src FROM k2)),
+        |k3 AS MATERIALIZED (
+        |  SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 80),
+        |e3 AS MATERIALIZED (
+        |  SELECT src, dst FROM e2 WHERE src IN (SELECT src FROM k3)
+        |                            AND dst IN (SELECT src FROM k3)),
+        |k4 AS MATERIALIZED (
+        |  SELECT src FROM e3 GROUP BY 1 HAVING count(*) >= 80),
+        |e4 AS MATERIALIZED (
+        |  SELECT src, dst FROM e3 WHERE src IN (SELECT src FROM k4)
+        |                            AND dst IN (SELECT src FROM k4)),
+        |k5 AS MATERIALIZED (
+        |  SELECT src FROM e4 GROUP BY 1 HAVING count(*) >= 80),
+        |e5 AS MATERIALIZED (
+        |  SELECT src, dst FROM e4 WHERE src IN (SELECT src FROM k5)
+        |                            AND dst IN (SELECT src FROM k5)),
+        |k6 AS MATERIALIZED (
+        |  SELECT src FROM e5 GROUP BY 1 HAVING count(*) >= 80),
+        |e6 AS MATERIALIZED (
+        |  SELECT src, dst FROM e5 WHERE src IN (SELECT src FROM k6)
+        |                            AND dst IN (SELECT src FROM k6))
         |SELECT src AS node, count(*) AS deg FROM e6 GROUP BY 1""".stripMargin,
     // mirror of Graph.resourceAllocation: same 10^-12 fixed-point
     // weights, same degree cap, same total order

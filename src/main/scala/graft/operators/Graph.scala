@@ -61,6 +61,19 @@ object Graph {
     * (d = round(damping·10⁴)/10⁴) so the damping multiply stays exact
     * integer arithmetic.
     *
+    * DANGLING NODES (declared divergence, decided — do not drift): a
+    * node with no out-edges contributes NO mass to the next round (its
+    * rank is dropped, not redistributed), so total mass shrinks unless
+    * the graph is sink-free — the recurrence above, replayed verbatim
+    * by the oracle, NOT the textbook variant that re-spreads dangling
+    * mass uniformly. Rationale: every declared caller feeds symmetric
+    * expansions (sink-free by construction, the two variants coincide);
+    * the drop keeps each round one edge-sized join + one node-sized agg
+    * with no extra global aggregate; and rankings are unaffected on
+    * sink-free inputs. If a textbook variant is ever needed, add the
+    * per-round dangling-mass scalar (one node-sized agg) as a NEW
+    * operator — changing this one silently breaks oracle bit-parity.
+    *
     * `symmetric = true` declares the edge set is its own transpose
     * (every undirected graph expanded to both directions — e.g.
     * [[customerSupplierEdges]]). Then the src column alone spans the

@@ -37,6 +37,20 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Close every loaded state-store provider and stop the maintenance
+    * task. REQUIRED before JVM exit in any process that ran a stateful
+    * stream on `RocksDBStateStoreProvider`: Spark caches providers for
+    * reuse and never closes them on `StreamingQuery.stop()` or
+    * `SparkSession.stop()`, so RocksDB's NATIVE background compaction
+    * threads outlive `DestroyJavaVM` and segfault the shutdown when they
+    * try to log through the JNI callback ("JniUtil::getJniEnv - Fatal:
+    * could not attach current thread to JVM", observed at a 10 M-key
+    * scd2 stream — the work completes, the exit code is 134). Closing
+    * the providers cancels RocksDB background work while the JVM is
+    * still alive. Safe to call when nothing is loaded. */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Idempotently register an extra planner strategy on a live session. */
   def addStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

@@ -59,6 +59,26 @@ class RocksDBStateStoreSpec extends AnyFunSuite with SparkSpec {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+      // the RocksDB teardown discipline under test below must also run
+      // here so THIS suite never leaves native compaction threads behind
+      org.apache.spark.sql.GraftColumnBridge.stopStateStores()
     }
+  }
+
+  test("stopStateStores closes cached providers and stops maintenance " +
+      "(the pre-exit step that prevents the native-thread shutdown crash)") {
+    // Spark never closes cached RocksDB providers on query/session stop;
+    // at a 10 M-key run the orphaned native compaction threads segfault
+    // JVM teardown (StreamProbe, PLANS.md round 8). The bridge call is
+    // the fix — after it, no state-store maintenance may be running and
+    // a fresh stateful query must still work (providers re-initialize on
+    // demand).
+    import org.apache.spark.sql.execution.streaming.state.StateStore
+    org.apache.spark.sql.GraftColumnBridge.stopStateStores()
+    assert(!StateStore.isMaintenanceRunning,
+      "maintenance task must be stopped after stopStateStores")
+    // idempotent: a second call on an empty registry is a no-op
+    org.apache.spark.sql.GraftColumnBridge.stopStateStores()
+    assert(!StateStore.isMaintenanceRunning)
   }
 }
