@@ -68,9 +68,21 @@ object Bench {
     // the full suite (~minutes apart) a throttle window can poison at most
     // one rep of any query, so the per-query min survives it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // SPARK_GRAFT_BENCH_MODE=backtoback restores the pre-round-7 rep
+    // order (all reps of a query consecutively) for CALIBRATION runs
+    // only: back-to-back minima are systematically warmer than
+    // interleaved ones (shared scans still in page cache), so the two
+    // modes are different scales — one same-commit pair on a quiet host
+    // converts between them (PLANS.md round 8). Interleaved stays the
+    // default: a host throttle window can poison at most one rep/query.
+    val backToBack =
+      sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("backtoback")
     val names = SparkEntry.queries.keys.toSeq
     val timed = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 0 until reps; name <- names) {
+    val order =
+      if (backToBack) for (name <- names; r <- 0 until reps) yield (r, name)
+      else for (r <- 0 until reps; name <- names) yield (r, name)
+    for ((_, name) <- order) {
       // snapshot the persisted-RDD ids BEFORE the query, and release only
       // the DELTA after: drops each query's leftover localCheckpoints
       // (at sf1+ the accumulated pins from 189 queries eat the heap)

@@ -1594,7 +1594,10 @@ object SparkEntry {
     "q_lttb" ->
       // exact-integer argmax score mirroring TimeSeries.lttb: x as µs
       // offsets from the series origin, y scaled ×100 (2-decimal data),
-      // HUGEINT products, ONE double cast; the per-bucket argmax is a
+      // HUGEINT products compared EXACTLY (no double cast — above ~2⁵³
+      // double rounding makes distinct scores tie, and exact compare is
+      // what licenses the engine's hull prefilter); the per-bucket
+      // argmax is a
       // LATERAL ORDER BY ... LIMIT 1 (score DESC, ts ASC, event_id ASC =
       // the fold's first-wins tie rule over its (ts_us, event_id)-sorted
       // struct order). NO lambdas anywhere: DuckDB 1.x evaluates
@@ -1644,14 +1647,14 @@ object SparkEntry {
          |    SELECT m.ts_us AS x, m.value AS y
          |    FROM mid m
          |    WHERE m.event_type = nx.event_type AND m.bucket = nx.bucket
-         |    ORDER BY CAST(abs(
+         |    ORDER BY abs(
          |        (CAST(w.px - nx.fts AS HUGEINT) * nx.ncnt - nx.nsx) *
          |          (CAST(round(m.value * 100) AS HUGEINT) -
          |           CAST(round(w.py * 100) AS HUGEINT)) -
          |        (CAST(w.px - nx.fts AS HUGEINT) -
          |         CAST(m.ts_us - nx.fts AS HUGEINT)) *
          |          (nx.nsy - nx.ncnt * CAST(round(w.py * 100) AS HUGEINT))
-         |      ) AS DOUBLE) DESC, m.ts_us ASC, m.event_id ASC
+         |      ) DESC, m.ts_us ASC, m.event_id ASC
          |    LIMIT 1) best)
          |SELECT event_type, ts_us, value FROM small
          |UNION ALL

@@ -229,6 +229,115 @@ case class BroadcastBloomMightContain(
     copy(child = newChild)
 }
 
+/** Convex-hull prefilter for the LTTB bucket walk
+  * ([[graft.operators.TimeSeries.lttb]]): keeps only the points that can
+  * EVER win a bucket's argmax. The LTTB score of a candidate point p is
+  * |cross(prev→p, prev→C)| — the absolute value of a LINEAR functional
+  * of p (prev = previously selected point, C = next-bucket centroid) —
+  * and a linear functional attains its maximum over a finite point set
+  * only ON THE CONVEX-HULL BOUNDARY, for EVERY possible (prev, C). So
+  * dropping strict-interior points provably never changes any bucket's
+  * exact-score argmax, while shrinking the walk's per-bucket candidate
+  * list from O(points/bucket) to O(hull) — at a 2 M-point series with
+  * 50 output points that is ~42 k candidates/bucket down to tens, which
+  * collapses both the interpreted fold's work and the one-row-per-series
+  * frame the walk runs on (the measured 100× wall of q_lttb).
+  *
+  * Exactness requires the TIE rule to survive: the walk keeps the FIRST
+  * point (in the array's (ts, event_id) order) among equal-score maxima,
+  * scores compared as exact DECIMAL (no double rounding — see lttb).
+  * With exact scores a tie set is the intersection of the point set with
+  * a supporting line, which lies entirely on the boundary; this filter
+  * keeps ALL boundary points (monotone chain popping only on STRICT
+  * turns, so collinear edge points and coincident duplicates survive)
+  * and preserves the original array order — hence the same winner. The
+  * one degenerate case with interior ties is the zero functional
+  * (score ≡ 0 for every point, prev collinear with C), whose winner is
+  * the globally-first element — kept explicitly. Input structs must
+  * carry `xd`, `yd` decimal(38,0) coordinates (exact integers). */
+case class LttbHullFilter(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_lttb_hull"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n <= 2) return arr
+    val st = child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val nf = st.length
+    val xi = st.fieldIndex("xd")
+    val yi = st.fieldIndex("yd")
+    val xs = new Array[BigInt](n)
+    val ys = new Array[BigInt](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, nf)
+      xs(i) = BigInt(row.getDecimal(xi, 38, 0).toJavaBigDecimal.toBigInteger)
+      ys(i) = BigInt(row.getDecimal(yi, 38, 0).toJavaBigDecimal.toBigInteger)
+      i += 1
+    }
+    // the chain runs over DISTINCT positions: coincident duplicates
+    // (pervasive in replicated stress data — ScaleGen repeats every
+    // (ts, value) ~copies× — and possible in any real feed) would sit
+    // next to each other in the chain, make cross() identically 0, stall
+    // the pop loop and silently degenerate the filter to keep-all. Every
+    // member of a kept position is kept (equal positions tie exactly, so
+    // the first-wins rule needs all of them); interior positions drop
+    // with all their duplicates.
+    val repOf = new java.util.HashMap[(BigInt, BigInt), Integer](n * 2)
+    val reps = new scala.collection.mutable.ArrayBuffer[Int](math.min(n, 1024))
+    var k = 0
+    while (k < n) {
+      val key = (xs(k), ys(k))
+      if (repOf.putIfAbsent(key, k) == null) reps += k
+      k += 1
+    }
+    val order = reps.toArray.sortInPlaceWith { (a, b) =>
+      val c = xs(a).compare(xs(b))
+      if (c != 0) c < 0 else ys(a).compare(ys(b)) < 0
+    }
+    def cross(o: Int, a: Int, b: Int): BigInt =
+      (xs(a) - xs(o)) * (ys(b) - ys(o)) - (ys(a) - ys(o)) * (xs(b) - xs(o))
+    val keptRep = new java.util.HashSet[Integer](64)
+    // monotone chain, BOTH boundaries, popping only on STRICT turns so
+    // collinear edge members stay — required by the first-wins tie rule
+    def chain(idx: Iterator[Int], sign: Int): Unit = {
+      val h = new scala.collection.mutable.ArrayBuffer[Int](16)
+      idx.foreach { p =>
+        while (h.length >= 2 &&
+            cross(h(h.length - 2), h(h.length - 1), p).sign == sign)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.foreach(keptRep.add(_))
+    }
+    chain(order.iterator, -1)         // one boundary: pop strict turns
+    chain(order.reverseIterator, -1)  // the other, by reversal
+    val keep = new Array[Boolean](n)
+    k = 0
+    while (k < n) {
+      if (keptRep.contains(repOf.get((xs(k), ys(k))))) keep(k) = true
+      k += 1
+    }
+    keep(0) = true // zero-functional ties resolve to the global first
+    val out = new Array[Any](keep.count(identity))
+    var j = 0
+    i = 0
+    while (i < n) { // original order preserved — the tie rule needs it
+      if (keep(i)) { out(j) = arr.getStruct(i, nf).copy(); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LttbHullFilter =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Codegen'd sequential dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =

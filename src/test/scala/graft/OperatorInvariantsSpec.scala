@@ -506,8 +506,8 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     // independent single-threaded LTTB (Steinarsson 2013) over one series,
     // with the operator's EXACT scaled argmax score: areas scaled by the
     // next bucket's count and the 100× value quantum clear both centroid
-    // denominators, so selection is integer arithmetic (one double cast,
-    // mirroring the engine) — no FP near-tie can flip a pick
+    // denominators, so selection is pure integer arithmetic compared
+    // exactly (mirroring the engine) — no FP near-tie can flip a pick
     def lttbRef(pts: IndexedSeq[(Long, Double)], nOut: Int): Seq[(Long, Double)] = {
       val n = pts.length
       if (n <= nOut) return pts
@@ -529,12 +529,12 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
               nx.map(p => y100(p._2)).sum, BigInt(nx.size))
           } else (BigInt(pts.last._1 - fts), y100(pts.last._2), BigInt(1))
         var best = buckets(bi).head
-        var bestA = -1.0
+        var bestA = BigInt(-1) // EXACT compare, mirroring the engine
         for (p <- buckets(bi)) {
           val dPx = BigInt(prev._1 - fts); val dpx = BigInt(p._1 - fts)
           val dPy = y100(prev._2); val dpy = y100(p._2)
           val score = ((dPx * cn - sxn) * (dpy - dPy) -
-            (dPx - dpx) * (syn - cn * dPy)).abs.toDouble
+            (dPx - dpx) * (syn - cn * dPy)).abs
           if (score > bestA) { bestA = score; best = p }
         }
         sel += best
@@ -593,12 +593,12 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
               nx.map(p => y100(p._2)).sum, BigInt(nx.size))
           } else (BigInt(pts.last._1 - fts), y100(pts.last._2), BigInt(1))
         var best = buckets(bi).head
-        var bestA = -1.0
+        var bestA = BigInt(-1) // EXACT compare, mirroring the engine
         for (p <- buckets(bi)) {
           val dPx = BigInt(prev._1 - fts); val dpx = BigInt(p._1 - fts)
           val dPy = y100(prev._2); val dpy = y100(p._2)
           val score = ((dPx * cn - sxn) * (dpy - dPy) -
-            (dPx - dpx) * (syn - cn * dPy)).abs.toDouble
+            (dPx - dpx) * (syn - cn * dPy)).abs
           if (score > bestA) { bestA = score; best = p }
         }
         sel += best
@@ -636,6 +636,58 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     val rankB = graft.operators.TimeSeries.lttb(df, 20, timeBucketMinRows = 100000)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(rankA == rankB)
+  }
+
+  test("LttbHullFilter keeps every point that can win any bucket argmax: " +
+      "random functionals, duplicate timestamps, collinear runs, dup points") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import spark.implicits._
+    // The walk's score is |linear functional of (xd, yd)| with first-wins
+    // ties over the (ts, event_id) array order; the filter claims the
+    // first-max point survives for EVERY functional. Brute-force it:
+    // small coordinate grids force duplicate ts, duplicate positions and
+    // collinear stretches (the tie-heavy cases), then 300 random affine
+    // functionals per set check the winner is still in the filtered list.
+    val rng = new scala.util.Random(13)
+    for (_ <- 0 until 25) {
+      val n = 3 + rng.nextInt(50)
+      val pts = (0 until n).map { i =>
+        (1000L + rng.nextInt(12), i.toLong, rng.nextInt(9) / 100.0)
+      }.sortBy(p => (p._1, p._2))
+      val df = pts.toDF("ts_us", "event_id", "value")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("value"), col("ts_us").cast("decimal(38,0)").as("xd"),
+          round(col("value") * 100).cast("decimal(38,0)").as("yd")))).as("pts"))
+      val r = df.select(col("pts"), GraftColumnBridge.column(
+        graft.functions.LttbHullFilter(
+          GraftColumnBridge.expression(col("pts")))).as("kept")).head()
+      def parse(i: Int) = r.getSeq[org.apache.spark.sql.Row](i).map(x =>
+        (x.getLong(0), x.getLong(1),
+          BigInt(x.getDecimal(3).toBigInteger),
+          BigInt(x.getDecimal(4).toBigInteger)))
+      val all = parse(0)
+      val kept = parse(1)
+      // kept must be an ordered subsequence including the first element
+      assert(kept.head == all.head, "global first element must survive")
+      val keyOrder = all.map(p => (p._1, p._2))
+      assert(kept.map(p => (p._1, p._2)).sorted ==
+        kept.map(p => (p._1, p._2)), "original order must be preserved")
+      assert(kept.forall(all.contains), "kept must be a subset")
+      val keptKeys = kept.map(p => (p._1, p._2)).toSet
+      for (_ <- 0 until 300) {
+        val a = BigInt(rng.nextInt(2001) - 1000)
+        val b = BigInt(rng.nextInt(2001) - 1000)
+        val c = BigInt(rng.nextInt(20001) - 10000)
+        def score(p: (Long, Long, BigInt, BigInt)): BigInt =
+          (b * p._3 + a * p._4 + c).abs
+        val max = all.map(score).max
+        val winner = all.find(p => score(p) == max).get
+        assert(keptKeys.contains((winner._1, winner._2)),
+          s"winner $winner (|${b}x+${a}y+$c|) dropped; kept=$keptKeys " +
+            s"all=${all.map(p => (p._1, p._2, p._3, p._4))}")
+      }
+      assert(keyOrder.toSet.subsetOf(all.map(p => (p._1, p._2)).toSet))
+    }
   }
 
   test("chunking covers every token: stride starts, bounded sizes, full tail") {
