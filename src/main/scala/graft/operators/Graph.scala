@@ -514,10 +514,17 @@ object Graph {
     * ceiling into a HEAP-PROPORTIONAL budget ([[bloomEdgeBudget]]:
     * ~1.2 B/edge at 1 % fpp, ≤ 10 % of driver max heap, conf
     * `spark.graft.bloom.maxEdges` to pin it): a 64 g driver clears
-    * ~5 B edges. Above the budget the bloom genuinely cannot fit one
-    * driver merge and is skipped with a log line — the plan degrades
-    * to the plain (still exact) shuffle_hash probe, never silently;
-    * at that |E| shard the graph or grow the driver. */
+    * ~5 B edges. Above the budget the filter DEGRADES before it gives
+    * up: the same budgeted bits are spread over the larger edge set
+    * and the fpp rises (optimal sizing p = exp(−(bits/|E|)·ln²2) —
+    * 1 % at the budget, 10 % at 2× it, 50 % at ~13.8×). Every probe
+    * is exactness-preserving (the semi-join kills false positives),
+    * so a half-open filter still halves the one super-linear shuffle
+    * for the SAME memory; only past fpp 0.5 — where the filter drops
+    * less than half the stream — is it skipped, with a log line, and
+    * the plan degrades to the plain (still exact) shuffle_hash probe.
+    * At that |E| (~70 B edges on a 64 g driver) shard the graph or
+    * grow the driver. */
   private[graft] def closedWedges(cen: WedgeCensus,
       maxBloomEdges: Long = -1L,
       minBloomWedges: Long = 256000000L): DataFrame = {
@@ -534,18 +541,33 @@ object Graph {
       if (minBloomWedges == 0L) Long.MaxValue
       else Option(cen.deg.agg(sum(expr("deg * (deg - 1) div 2")))
         .head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    // above the edge budget the budgeted BITS stay fixed and the fpp
+    // rises instead of the bloom being dropped: bits/key for target p
+    // is −ln(p)/ln²2, so re-spreading the budget's bits (sized for 1 %
+    // at edgeBudget keys) over nEdges keys yields
+    // p = exp(−(budgetBits/nEdges)·ln²2)
+    val ln2sq = math.log(2) * math.log(2)
+    val budgetBits = edgeBudget.toDouble * (-math.log(0.01) / ln2sq)
+    val fpp =
+      if (nEdges <= edgeBudget) 0.01
+      else math.exp(-(budgetBits / nEdges) * ln2sq)
     val candidates =
-      if (nEdges == 0L || nEdges > edgeBudget ||
-          nWedges < minBloomWedges) {
-        if (nEdges > edgeBudget)
-          System.err.println(s"[graft] closedWedges: $nEdges edges " +
-            s"exceed bloom budget $edgeBudget; probing without " +
-            "prefilter (exact, but full wedge shuffle)")
+      if (nEdges == 0L || fpp > 0.5 || nWedges < minBloomWedges) {
+        if (nEdges > 0L && fpp > 0.5 && nWedges >= minBloomWedges)
+          System.err.println(s"[graft] closedWedges: $nEdges edges vs " +
+            s"bloom budget $edgeBudget leave fpp ${"%.2f".format(fpp)} " +
+            "> 0.5; probing without prefilter (exact, but full wedge " +
+            "shuffle)")
         cen.wedges
       } else {
+        if (fpp > 0.01)
+          System.err.println(s"[graft] closedWedges: $nEdges edges " +
+            s"exceed bloom budget $edgeBudget; degrading fpp to " +
+            s"${"%.3f".format(fpp)} at the budgeted filter size " +
+            "(exact — the semi-join kills false positives)")
         val bf = cen.closing
           .select(xxhash64(col("b"), col("c")).as("h"))
-          .stat.bloomFilter("h", nEdges, 0.01)
+          .stat.bloomFilter("h", nEdges, fpp)
         // torrent-broadcast the merged filter: tasks get a handle, the
         // bits move once per executor (the ContextCleaner reclaims the
         // broadcast when the expression is GC'd after the query)

@@ -817,6 +817,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(bloomed.length == 5, bloomed.toSeq.toString)
   }
 
+  test("closedWedges over-budget degradation: the fpp rises at the " +
+      "budgeted filter size before the bloom is dropped, bit-identical") {
+    import graft.operators.Graph
+    val g = ((for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L), (4L, 20L), (20L, 21L)))
+      .toDF("u", "v")
+    val cen = Graph.wedgeCensus(g)
+    // 11 oriented edges vs a budget of 5: fpp degrades to
+    // exp(-(5/11)·9.585·ln²2) ≈ 0.12 — under the 0.5 gate, so the
+    // broadcast probe must STILL be in the plan (the old behavior
+    // dropped the bloom the moment |E| crossed the budget)
+    val degradedDf =
+      Graph.closedWedges(cen, maxBloomEdges = 5L, minBloomWedges = 0L)
+    val plan = degradedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"degraded-fpp broadcast probe missing from plan:\n$plan")
+    val degraded = degradedDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val plain = Graph.closedWedges(cen, maxBloomEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(degraded.toSeq == plain.toSeq)
+    assert(degraded.length == 5, degraded.toSeq.toString)
+    // far past the budget (fpp would exceed 0.5) the bloom IS dropped:
+    // 11 edges vs budget 1 → fpp exp(-0.87·ln²2) ≈ 0.66
+    val droppedPlan = Graph
+      .closedWedges(cen, maxBloomEdges = 1L, minBloomWedges = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!droppedPlan.contains("graft_bloom_might_contain"))
+  }
+
   test("bloomEdgeBudget: heap-proportional by default, pinned by conf") {
     import graft.operators.Graph
     val derived = Graph.bloomEdgeBudget(spark)
