@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only evidence probe for the wedge census PAST the old 500 M-edge
+  * driver-literal bloom ceiling: builds a synthetic circulant graph
+  * C_N(1, 2, 50, 90) — node i ~ i±1, i±2, i±50, i±90 mod N;
+  * degree-8-regular, 4N edges. The id-tie-broken orientation generates
+  * 6 wedges per apex (pairs over out-neighbors {i+1, i+2, i+50, i+90}),
+  * of which exactly ONE closes — the only additive identity inside the
+  * offset set is 1+1=2, so triangles = N exactly (closed-form
+  * `require`) and 5 of 6 wedges are non-closing, giving the bloom real
+  * rows to drop (the earlier C_N(1,2,3) variant closed EVERY wedge and
+  * measured nothing). Builds
+  * the census ONCE, probes the closing edges three ways — full-budget
+  * bloom (fpp 0.01), degraded bloom forced to a quarter budget
+  * (fpp ≈ 0.32), and plain semi-join — under a listener summing every
+  * stage's shuffle WRITE bytes. `System.gc()` between configs lets the
+  * ContextCleaner reclaim each config's dereferenced shuffle files.
+  * Usage: `SPARK_DRIVER_MEM=64g … runMain graft.ScaleCensusProbe
+  * [nNodes]` (default 150 M nodes = 600 M edges, 900 M wedges). */
+object ScaleCensusProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(150000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // wedge-sized shuffles at this scale are ~20 GB: 32 partitions
+      // would be ~700 MB each, so run the probe at 256 and let AQE
+      // coalesce the small stages back down
+      .config("spark.sql.shuffle.partitions", 256)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val debug = sys.env.contains("SCALECENSUS_DEBUG")
+    @volatile var shuffleWrite = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val b = s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleWrite += b
+        if (debug && b > 0)
+          println(f"SCALECENSUS   stage=${s.stageInfo.stageId}%4d " +
+            f"write=${b / 1e6}%10.1f MB  ${s.stageInfo.name.take(80)}")
+      }
+    })
+
+    // circulant C_N(1,2,50,90): unordered pairs {i, (i+k) mod N},
+    // k ∈ {1,2,50,90} — distinct for N > 180, every node degree 8
+    val pairs = spark.range(n)
+      .select(col("id"),
+        explode(array(lit(1L), lit(2L), lit(50L), lit(90L))).as("k"))
+      .select(col("id").as("a"), ((col("id") + col("k")) % n).as("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+    val t0 = System.nanoTime()
+    val cen = operators.Graph.wedgeCensus(pairs)
+    val nEdges = cen.oriented.count()
+    println(f"SCALECENSUS nodes=$n oriented_edges=$nEdges " +
+      f"census_build=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+
+    def run(label: String, maxBloomEdges: Long): Long = {
+      shuffleWrite = 0L
+      val t = System.nanoTime()
+      val df = operators.Graph.closedWedges(cen,
+        maxBloomEdges = maxBloomEdges, minBloomWedges = 0L)
+      val tri = df.count()
+      Thread.sleep(2000) // let the listener bus drain the final stages
+      if (debug)
+        println(s"SCALECENSUS plan[$label]:\n" +
+          df.queryExecution.executedPlan.toString.take(4000))
+      println(f"SCALECENSUS $label%-8s triangles=$tri%12d " +
+        f"shuffle_write=${shuffleWrite / 1e6}%10.1f MB " +
+        f"wall=${(System.nanoTime() - t) / 1e9}%7.2f s")
+      // the config's frames are dereferenced here — GC hands their
+      // shuffle files to the ContextCleaner before the next config
+      System.gc(); Thread.sleep(3000)
+      tri
+    }
+    // configs via args(1), comma-separated
+    val configs = args.lift(1).getOrElse("bloom,degraded,plain").split(',')
+    val got = configs.map {
+      case "bloom"    => run("bloom", Long.MaxValue)
+      case "degraded" => run("degraded", nEdges / 4L) // fpp ~0.32
+      case "plain"    => run("plain", 0L)
+      case other      => sys.error(s"unknown config $other")
+    }
+    // closed-form oracle: C_N(1,2,50,90) has EXACTLY N triangles (the
+    // only additive identity over the offsets is 1+1=2), so every
+    // config is checked without a reference run
+    require(got.forall(_ == n),
+      s"triangle counts wrong: ${configs.zip(got).toSeq} expected=$n")
+    println("SCALECENSUS identical=true")
+    spark.stop()
+  }
+}

@@ -297,7 +297,11 @@ object Dedup {
       try return driverSideCc(p0) finally p0.unpersist(false)
     // big-graph path: NOW truncate lineage (the loop replans each round,
     // and a cache-evicted block would otherwise replay the whole upstream)
-    val p = p0.localCheckpoint(true)
+    // serialized storage for the edge-sized checkpoint — same rationale
+    // as Graph.ckptEdges: the deserialized default re-expands evicted
+    // blocks into object arrays on read-back, which OOMs at big |E|
+    val p = p0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     p0.unpersist(false)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("doc_id")).distinct()
@@ -455,10 +459,13 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val evalH = shingleEx(eval, n).select(col("h")).distinct()
-    // stat.bloomFilter NPEs deserializing the aggregate's null result on
-    // an empty frame — an empty eval set trivially contaminates nothing
+    // an empty eval set trivially contaminates nothing
     if (evalH.isEmpty) return train.select(col("doc_id")).filter(lit(false))
-    val bf = evalH.stat.bloomFilter("h", expectedShingles, fpp)
+    // BloomBuild, not stat.bloomFilter: the built-in clamps to the 8 MB
+    // runtime-filter limit, which would silently saturate any eval set
+    // past ~7 M shingles (see BloomBuild's scaladoc)
+    val bf = graft.functions.BloomBuild
+      .overLongColumn(evalH, "h", expectedShingles, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     val mightContain = GraftColumnBridge.column(BloomFilterMightContain(

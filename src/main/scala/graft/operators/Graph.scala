@@ -37,6 +37,23 @@ import org.apache.spark.sql.GraftColumnBridge.{releaseLocalCheckpoint => release
   * 4th step purely to bound plan depth. Iteration count is fixed (an
   * offline-analytics setting), not convergence-driven. */
 object Graph {
+  import org.apache.spark.storage.StorageLevel
+
+  /** Eager local checkpoint with SERIALIZED storage, for EDGE-sized (or
+    * bigger) frames. The `localCheckpoint()` default MEMORY_AND_DISK
+    * stores deserialized row objects (~3-5x the serialized bytes) and —
+    * the real hazard at scale — re-expands any block evicted to disk
+    * back into a deserialized array on its next read
+    * (BlockManager.maybeCacheDiskValuesInMemory): at 540 M edges that
+    * single re-expansion OOMed a 64 g probe JVM even though the
+    * serialized bytes fit comfortably. Serialized blocks cost one
+    * deserialization pass per read (every loop here reads its edge
+    * checkpoint 1-3 times per round) and stay byte-sized in both memory
+    * and the disk read-back path. NODE-sized per-round frames keep the
+    * deserialized default: they are orders of magnitude smaller and
+    * re-read constantly. */
+  private def ckptEdges(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Undirected customer↔supplier co-transaction graph from the order
     * lineage: node ids are disjoint (customer 2k, supplier 2k+1), each
@@ -90,7 +107,7 @@ object Graph {
     // the edges would sort 10⁷ rows just to attach a per-node count).
     // outdeg lives in a NODE-sized frame aggregated straight off the
     // cached blocks — groupBy(src) reuses the partitioning, no exchange.
-    val e2 = eRaw.repartition(col("src")).localCheckpoint()
+    val e2 = ckptEdges(eRaw.repartition(col("src")))
     val outdeg = e2.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     // symmetric: src alone spans V, and it's exactly outdeg's key set —
@@ -178,7 +195,7 @@ object Graph {
     require(sources.nonEmpty, "personalized PageRank needs a seed set")
     val s = sources.distinct
     val eRaw = edges.select(col("src"), col("dst"))
-    val e2 = eRaw.repartition(col("src")).localCheckpoint()
+    val e2 = ckptEdges(eRaw.repartition(col("src")))
     val outdeg = e2.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodesDf = e2.select(col("src").as("node"))
@@ -237,8 +254,8 @@ object Graph {
     require(sources.nonEmpty, "BFS needs a seed set")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e2 = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+    val e2 = ckptEdges(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     var visited = sources.distinct.toDF("node")
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
     var frontier = visited.select(col("node"))
@@ -320,8 +337,8 @@ object Graph {
     * Inputs: edges (src, dst, w: long), seeds (node). Output: (node,
     * dist) with dist in the weight's fixed-point units. */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val e2 = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src")).localCheckpoint()
+    val e2 = ckptEdges(edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")))
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -347,8 +364,8 @@ object Graph {
     * exits early, which is exact — peeling is monotone, so a fixed
     * point stays fixed and the capped unrolling replays it. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+    val e0 = ckptEdges(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     // survivor sets shrink MONOTONICALLY (a node outside S has no edges
     // in e(S), so it can never re-qualify), so the round-r edge set is
     // just e0 semi-filtered by the LATEST survivors — each round is one
@@ -441,7 +458,7 @@ object Graph {
     * and the sizing pass is skipped entirely (zero extra jobs). */
   private[graft] def wedgeCensus(pairsIn: DataFrame,
       maxFanout: Long = Long.MaxValue): WedgeCensus = {
-    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val pairs = ckptEdges(pairsIn.select(col("u"), col("v")))
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
@@ -451,11 +468,11 @@ object Graph {
       (col("du") === col("dv") && col("u") < col("v"))
     // oriented edge set is reused three times (both wedge legs + the
     // closing-edge probe): materialize it once
-    val oriented = pairs.join(du, Seq("u")).join(dv, Seq("v")).select(
-      when(firstU, col("u")).otherwise(col("v")).as("src"),
-      when(firstU, col("v")).otherwise(col("u")).as("dst"),
-      when(firstU, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint()
+    val oriented = ckptEdges(
+      pairs.join(du, Seq("u")).join(dv, Seq("v")).select(
+        when(firstU, col("u")).otherwise(col("v")).as("src"),
+        when(firstU, col("v")).otherwise(col("u")).as("dst"),
+        when(firstU, col("dv")).otherwise(col("du")).as("ddeg")))
     val (apexEdges, dropped) =
       if (maxFanout == Long.MaxValue) (oriented, 0L)
       else {
@@ -507,14 +524,16 @@ object Graph {
     *
     * Delivery is a TORRENT BROADCAST, not a plan literal
     * ([[graft.functions.BroadcastBloomMightContain]]): the filter is
-    * built distributed (`stat.bloomFilter` merges partial blooms on
-    * executors), the driver holds exactly ONE merged copy, and tasks
-    * carry only the broadcast handle — no literal re-copied into every
-    * stage's task binary. That converts the old fixed 500 M-edge driver
+    * built distributed at its FULL requested size
+    * ([[graft.functions.BloomBuild]] — NOT `stat.bloomFilter`, which
+    * silently clamps to the 8 MB runtime-filter limit and saturates),
+    * the driver holds exactly ONE merged copy, and tasks carry only
+    * the broadcast handle — no literal re-copied into every stage's
+    * task binary. That converts the old fixed 500 M-edge driver
     * ceiling into a HEAP-PROPORTIONAL budget ([[bloomEdgeBudget]]:
-    * ~1.2 B/edge at 1 % fpp, ≤ 10 % of driver max heap, conf
-    * `spark.graft.bloom.maxEdges` to pin it): a 64 g driver clears
-    * ~5 B edges. Above the budget the filter DEGRADES before it gives
+    * ~1.2 B/edge at 1 % fpp, ≤ 10 % of driver max heap and of
+    * `spark.driver.maxResultSize`, conf `spark.graft.bloom.maxEdges`
+    * to pin it). Above the budget the filter DEGRADES before it gives
     * up: the same budgeted bits are spread over the larger edge set
     * and the fpp rises (optimal sizing p = exp(−(bits/|E|)·ln²2) —
     * 1 % at the budget, 10 % at 2× it, 50 % at ~13.8×). Every probe
@@ -565,9 +584,13 @@ object Graph {
             s"exceed bloom budget $edgeBudget; degrading fpp to " +
             s"${"%.3f".format(fpp)} at the budgeted filter size " +
             "(exact — the semi-join kills false positives)")
-        val bf = cen.closing
-          .select(xxhash64(col("b"), col("c")).as("h"))
-          .stat.bloomFilter("h", nEdges, fpp)
+        // [[graft.functions.BloomBuild]], NOT stat.bloomFilter: the
+        // built-in silently clamps to the runtime-filter limits (8 MB /
+        // 4 M items) and SATURATES at budget scale — see BloomBuild's
+        // scaladoc for the measurement that found it
+        val bf = graft.functions.BloomBuild.overLongColumn(
+          cen.closing.select(xxhash64(col("b"), col("c")).as("h")),
+          "h", nEdges, fpp)
         // torrent-broadcast the merged filter: tasks get a handle, the
         // bits move once per executor (the ContextCleaner reclaims the
         // broadcast when the expression is GC'd after the query)
@@ -619,8 +642,8 @@ object Graph {
     * is associative, so no per-node label list ever materializes.
     * Node-sized frames between rounds, checkpointed. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e2 = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+    val e2 = ckptEdges(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     val nodes = e2.select(col("src").as("node"))
       .unionByName(e2.select(col("dst").as("node"))).distinct().localCheckpoint()
     // |V| is exact off the checkpointed node frame: broadcast the
@@ -670,7 +693,7 @@ object Graph {
     * while it fits, sort-merge beyond; the moment reduction is one
     * map-side-partial aggregate. Nothing quadratic, nothing sorted. */
   def degreeAssortativity(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val pairs = ckptEdges(pairsIn.select(col("u"), col("v")))
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -750,8 +773,8 @@ object Graph {
     * (ra_fx, item_a, item_b) total order. */
   def resourceAllocation(interactions: DataFrame, maxDegree: Int,
       topK: Int): DataFrame = {
-    val adj = interactions.select(col("z"), col("s")).distinct()
-      .repartition(col("z")).localCheckpoint()
+    val adj = ckptEdges(interactions.select(col("z"), col("s")).distinct()
+      .repartition(col("z")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
     val w = adj.join(deg.filter(col("deg") <= maxDegree), Seq("z"))
       .select(col("z"), col("s"), expr(s"$RaFx div deg").as("wfx"))
@@ -792,10 +815,21 @@ object Graph {
     * from the DRIVER heap: the filter is built distributed, but its one
     * merged copy (plus the broadcast manager's serialized blocks) lives
     * on the driver. ~9.6 bits/edge at 1 % fpp ≈ 1.2 B/edge, allowed
-    * ≤ 10 % of max heap; conf `spark.graft.bloom.maxEdges` pins it. */
+    * ≤ 10 % of max heap — AND ≤ `spark.driver.maxResultSize` (default
+    * 1 g), because the merged filter reaches the driver as one task
+    * result of [[graft.functions.BloomBuild]]'s single-reducer merge.
+    * Conf `spark.graft.bloom.maxEdges` pins it. */
   private[graft] def bloomEdgeBudget(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.bloom.maxEdges").map(_.toLong)
-      .getOrElse((Runtime.getRuntime.maxMemory / 10 / 1.2).toLong)
+      .getOrElse {
+        val heapEdges = (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong
+        val maxResult = spark.sparkContext.getConf
+          .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+        // maxResultSize = 0 means unlimited
+        val resultEdges =
+          if (maxResult <= 0L) Long.MaxValue else (maxResult / 1.2).toLong
+        math.min(heapEdges, resultEdges)
+      }
 
   /** Fixed-point unit: 1.0 of rank mass = 10¹⁸ (so BIGINT holds the
     * whole graph's mass with 9× headroom under Long.MaxValue). */
@@ -816,7 +850,7 @@ object Graph {
     * pair list (node-sized label frame, one co-keyed shuffle each);
     * everything else is node- or community-sized. */
   def modularity(pairsIn: DataFrame, labels: DataFrame): DataFrame = {
-    val pairs = pairsIn.select(col("u"), col("v")).localCheckpoint()
+    val pairs = ckptEdges(pairsIn.select(col("u"), col("v")))
     val la = labels.select(col("node").as("u"), col("lab").as("lu"))
     val lb = labels.select(col("node").as("v"), col("lab").as("lv"))
     val internal = pairs.join(la, "u").join(lb, "v")

@@ -850,9 +850,15 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
   test("bloomEdgeBudget: heap-proportional by default, pinned by conf") {
     import graft.operators.Graph
     val derived = Graph.bloomEdgeBudget(spark)
-    // ~1.2 B/edge at ≤ 10% of max heap — must be strictly positive and
-    // track the JVM actually running the driver
-    assert(derived == (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong)
+    // min of (~1.2 B/edge at ≤ 10% of max heap) and the driver's
+    // maxResultSize ceiling (the merged filter arrives as ONE task
+    // result) — must track the JVM actually running the driver
+    val heapEdges = (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong
+    val maxResult = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val resultEdges =
+      if (maxResult <= 0L) Long.MaxValue else (maxResult / 1.2).toLong
+    assert(derived == math.min(heapEdges, resultEdges))
     spark.conf.set("spark.graft.bloom.maxEdges", "12345")
     try assert(Graph.bloomEdgeBudget(spark) == 12345L)
     finally spark.conf.unset("spark.graft.bloom.maxEdges")
