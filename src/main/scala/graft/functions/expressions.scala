@@ -186,11 +186,14 @@ case class TimeBucket(child: Expression, widthUs: Long)
   * torrent protocol and are cached in a generated-class field, so the
   * driver holds exactly one copy and every probe is a field read +
   * `mightContainLong` inside the enclosing whole-stage-codegen span.
-  * `BloomFilter.mightContainLong` only reads the bit array — safe under
-  * concurrent task threads. Child must be a LONG hash (xxhash64). */
+  * The filter is a [[graft.functions.ShardedBloom]] (hash-prefix
+  * sub-filters — built in parallel with bounded per-task memory, see
+  * [[graft.functions.BloomBuild]]); probes only read the bit arrays —
+  * safe under concurrent task threads. Child must be a LONG hash
+  * (xxhash64). */
 case class BroadcastBloomMightContain(
     bloomBc: org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter],
+      graft.functions.ShardedBloom],
     child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "graft_bloom_might_contain"
@@ -213,7 +216,7 @@ case class BroadcastBloomMightContain(
     bloom.mightContainLong(h.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bloomCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bloomCls = classOf[graft.functions.ShardedBloom].getName
     val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc,
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
     // one .value() per generated-class instance (≈ per task), cached in a

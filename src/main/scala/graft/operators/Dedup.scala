@@ -447,17 +447,20 @@ object Dedup {
     * the (tiny) candidate fraction instead of every train shingle;
     * the exact semi-join afterwards kills the bloom's false positives,
     * which is why the result stays engine-exact. The bloom itself is a
-    * FIXED-SIZE driver artifact (numBits/8 bytes regardless of corpus
-    * size — a bounded collect, like the IVF centroid literals) embedded
-    * as a binary literal into Catalyst's codegen'd
-    * `BloomFilterMightContain` predicate: no UDF, no broadcast join,
-    * evaluated inside the scan's WholeStageCodegen span. Bloom
-    * membership has NO false negatives, so no contaminated doc can be
-    * lost at the prefilter. */
+    * FIXED-SIZE artifact (numBits/8 bytes regardless of corpus size —
+    * a bounded build, like the IVF centroid literals) delivered as a
+    * TORRENT BROADCAST probed by the codegen'd
+    * [[graft.functions.BroadcastBloomMightContain]] predicate: no UDF,
+    * no broadcast join, evaluated inside the scan's WholeStageCodegen
+    * span, and — unlike a plan `Literal` — the bytes move once per
+    * executor instead of riding inside every stage's serialized task
+    * binary (the same fix [[graft.operators.Graph.closedWedges]] got;
+    * at a 100 M-shingle eval set the filter is ~90 MB, far too big to
+    * re-copy per task). Bloom membership has NO false negatives, so no
+    * contaminated doc can be lost at the prefilter. */
   def bloomContaminatedDocs(train: DataFrame, eval: DataFrame, n: Int = 8,
       expectedShingles: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val evalH = shingleEx(eval, n).select(col("h")).distinct()
     // an empty eval set trivially contaminates nothing
     if (evalH.isEmpty) return train.select(col("doc_id")).filter(lit(false))
@@ -466,11 +469,10 @@ object Dedup {
     // past ~7 M shingles (see BloomBuild's scaladoc)
     val bf = graft.functions.BloomBuild
       .overLongColumn(evalH, "h", expectedShingles, fpp)
-    val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out)
-    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
-      Literal(out.toByteArray),
-      GraftColumnBridge.expression(col("h"))))
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = GraftColumnBridge.column(
+      graft.functions.BroadcastBloomMightContain(bc,
+        GraftColumnBridge.expression(col("h"))))
     shingleEx(train, n)
       .filter(mightContain)
       .join(evalH, Seq("h"), "left_semi")

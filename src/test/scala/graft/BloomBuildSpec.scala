@@ -29,8 +29,8 @@ class BloomBuildSpec extends AnyFunSuite with SparkSpec {
   test("BloomBuild allocates the requested size and holds the requested fpp") {
     val df = spark.range(n).select(col("id").as("h"))
     val bf = BloomBuild.overLongColumn(df, "h", n, 0.01)
-    assert(bf.bitSize() > (1L << 26), s"bitSize=${bf.bitSize()} still clamped")
-    assert(bf.expectedFpp() < 0.012, s"expectedFpp=${bf.expectedFpp()}")
+    assert(bf.totalBits > (1L << 26), s"totalBits=${bf.totalBits} still clamped")
+    assert(bf.expectedFpp < 0.012, s"expectedFpp=${bf.expectedFpp}")
     // no false negatives, ever
     var i = 0L
     while (i < n) { assert(bf.mightContainLong(i)); i += 997 * 1000 }
@@ -46,12 +46,17 @@ class BloomBuildSpec extends AnyFunSuite with SparkSpec {
     assert(!bf.mightContainLong(42L))
   }
 
-  test("buildPartitions conf pins the partial-filter fleet") {
-    spark.conf.set("spark.graft.bloom.buildPartitions", "3")
+  test("shards conf pins the sub-filter count; negative hashes route correctly") {
+    spark.conf.set("spark.graft.bloom.shards", "3")
     try {
-      val df = spark.range(100000).select(col("id").as("h"))
+      // mix of negative and positive longs exercises the pmod routing on
+      // both build and probe sides
+      val df = spark.range(100000)
+        .select((col("id") * -7919 + 13).as("h"))
       val bf = BloomBuild.overLongColumn(df, "h", 100000, 0.01)
-      (0L until 100000L by 777).foreach(v => assert(bf.mightContainLong(v)))
-    } finally spark.conf.unset("spark.graft.bloom.buildPartitions")
+      assert(bf.shards.length == 3)
+      (0L until 100000L by 777).foreach(v =>
+        assert(bf.mightContainLong(v * -7919 + 13)))
+    } finally spark.conf.unset("spark.graft.bloom.shards")
   }
 }
