@@ -53,6 +53,15 @@ object SparkEntry {
   private val ChunkOverlap  = 8
   private val PackTokens    = 512L
   private val PackBuckets   = 8
+  // BM25 retrieval constants: terms present in the synthetic corpus; the
+  // oracle mirrors the log-free rational idf (see TextAnalysis.bm25)
+  private val Bm25Terms = Seq("spark", "hash", "window")
+  private val Bm25K1    = 1.2
+  private val Bm25B     = 0.75
+  private val Bm25TopK  = 20
+  // vocab small enough that OOV is non-empty on the ~30-term synthetic
+  // vocabulary (production: 32k-128k)
+  private val VocabK    = 20
 
   /** documents with every row duplicated under a shifted doc_id — the dedup
     * queries' input, so exact-dedup actually collapses something. */
@@ -481,6 +490,18 @@ object SparkEntry {
       TextAnalysis.topTerms(Tables.documents(s, dir), TopTermsK)),
     "q_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), 20)),
+    // lexical retrieval: log-free BM25 top-k for a fixed query-term bag
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), Bm25Terms, Bm25K1, Bm25B, Bm25TopK)),
+    // n-gram-LM-style quality score: corpus-bigram familiarity per doc
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
+    // tokenizer-vocab planning: OOV rate per source at a top-V vocabulary
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), VocabK)),
+    // corpus balance: Gini–Simpson diversity of sources within each lang
+    "q_source_simpson" -> ((s, dir) =>
+      TextAnalysis.sourceSimpson(Tables.documents(s, dir))),
 
     // --- training-data pipeline surface: dedup ---
     "q_dedup_exact" -> ((s, dir) =>
@@ -543,6 +564,17 @@ object SparkEntry {
       Similarity.cosineTopKBatch(Tables.embeddings(s, dir), BatchQueryIds, TopKSim)),
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "label", CosineMinSim)),
+    // semantic dedup: connected components over the embedding near-dup
+    // relation (the embedding-space twin of q_dedup_clusters)
+    "q_semantic_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Similarity.nearDupPairs(Tables.embeddings(s, dir), "label", CosineMinSim)
+          .select(col("vec_id_1").as("doc_id_1"), col("vec_id_2").as("doc_id_2")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
+    // index-quality eval: recall@k of the LSH-ANN path vs the exact dense
+    // top-k, per batch query — run before trusting an approximate index
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.embeddings(s, dir), BatchQueryIds, 4, TopKSim)),
     // approximate ANN path — the hyperplanes are md5-derived, so even this
     // "approximate" query is deterministic and has a full DuckDB oracle.
     "q_ann_topk" -> ((s, dir) =>
@@ -2327,6 +2359,72 @@ object SparkEntry {
       """SELECT tok AS term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // mirror of TextAnalysis.bm25: log-free rational idf, Robertson
+    // tf-saturation, fixed-order pivot + coalesced left-to-right sum —
+    // every double op is correctly rounded and evaluated in the same
+    // order as the Spark expression tree, so scores are bit-identical
+    "q_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val cases = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN s END) AS s_$i" }.mkString(", ")
+      val total = Bm25Terms.indices
+        .map(i => s"coalesce(s_$i, CAST(0.0 AS DOUBLE))").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dls),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, dls.dl, tf.term,
+         |        ((CAST(tot.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |         (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+         |        ((CAST(tf.tf AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+         |         (CAST(tf.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE) *
+         |          ((CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)) +
+         |           CAST($Bm25B AS DOUBLE) *
+         |           (CAST(dls.dl AS DOUBLE) /
+         |            (CAST(tot.n_tokens AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))))) AS s
+         |      FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN tot),
+         |p AS (SELECT doc_id, dl, $cases FROM s GROUP BY 1, 2),
+         |t AS (SELECT doc_id, dl, $total AS bm25
+         |      FROM p ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK)
+         |SELECT doc_id, dl, bm25,
+         |       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+         |FROM t""".stripMargin
+    },
+    // mirror of TextAnalysis.bigramFamiliarity: exact integer sums of
+    // corpus bigram frequencies; the only double op is the final division
+    "q_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, t.w[1] || ' ' || t.w[2] AS bigram
+        |       FROM d, UNNEST(list_zip(d.ws[1:len(d.ws)-1], d.ws[2:])) AS t(w)
+        |       WHERE len(d.ws) >= 2),
+        |c AS (SELECT bigram, count(*) AS bg_n FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(bg_n) AS BIGINT) AS familiarity_sum,
+        |       CAST(sum(CASE WHEN bg_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(bg_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_familiarity
+        |FROM bg JOIN c USING (bigram) GROUP BY 1""".stripMargin,
+    // mirror of TextAnalysis.vocabCoverage: top-V vocab (ties to the
+    // smaller term), OOV volume per source, one exact-int division
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+         |v AS (SELECT term FROM (SELECT term, count(*) AS n FROM tok
+         |      GROUP BY 1 ORDER BY n DESC, term LIMIT $VocabK)),
+         |j AS (SELECT tok.source, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM tok LEFT JOIN v ON tok.term = v.term)
+         |SELECT source, count(*) AS n_tokens,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov,
+         |       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM j GROUP BY 1""".stripMargin,
+    // mirror of TextAnalysis.sourceSimpson: 1 - Σn²/N² with integer Σ
+    "q_source_simpson" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_sources,
+        |       CAST(1.0 AS DOUBLE) -
+        |         CAST(sum(n * n) AS DOUBLE) /
+        |         (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson
+        |FROM c GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH docs2 AS ($sqlDocs2)
          |SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
@@ -2660,6 +2758,61 @@ object SparkEntry {
          |         ${sqlCosine("a.v", "b.v")} AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim > $CosineMinSim""".stripMargin,
+    // connected components over the embedding near-dup relation — the
+    // pair CTE is q_embedding_neardup's oracle, the reach CTE is
+    // q_dedup_clusters' min-label fixpoint
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE
+         |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |      FROM e0 a JOIN e0 b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE ${sqlCosine("a.v", "b.v")} > $CosineMinSim),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2, d1 FROM p),
+         |reach AS (
+         |  SELECT DISTINCT a AS vec_id, a AS lab FROM e
+         |  UNION
+         |  SELECT e.b AS vec_id, r.lab FROM reach r JOIN e ON e.a = r.vec_id)
+         |SELECT vec_id, min(lab) AS cluster_id FROM reach GROUP BY vec_id""".stripMargin,
+    // recall@k of the LSH-ANN retrieval vs the exact dense top-k: the
+    // dense CTE mirrors q_sim_topk_batch, the ann CTEs mirror q_ann_topk
+    // per batch query; both sides are k-bounded before the join
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id IN (${BatchQueryIds.mkString(", ")})),
+         |ds AS (SELECT q.query_id, e.vec_id,
+         |              CAST(row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${sqlCosine("e.v", "q.qv")} DESC, e.vec_id) AS BIGINT) AS rk
+         |       FROM e CROSS JOIN q),
+         |exact AS (SELECT query_id, vec_id FROM ds WHERE rk <= $TopKSim),
+         |planes AS (
+         |  SELECT p, [ (('0x' || substr(md5(p::VARCHAR || '_' || (d-1)::VARCHAR), 1, 15))::BIGINT
+         |               % 2001 - 1000)::DOUBLE
+         |              for d in generate_series(1, 64) ] AS w
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+         |b AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN ${sqlDot("e.v", "planes.w")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ann_bucket
+         |  FROM e, planes GROUP BY 1),
+         |qa AS (SELECT q.query_id, b.ann_bucket AS q_bucket, q.qv
+         |       FROM q JOIN b ON b.vec_id = q.query_id),
+         |ar AS (SELECT qa.query_id, e.vec_id,
+         |              CAST(row_number() OVER (PARTITION BY qa.query_id
+         |                ORDER BY ${sqlCosine("e.v", "qa.qv")} DESC, e.vec_id) AS BIGINT) AS rk
+         |       FROM e JOIN b USING (vec_id) CROSS JOIN qa
+         |       WHERE b.ann_bucket = qa.q_bucket),
+         |ann AS (SELECT query_id, vec_id FROM ar WHERE rk <= $TopKSim),
+         |h AS (SELECT exact.query_id, count(*) AS n_hits
+         |      FROM exact JOIN ann ON exact.query_id = ann.query_id
+         |                         AND exact.vec_id = ann.vec_id
+         |      GROUP BY 1),
+         |x AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+         |SELECT x.query_id, x.n_exact,
+         |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) /
+         |         CAST(x.n_exact AS DOUBLE) AS recall
+         |FROM x LEFT JOIN h USING (query_id)""".stripMargin,
     "q_multimodal_meta" ->
       s"""WITH $sqlMedia
          |SELECT media_id, kind,

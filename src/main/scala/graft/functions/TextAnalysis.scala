@@ -360,4 +360,139 @@ object TextAnalysis {
         transform(tokens(col("text")), t => tokHash(t) % lit(P)),
         lit(0L),
         (acc, x) => (acc * lit(31L) + x) % lit(P)).as("fingerprint"))
+
+  /** BM25 ranked retrieval of the top-`k` documents for a fixed bag of
+    * query terms — the lexical-retrieval complement of the dense top-k in
+    * [[graft.operators.Similarity]].
+    *
+    * Uses the RATIONAL idf `((N - df) + 0.5) / (df + 0.5)` instead of the
+    * textbook `ln` of it: `ln` is not IEEE-correctly-rounded and differs
+    * by ulps across math libraries, while +,-,*,/ are exact-rounded
+    * everywhere — so this score is bit-identical in any engine that
+    * evaluates the same expression tree, and the ranking it induces is the
+    * same monotone order as log-BM25 for single-term queries (and the
+    * standard log-free variant for multi-term ones). Saturation/length
+    * normalization is textbook Robertson:
+    * `tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))`.
+    *
+    * Scale: one token explode + two hash aggregates; the per-term score
+    * frame is filtered to the query terms BEFORE the aggregate, so the
+    * joined frames are (docs containing a query term)-sized, never
+    * corpus×vocab. Corpus totals attach as a broadcast single-row frame;
+    * the final top-k is TakeOrderedAndProject (no global sort). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double, b: Double,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val tf = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("n_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val score = idf *
+      ((col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+        (col("tf").cast("double") + norm))
+    val perTerm = tf
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("dl"), col("term"), score.as("s"))
+    // fixed-order pivot + left-to-right sum: a groupBy sum over doubles
+    // is order-nondeterministic; max-of-one-per-term then coalesced
+    // addition in queryTerms order is bit-stable on every engine
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === lit(t), col("s"))).as(s"s_$i")
+    }
+    val pivot = perTerm.groupBy(col("doc_id"), col("dl"))
+      .agg(termCols.head, termCols.tail: _*)
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivot.select(col("doc_id"), col("dl"), total.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+  }
+
+  /** Corpus-bigram familiarity — an n-gram-LM-style quality score without
+    * the cross-library `ln`: for every document, the exact integer sum of
+    * the CORPUS frequencies of its bigram occurrences, the count of novel
+    * bigrams (corpus frequency 1 ⇒ this document is their only witness),
+    * and the mean corpus frequency (one double division of exact longs).
+    * Low `avg_familiarity` / high `n_novel` flags gibberish and OCR noise
+    * exactly where a smoothed bigram LM would assign high perplexity;
+    * integer sums make the score engine-exact (a per-token smoothed
+    * probability would sum doubles in shuffle order).
+    *
+    * Scale: bigram explode → one hash agg for corpus counts → hash join
+    * back on the bigram key (AQE broadcasts it when the distinct-bigram
+    * frame is small) → per-doc hash agg. No windows, no sorts. */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("bigram"))
+    val corpus = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_n"))
+    bg.join(corpus, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bg_n")).as("familiarity_sum"),
+        sum(when(col("bg_n") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("avg_familiarity",
+        col("familiarity_sum").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** Tokenizer-vocabulary coverage planning: take the top-`vocabK` terms
+    * by corpus frequency (ties to the lexicographically smaller term) as
+    * the vocabulary, then report each source's token volume, OOV token
+    * count, and OOV rate — the table that decides whether a vocab size
+    * covers every corpus slice or silently shreds one source into
+    * unknown-token soup.
+    *
+    * Scale: the vocab is TakeOrderedAndProject(vocabK) over the term
+    * counts (never a global sort) and joins back as a broadcast; the rest
+    * is one partial+final hash aggregate over the token stream. */
+  def vocabCoverage(docs: DataFrame, vocabK: Int): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Gini–Simpson diversity of sources within each language — the corpus
+    * balance check (a language whose documents come from one source is a
+    * single-point-of-failure slice): `1 - Σ nᵢ² / N²` with the squared
+    * counts summed as exact integers, so the only double op is the final
+    * division (engine-exact). Two tiny hash aggregates. */
+  def sourceSimpson(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("n") * col("n")).as("sumsq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        (lit(1.0) - col("sumsq").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("simpson"))
 }

@@ -487,4 +487,32 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Index-quality evaluation: recall@k of the hyperplane-LSH ANN path
+    * ([[annTopK]]) against the exact dense top-k ([[cosineTopKBatch]]) for
+    * a batch of query vectors — the measurement a pipeline runs before
+    * trusting an approximate index at scale. `recall = |exact ∩ ann| / k`
+    * per query; both retrievals are the library's own (deterministic)
+    * operators, so the whole evaluation is engine-exact.
+    *
+    * Scale: each retrieval is k-bounded, so the join/aggregate below is
+    * O(|queries|·k) regardless of corpus size; the corpus-sized work is
+    * the retrievals themselves (one codegen'd cosine scan each). */
+  def annRecall(embeddings: DataFrame, queryVecIds: Seq[Long], planes: Int,
+      k: Int): DataFrame = {
+    val exact = cosineTopKBatch(embeddings, queryVecIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = queryVecIds
+      .map(id => annTopK(embeddings, id, planes, k)
+        .select(lit(id).as("query_id"), col("vec_id")))
+      .reduce(_ unionByName _)
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+  }
 }
