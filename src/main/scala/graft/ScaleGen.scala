@@ -108,7 +108,12 @@ object ScaleGen {
       val variant =
         if ((k / dims) % 2 == 0) rotated
         else transform(rotated, e => -e)
+      // label is a copy-LOCAL class id: shift it like every other key so
+      // copies are bucket-disjoint (unshifted labels made label-bucketed
+      // pair queries quadratic in the copy count — an artifact of the
+      // generator, not of the operator under test)
       df.withColumn("vec_id", col("vec_id") + lit(k * shift))
+        .withColumn("label", col("label") + lit(k * 1000))
         .withColumn("embedding", variant)
     }
     // fixed dims: single copy, verbatim (25/5 rows at every TPC-H SF)
