@@ -53,6 +53,10 @@ object SparkEntry {
   private val ChunkOverlap  = 8
   private val PackTokens    = 512L
   private val PackBuckets   = 8
+  // harmonic-centrality seeds in the customer(×2)/supplier(×2+1) node id
+  // space: customers 2 and 4, supplier 1 — shared verbatim by the oracle
+  private val HarmonicSeeds = Seq(4L, 8L, 3L)
+  private val HarmonicHops  = 6
   // BM25 retrieval constants: terms present in the synthetic corpus; the
   // oracle mirrors the log-free rational idf (see TextAnalysis.bm25)
   private val Bm25Terms = Seq("spark", "hash", "window")
@@ -266,6 +270,13 @@ object SparkEntry {
         operators.Graph.customerSupplierEdges(
           Tables.orders(s, dir), Tables.lineitem(s, dir)),
         Seq(4L, 8L), maxHops = 3)),
+    // sampled-seed harmonic centrality: exact multi-source BFS, ×60
+    // integer reciprocals (exact for d ≤ 6), top-20 most-central nodes
+    "q_harmonic" -> ((s, dir) =>
+      operators.Graph.harmonicCentrality(
+        operators.Graph.customerSupplierEdges(
+          Tables.orders(s, dir), Tables.lineitem(s, dir)),
+        HarmonicSeeds, maxHops = HarmonicHops, topK = 20)),
     // exact triangle census of the part co-purchase graph — the
     // degree-ordered orientation keeps the wedge join O(|E|^1.5)
     "q_triangles" -> ((s, dir) =>
@@ -1784,6 +1795,28 @@ object SparkEntry {
         |  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
         |  WHERE b.hops < 3)
         |SELECT node, min(hops) AS hops FROM bfs GROUP BY 1""".stripMargin,
+    // mirror of Graph.harmonicCentrality: per-seed BFS to 6 hops, min
+    // dist per (seed, node), exact integer 60 // d reciprocals
+    "q_harmonic" -> {
+      val seedRows = HarmonicSeeds
+        .map(s => s"(CAST($s AS BIGINT), CAST($s AS BIGINT), CAST(0 AS BIGINT))")
+        .mkString(", ")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM base
+         |      UNION SELECT b AS src, a AS dst FROM base),
+         |bfs(seed, node, dist) AS (
+         |  SELECT * FROM (VALUES $seedRows) v(seed, node, dist)
+         |  UNION
+         |  SELECT b.seed, e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
+         |  WHERE b.dist < $HarmonicHops),
+         |m AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+         |SELECT node, CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60,
+         |       count(*) AS n_seeds_reached
+         |FROM m WHERE dist > 0 GROUP BY 1
+         |ORDER BY harmonic_x60 DESC, node LIMIT 20""".stripMargin
+    },
     // mirror of Graph.triangleStats over Graph.partCoPurchasePairs:
     // same (deg, id) orientation, wedge-at-smallest-vertex census
     "q_triangles" ->

@@ -287,6 +287,52 @@ object Graph {
     visited
   }
 
+  /** Harmonic centrality from a sampled seed set — the scalable stand-in
+    * for exact closeness (all-pairs BFS is O(|V|·|E|); the standard
+    * estimator runs exact BFS from |seeds| sampled sources and scores
+    * every node by the harmonic sum of its distances TO the seeds):
+    * `harmonic_x60(v) = Σ_{s ∈ seeds, 0 < d(s,v) ≤ maxHops} 60 div d(s,v)`.
+    * The ×60 integer scaling (60 = lcm 1..6) makes every reciprocal an
+    * EXACT integer for maxHops ≤ 6, so the score reproduces bit-for-bit
+    * on any engine — summing 1/d doubles would be shuffle-order-dependent.
+    *
+    * Scale: one (seed,node)-keyed min-dist frame, |seeds|·|V| rows max;
+    * each round joins only the FRONTIER (nodes finalized last round —
+    * exact for unweighted BFS: a first-reached distance is final) against
+    * the one checkpointed edge frame, then hash-min-aggregates — the
+    * pageRank cost class × |seeds|. Per-round checkpoints released; the
+    * final top-k is TakeOrderedAndProject, never a global sort. */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], maxHops: Int,
+      topK: Int): DataFrame = {
+    require(seeds.nonEmpty, "harmonic centrality needs a seed sample")
+    require(maxHops >= 1 && maxHops <= 6,
+      "60/d is integer-exact only for d ≤ 6 (60 = lcm of 1..6)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = ckptEdges(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
+    var dist = seeds.distinct.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === lit((h - 1).toLong))
+        .withColumnRenamed("node", "src").select(col("seed"), col("src"))
+      val cand = e2.join(frontier, Seq("src"))
+        .select(col("seed"), col("dst").as("node"), lit(h.toLong).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(cand)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      release(prev) // eager checkpoint above: prev round's blocks are dead
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("60 div dist")).as("harmonic_x60"),
+        count(lit(1)).as("n_seeds_reached"))
+      .orderBy(col("harmonic_x60").desc, col("node"))
+      .limit(topK)
+  }
+
   /** Undirected part co-purchase graph: distinct (u < v) part pairs
     * that share at least one order. The per-order self-join is bounded
     * by order size (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs per order), so the

@@ -559,6 +559,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       multi.toString)
   }
 
+  test("harmonicCentrality: exact x60 reciprocals on a path, hop cap, " +
+      "seed self-distance excluded, topK tie order") {
+    import graft.operators.Graph
+    // undirected path 1–2–3–4–5 (both directions supplied)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val g = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val h = Graph.harmonicCentrality(g, Seq(1L), maxHops = 6, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // d(1,·) = 1,2,3,4 → 60,30,20,15; the seed itself (d=0) is excluded
+    assert(h == Map(2L -> 60L, 3L -> 30L, 4L -> 20L, 5L -> 15L), h.toString)
+    // hop cap truncates the reachable set, scores unchanged inside it
+    val capped = Graph.harmonicCentrality(g, Seq(1L), maxHops = 2, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(2L -> 60L, 3L -> 30L), capped.toString)
+    // two seeds: node 3 is 2 hops from both ends → 30 + 30, and
+    // n_seeds_reached counts contributing seeds
+    val two = Graph.harmonicCentrality(g, Seq(1L, 5L), maxHops = 6, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two(3L) == ((60L, 2L)), two.toString)
+    assert(two(2L) == ((60L + 20L, 2L)), two.toString)
+  }
+
   test("triangleStats: exact census on known graphs (pendant triangle, " +
       "complete K4)") {
     import graft.operators.Graph
