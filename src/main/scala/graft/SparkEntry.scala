@@ -35,6 +35,10 @@ object SparkEntry {
   // there and ~24.5k at sf0.1). Production callers use the operator default
   // (Dedup.DefaultShingleDfCap); the oracle SQL mirrors this constant.
   private val NgramDfCap    = 5L
+  // q_jaccard_prefix threshold as an exact rational (= MinJaccard): the
+  // prefix length is integer arithmetic off tNum/tDen
+  private val JaccardTNum   = 3
+  private val JaccardTDen   = 10
   private val CosineMinSim  = 0.3
   private val TopKSim       = 10
   private val QueryVecId    = 0L
@@ -523,6 +527,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), NgramN, MinJaccard, NgramDfCap)),
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), NgramN, MinJaccard)),
+    // EXACT set-similarity join via prefix filtering: same pair set as a
+    // brute-force pairwise join (the oracle IS brute force), no DF cap
+    "q_jaccard_prefix" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), NgramN,
+        JaccardTNum, JaccardTDen)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
     "q_simhash_neardup" -> ((s, dir) =>
@@ -2474,6 +2483,14 @@ object SparkEntry {
          |SELECT doc_id_1, doc_id_2, n_common,
          |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
          |FROM cpairs JOIN csizes s1 ON doc_id_1 = s1.doc_id JOIN csizes s2 ON doc_id_2 = s2.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
+    // oracle for the prefix-filtered join is BRUTE FORCE over the uncapped
+    // shingle universe — the filter is lossless, so the outputs must match
+    "q_jaccard_prefix" ->
+      s"""WITH $sqlShingleCtes
+         |SELECT doc_id_1, doc_id_2, n_common,
+         |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+         |FROM pairs JOIN sizes s1 ON doc_id_1 = s1.doc_id JOIN sizes s2 ON doc_id_2 = s2.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH $sqlShingleCtes,

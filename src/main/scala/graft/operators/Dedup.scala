@@ -147,6 +147,75 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
   }
 
+  /** EXACT set-similarity join via prefix filtering — every document pair
+    * with n-gram Jaccard ≥ tNum/tDen, bit-identical to the brute-force
+    * pairwise join, with NO document-frequency cap and no approximation
+    * (the PPJoin-family technique; the threshold is an exact rational so
+    * the prefix length is pure integer arithmetic).
+    *
+    * Principle: order each doc's shingles by ascending document frequency
+    * (rarest first, ties by hash — one GLOBAL total order). With prefix
+    * length `p(x) = |x| − ⌈t/(1+t)·|x|⌉ + 1`, any two sets with
+    * J ≥ t share a shingle inside BOTH prefixes: if they didn't, every
+    * common shingle would sit in one of the two suffixes, giving
+    * `|A∩B| ≤ (⌈t/(1+t)·|A|⌉−1) + (⌈t/(1+t)·|B|⌉−1) < t/(1+t)·(|A|+|B|)`,
+    * while J ≥ t forces `|A∩B| ≥ t/(1+t)·(|A|+|B|)` — contradiction.
+    * (The symmetric-safe t/(1+t) length, NOT the asymmetric probe length
+    * |x|−⌈t·|x|⌉+1 of index-probe formulations, which is only exact when
+    * one side indexes a longer prefix.)
+    *
+    * Scale: candidates come from grouping PREFIX postings by shingle and
+    * expanding in-bucket pairs — boilerplate shingles have huge df, rank
+    * LAST inside every doc, and so never enter a prefix: the skew space
+    * that forces [[ngramJaccardPairs]]' observable DF cap prunes itself
+    * here, losslessly. Verification re-shingles CANDIDATE DOCS ONLY
+    * (semi-join before the explode) and scores `array_intersect` in a
+    * projection — the [[minhashLshPairs]] pattern, O(candidates), never a
+    * full shingle self-join. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val minJ = tNum.toDouble / tDen
+    val ex = shingleEx(docs, n)
+    val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(dfs, Seq("h"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    // p = sz − ⌈tNum·sz/(tNum+tDen)⌉ + 1, all-integer ceil division
+    val den = tNum + tDen
+    val prefix = ranked
+      .filter(col("rk") <=
+        expr(s"sz - (($tNum * sz + ${den - 1}) div $den) + 1"))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_id_1"), y.as("doc_id_2")))))).as("p"))
+      .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
+      .distinct()
+    val candDocs = cand.select(col("doc_id_1").as("doc_id"))
+      .unionByName(cand.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val sets = shingleEx(docs.join(candDocs, Seq("doc_id"), "left_semi"), n)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_id_1"), col("hs").as("hs1")), Seq("doc_id_1"))
+      .join(sets.select(col("doc_id").as("doc_id_2"), col("hs").as("hs2")), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_common"),
+        size(col("hs1")).cast("long").as("n1"),
+        size(col("hs2")).cast("long").as("n2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
+  }
+
   /** MinHash parameters: k universal hash functions (a_i·h + b_i) mod P over
     * 60-bit shingle hashes reduced mod P. Constants are LCG-derived and
     * mirrored verbatim into the oracle SQL. */

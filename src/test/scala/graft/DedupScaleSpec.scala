@@ -56,6 +56,35 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("prefixJaccardPairs: bit-identical to brute force (real corpus and " +
+      "hot-boilerplate corpus), prefix filter is lossless") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id_1", "doc_id_2", "n_common", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // brute force = ngramJaccardPairs with the df cap disabled (cap far
+    // beyond the corpus leaves the pair space untouched)
+    val brute = canon(Dedup.ngramJaccardPairs(docs, n = 3,
+      minJaccard = 0.3, maxDocFreq = 1000000L))
+    val pref = canon(Dedup.prefixJaccardPairs(docs, n = 3, 3, 10))
+    assert(pref.nonEmpty && pref.toSeq == brute.toSeq)
+    // hot-shingle corpus at t = 3/10: boilerplate-only pairs score
+    // 1/7 < 0.3 and are rejected in the exact verify; the exact dup pair
+    // survives at J = 1 — same answer brute force gives. (Prefix pruning
+    // only engages on LARGE sets — ⌈t/(1+t)·|x|⌉ > 1 — which is exactly
+    // where the quadratic bucket expansion needs it; tiny sets take the
+    // verify path, bounded by their own size.)
+    val hot = canon(Dedup.prefixJaccardPairs(hotShingleCorpus, n = 3, 3, 10))
+    val hotBrute = canon(Dedup.ngramJaccardPairs(hotShingleCorpus, n = 3,
+      minJaccard = 0.3, maxDocFreq = 1000000L))
+    assert(hot.toSeq == hotBrute.toSeq)
+    assert(hot.map(t => (t._1, t._2)).toSeq == Seq((100L, 101L)), hot.toSeq)
+    assert(hot.head._4 == 1.0)
+  }
+
   test("simhashNearDupPairs rejects maxHamming outside [0, 60)") {
     val docs = hotShingleCorpus
     assertThrows[IllegalArgumentException](Dedup.simhashNearDupPairs(docs, -1))
