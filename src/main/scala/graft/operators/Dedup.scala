@@ -188,24 +188,52 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <=
         expr(s"sz - (($tNum * sz + ${den - 1}) div $den) + 1"))
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h"), col("rk"), col("sz"))
+    // candidate expansion carries (rank, size) so the PPJoin positional
+    // and length filters prune BEFORE the verify join — both lossless:
+    //  - positional: for the pair's minimum-position shared prefix token
+    //    m, every other common token sorts after m (else it would be an
+    //    earlier prefix-meeting token), so |A∩B| ≤ 1 + min(szA−rkA(m),
+    //    szB−rkB(m)); J ≥ t forces |A∩B| ≥ ⌈t/(1+t)·(szA+szB)⌉ = α.
+    //    ubound is max at the min-position meeting token, so max(ubound)
+    //    over meeting tokens ≥ α is exactly the m-based test;
+    //  - length: J ≤ min(szA,szB)/max(szA,szB), so tDen·min ≥ tNum·max.
     val cand = prefix.groupBy(col("h"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("rk"), col("sz"))))
+        .as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("doc_id_1"), y.as("doc_id_2")))))).as("p"))
-      .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"))
-      .distinct()
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_id_1"),
+            y.getField("doc_id").as("doc_id_2"),
+            x.getField("sz").as("sz1"), y.getField("sz").as("sz2"),
+            (lit(1L) + least(x.getField("sz") - x.getField("rk"),
+              y.getField("sz") - y.getField("rk"))).as("ub"))))))
+        .as("p"))
+      .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"),
+        col("p.sz1").as("sz1"), col("p.sz2").as("sz2"), col("p.ub").as("ub"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(max(col("ub")).as("max_ub"),
+        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+      .filter(col("max_ub") >=
+        expr(s"($tNum * (sz1 + sz2) + ${den - 1}) div $den") &&
+        lit(tDen.toLong) * least(col("sz1"), col("sz2")) >=
+          lit(tNum.toLong) * greatest(col("sz1"), col("sz2")))
+      .select(col("doc_id_1"), col("doc_id_2"))
     val candDocs = cand.select(col("doc_id_1").as("doc_id"))
       .unionByName(cand.select(col("doc_id_2").as("doc_id")))
       .distinct()
     val sets = shingleEx(docs.join(candDocs, Seq("doc_id"), "left_semi"), n)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("h"))).as("hs"))
+    // shuffled-hash attach: sorting the candidate side (pairs × two
+    // shingle-array payloads) is where a sort-merge join spills at scale;
+    // the per-key doc-set build side hashes fine
     cand
-      .join(sets.select(col("doc_id").as("doc_id_1"), col("hs").as("hs1")), Seq("doc_id_1"))
-      .join(sets.select(col("doc_id").as("doc_id_2"), col("hs").as("hs2")), Seq("doc_id_2"))
+      .join(sets.select(col("doc_id").as("doc_id_1"), col("hs").as("hs1"))
+        .hint("shuffle_hash"), Seq("doc_id_1"))
+      .join(sets.select(col("doc_id").as("doc_id_2"), col("hs").as("hs2"))
+        .hint("shuffle_hash"), Seq("doc_id_2"))
       .select(col("doc_id_1"), col("doc_id_2"),
         size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_common"),
         size(col("hs1")).cast("long").as("n1"),
