@@ -57,6 +57,8 @@ object SparkEntry {
   private val ChunkOverlap  = 8
   private val PackTokens    = 512L
   private val PackBuckets   = 8
+  // M4 downsample pixel width (shared verbatim by the oracle)
+  private val M4Width = 100
   // harmonic-centrality seeds in the customer(×2)/supplier(×2+1) node id
   // space: customers 2 and 4, supplier 1 — shared verbatim by the oracle
   private val HarmonicSeeds = Seq(4L, 8L, 3L)
@@ -127,6 +129,9 @@ object SparkEntry {
       TimeSeries.movingAvg(Tables.events(s, dir))),
     "q_ohlc" -> ((s, dir) =>
       TimeSeries.ohlcBars(Tables.events(s, dir))),
+    // M4 min/max/first/last-per-pixel downsample (error-free line charts)
+    "q_m4" -> ((s, dir) =>
+      TimeSeries.m4(Tables.events(s, dir), M4Width)),
     "q_counter_rate" -> ((s, dir) =>
       TimeSeries.counterRate(Tables.events(s, dir))),
     "q_cumsum" -> ((s, dir) =>
@@ -1074,6 +1079,33 @@ object SparkEntry {
     // OHLC selection mirrored with a two-direction row_number (the Spark
     // side uses min_by/max_by on the (ts, event_id) struct — same total
     // order, same winner)
+    // mirror of TimeSeries.m4: integer pixel buckets over the global span,
+    // min_by/max_by argmins replayed as rank-1 rows under the same keys
+    "q_m4" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         |s AS (SELECT min(ts_us) AS t0, max(ts_us) - min(ts_us) + 1 AS dur FROM e),
+         |b AS (SELECT e.*, ((ts_us - t0) * $M4Width) // dur AS bucket FROM e CROSS JOIN s),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY event_type, bucket
+         |                           ORDER BY ts_us, event_id) AS rn_a,
+         |        row_number() OVER (PARTITION BY event_type, bucket
+         |                           ORDER BY ts_us DESC, event_id DESC) AS rn_d,
+         |        row_number() OVER (PARTITION BY event_type, bucket
+         |                           ORDER BY value, ts_us, event_id) AS rn_lo,
+         |        row_number() OVER (PARTITION BY event_type, bucket
+         |                           ORDER BY value DESC, ts_us DESC, event_id DESC) AS rn_hi
+         |      FROM b)
+         |SELECT event_type, bucket,
+         |       max(CASE WHEN rn_a = 1 THEN ts_us END) AS t_first,
+         |       max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+         |       max(CASE WHEN rn_d = 1 THEN ts_us END) AS t_last,
+         |       max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+         |       max(CASE WHEN rn_lo = 1 THEN ts_us END) AS t_min,
+         |       max(CASE WHEN rn_lo = 1 THEN value END) AS v_min,
+         |       max(CASE WHEN rn_hi = 1 THEN ts_us END) AS t_max,
+         |       max(CASE WHEN rn_hi = 1 THEN value END) AS v_max,
+         |       count(*) AS n_points
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "q_ohlc" ->
       """WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
         |                 epoch_us(ts) AS ts_us, event_id, value FROM events),

@@ -140,6 +140,43 @@ object TimeSeries {
         count(lit(1)).as("n_points"))
   }
 
+  /** M4 visualization downsample (Jugel et al., VLDB 2014): per (series,
+    * pixel bucket) the FIRST, LAST, MIN-value and MAX-value samples with
+    * their timestamps — the standard error-free min/max downsampler for
+    * line charts at any zoom, complementing [[lttb]] (which picks one
+    * perceptually-representative point per bucket; M4 guarantees the
+    * rendered pixel column is exact). Buckets map the series' [t0, t1]
+    * span onto `w` equal pixels with pure integer arithmetic
+    * (`(ts−t0)·w div (t1−t0+1)`); the span attaches as a broadcast
+    * single-row frame. Every argmin/argmax is deterministic: (ts,
+    * event_id) keys first/last, (value, ts, event_id) keys min/max. One
+    * hash aggregate; output ≤ w·|series| rows regardless of input size. */
+  def m4(events: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, "need at least one pixel bucket")
+    val span = events.agg(min(tsUs(col("ts"))).as("t0"),
+      (max(tsUs(col("ts"))) - min(tsUs(col("ts"))) + 1L).as("dur"))
+    val okey = struct(col("ts_us").as("t"), col("event_id").as("e"))
+    val vkey = struct(col("value").as("v"), col("ts_us").as("t"),
+      col("event_id").as("e"))
+    val pt = struct(col("ts_us").as("t"), col("value").as("v"))
+    events.withColumn("ts_us", tsUs(col("ts")))
+      .crossJoin(broadcast(span))
+      .groupBy(col("event_type"),
+        expr(s"((ts_us - t0) * $w) div dur").as("bucket"))
+      .agg(
+        min_by(pt, okey).as("first"),
+        max_by(pt, okey).as("last"),
+        min_by(pt, vkey).as("lo"),
+        max_by(pt, vkey).as("hi"),
+        count(lit(1)).as("n_points"))
+      .select(col("event_type"), col("bucket"),
+        col("first.t").as("t_first"), col("first.v").as("v_first"),
+        col("last.t").as("t_last"), col("last.v").as("v_last"),
+        col("lo.t").as("t_min"), col("lo.v").as("v_min"),
+        col("hi.t").as("t_max"), col("hi.v").as("v_max"),
+        col("n_points"))
+  }
+
   /** Counter rate (PromQL-style `increase`): per series ordered by
     * (ts, event_id), the per-sample increase is `value - lag(value)`, and a
     * NEGATIVE delta is treated as a counter reset (the new value IS the

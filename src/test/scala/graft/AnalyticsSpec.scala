@@ -559,6 +559,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       multi.toString)
   }
 
+  test("m4 downsample: exact first/last/min/max per pixel bucket, " +
+      "deterministic tie-breaks, bucket arithmetic") {
+    import graft.operators.TimeSeries
+    // 4 samples spanning [0, 4) s → w=2 pixels of 2 s each; values chosen
+    // so min/max differ from first/last in bucket 0, and bucket 1 has a
+    // VALUE TIE (5.0 at t=2 and t=3 → max_by key (v,t,e) picks t=3)
+    val rows = Seq( // (ts_us, event_id, value, type)
+      (0L, 1L, 3.0, "a"), (500000L, 2L, 9.0, "a"), (1000000L, 3L, 1.0, "a"),
+      (1500000L, 4L, 4.0, "a"),
+      (2000000L, 5L, 5.0, "a"), (3000000L, 6L, 5.0, "a"))
+    val ev = rows.toDF("ts_us", "event_id", "value", "event_type")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("value"), col("event_type"))
+    val got = TimeSeries.m4(ev, 2).orderBy(col("bucket")).collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getAs[Long]("bucket") == 0L && b0.getAs[Long]("n_points") == 4L)
+    assert(b0.getAs[Long]("t_first") == 0L && b0.getAs[Double]("v_first") == 3.0)
+    assert(b0.getAs[Long]("t_last") == 1500000L && b0.getAs[Double]("v_last") == 4.0)
+    assert(b0.getAs[Long]("t_min") == 1000000L && b0.getAs[Double]("v_min") == 1.0)
+    assert(b0.getAs[Long]("t_max") == 500000L && b0.getAs[Double]("v_max") == 9.0)
+    val b1 = got(1)
+    assert(b1.getAs[Long]("bucket") == 1L && b1.getAs[Long]("n_points") == 2L)
+    // value tie at 5.0: max_by key (value, ts, event_id) takes the LATER
+    // sample; min_by takes the earlier
+    assert(b1.getAs[Long]("t_max") == 3000000L)
+    assert(b1.getAs[Long]("t_min") == 2000000L)
+  }
+
   test("harmonicCentrality: exact x60 reciprocals on a path, hop cap, " +
       "seed self-distance excluded, topK tie order") {
     import graft.operators.Graph
