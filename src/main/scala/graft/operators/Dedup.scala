@@ -213,8 +213,10 @@ object Dedup {
       .select(col("p.doc_id_1").as("doc_id_1"), col("p.doc_id_2").as("doc_id_2"),
         col("p.sz1").as("sz1"), col("p.sz2").as("sz2"), col("p.ub").as("ub"))
       .groupBy(col("doc_id_1"), col("doc_id_2"))
+      // sz is functional on the doc id (constant per group): max ≡ the
+      // value, chosen over first() for order-independence
       .agg(max(col("ub")).as("max_ub"),
-        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+        max(col("sz1")).as("sz1"), max(col("sz2")).as("sz2"))
       .filter(col("max_ub") >=
         expr(s"($tNum * (sz1 + sz2) + ${den - 1}) div $den") &&
         lit(tDen.toLong) * least(col("sz1"), col("sz2")) >=
