@@ -59,6 +59,9 @@ object SparkEntry {
   private val PackBuckets   = 8
   // M4 downsample pixel width (shared verbatim by the oracle)
   private val M4Width = 100
+  // alert threshold in cents (60.00) and hold duration in hours
+  private val AlertCents    = 6000L
+  private val AlertForHours = 3
   // harmonic-centrality seeds in the customer(×2)/supplier(×2+1) node id
   // space: customers 2 and 4, supplier 1 — shared verbatim by the oracle
   private val HarmonicSeeds = Seq(4L, 8L, 3L)
@@ -132,6 +135,9 @@ object SparkEntry {
     // M4 min/max/first/last-per-pixel downsample (error-free line charts)
     "q_m4" -> ((s, dir) =>
       TimeSeries.m4(Tables.events(s, dir), M4Width)),
+    // PromQL-style `for:` alerting: hourly mean > 60.00 held ≥ 3 hours
+    "q_alert_for" -> ((s, dir) =>
+      TimeSeries.alertFor(Tables.events(s, dir), AlertCents, AlertForHours)),
     "q_counter_rate" -> ((s, dir) =>
       TimeSeries.counterRate(Tables.events(s, dir))),
     "q_cumsum" -> ((s, dir) =>
@@ -1079,6 +1085,20 @@ object SparkEntry {
     // OHLC selection mirrored with a two-direction row_number (the Spark
     // side uses min_by/max_by on the (ts, event_id) struct — same total
     // order, same winner)
+    // mirror of TimeSeries.alertFor: exact-decimal breach test, the same
+    // gaps-and-islands key, HAVING = the hold duration
+    "q_alert_for" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+         |                  sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |b AS (SELECT * FROM h WHERE s * 100 > $AlertCents * n),
+         |i AS (SELECT *, bucket_us // 3600000000 -
+         |        row_number() OVER (PARTITION BY event_type ORDER BY bucket_us) AS grp
+         |      FROM b)
+         |SELECT event_type, min(bucket_us) AS alert_start_us,
+         |       max(bucket_us) AS alert_end_us, count(*) AS n_hours,
+         |       max(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS peak_mean
+         |FROM i GROUP BY event_type, grp HAVING count(*) >= $AlertForHours""".stripMargin,
     // mirror of TimeSeries.m4: integer pixel buckets over the global span,
     // min_by/max_by argmins replayed as rank-1 rows under the same keys
     "q_m4" ->

@@ -177,6 +177,37 @@ object TimeSeries {
         col("n_points"))
   }
 
+  /** Alerting with hold-duration semantics (PromQL `for:`): an alert
+    * episode is a maximal run of CONSECUTIVE breach hours — hours whose
+    * mean value exceeds the threshold — at least `forHours` long; shorter
+    * blips never fire. The breach test runs in EXACT decimal
+    * (`100·Σvalue > cents·n`, never a double mean), so episode membership
+    * is engine-exact; islands come from the classic gaps-and-islands key
+    * (hour index − row_number), one partitioned window over the
+    * HOURLY frame (≤ |series|·hours rows — aggregated first, so the
+    * window never sees raw events). Output: one row per firing episode
+    * with its span, length, and peak hourly mean. */
+  def alertFor(events: DataFrame, thresholdCents: Long,
+      forHours: Int): DataFrame = {
+    require(forHours >= 1, "hold duration must be at least one bucket")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    events
+      .groupBy(col("event_type"), tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+      .filter(col("s") * 100 > lit(thresholdCents) * col("n"))
+      .withColumn("grp",
+        expr("bucket_us div 3600000000") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(
+        min(col("bucket_us")).as("alert_start_us"),
+        max(col("bucket_us")).as("alert_end_us"),
+        count(lit(1)).as("n_hours"),
+        max(col("s").cast("double") / col("n").cast("double")).as("peak_mean"))
+      .filter(col("n_hours") >= forHours)
+      .select(col("event_type"), col("alert_start_us"), col("alert_end_us"),
+        col("n_hours"), col("peak_mean"))
+  }
+
   /** Counter rate (PromQL-style `increase`): per series ordered by
     * (ts, event_id), the per-sample increase is `value - lag(value)`, and a
     * NEGATIVE delta is treated as a counter reset (the new value IS the

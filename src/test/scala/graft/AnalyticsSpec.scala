@@ -559,6 +559,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       multi.toString)
   }
 
+  test("alertFor: only runs >= forHours fire, gaps split islands, " +
+      "mean == threshold is NOT a breach (strict, exact decimal)") {
+    import graft.operators.TimeSeries
+    val hr = 3600000000L
+    // type a: breach hours 0,1,2 (fires), gap at 3, breach 5,6 (too short)
+    // type b: hour 0 mean EXACTLY 60.00 -> strict > excludes it
+    val rows = Seq(
+      (0L * hr, 1L, 100.0, "a"), (1L * hr, 2L, 100.0, "a"),
+      (2L * hr, 3L, 100.0, "a"), (3L * hr, 4L, 1.0, "a"),
+      (5L * hr, 5L, 100.0, "a"), (6L * hr, 6L, 100.0, "a"),
+      (0L * hr, 7L, 60.0, "b"), (0L * hr + 1L, 8L, 60.0, "b"))
+    val ev = rows.toDF("ts_us", "event_id", "value", "event_type")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("value"), col("event_type"))
+    val got = TimeSeries.alertFor(ev, 6000L, 3).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val e = got.head
+    assert(e.getAs[String]("event_type") == "a")
+    assert(e.getAs[Long]("alert_start_us") == 0L)
+    assert(e.getAs[Long]("alert_end_us") == 2L * hr)
+    assert(e.getAs[Long]("n_hours") == 3L)
+    assert(e.getAs[Double]("peak_mean") == 100.0)
+  }
+
   test("m4 downsample: exact first/last/min/max per pixel bucket, " +
       "deterministic tie-breaks, bucket arithmetic") {
     import graft.operators.TimeSeries
