@@ -138,6 +138,9 @@ object SparkEntry {
     // PromQL-style `for:` alerting: hourly mean > 60.00 held ≥ 3 hours
     "q_alert_for" -> ((s, dir) =>
       TimeSeries.alertFor(Tables.events(s, dir), AlertCents, AlertForHours)),
+    // trailing-24h Pearson correlation of click vs view hourly volumes
+    "q_rolling_corr" -> ((s, dir) =>
+      TimeSeries.rollingCorr(Tables.events(s, dir), "click", "view", 24)),
     "q_counter_rate" -> ((s, dir) =>
       TimeSeries.counterRate(Tables.events(s, dir))),
     "q_cumsum" -> ((s, dir) =>
@@ -1085,6 +1088,33 @@ object SparkEntry {
     // OHLC selection mirrored with a two-direction row_number (the Spark
     // side uses min_by/max_by on the (ts, event_id) struct — same total
     // order, same winner)
+    // mirror of TimeSeries.rollingCorr: decimal window co-moments, the
+    // VARCHAR-hop decimal→double cast (correctly rounded, = Spark's
+    // Decimal.toDouble), Pearson in the same fixed double order
+    "q_rolling_corr" ->
+      """WITH h AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         sum(CASE WHEN event_type = 'click'
+        |                  THEN CAST(value AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |         sum(CASE WHEN event_type = 'view'
+        |                  THEN CAST(value AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |wsum AS (
+        |  SELECT bucket_us,
+        |    count(*) OVER w AS cnt,
+        |    CAST(CAST(sum(x) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM h
+        |  WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT bucket_us,
+        |       (24.0 * sxy - sx * sy)
+        |         / (sqrt(24.0 * sxx - sx * sx) * sqrt(24.0 * syy - sy * sy)) AS rolling_r
+        |FROM wsum WHERE cnt = 24""".stripMargin,
     // mirror of TimeSeries.alertFor: exact-decimal breach test, the same
     // gaps-and-islands key, HAVING = the hold duration
     "q_alert_for" ->

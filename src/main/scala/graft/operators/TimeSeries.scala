@@ -177,6 +177,44 @@ object TimeSeries {
         col("n_points"))
   }
 
+  /** Rolling Pearson correlation between two series over a trailing
+    * window of hourly buckets — the co-movement monitor (ad clicks vs
+    * views, CPU vs latency). Exactness: the five co-moment sums
+    * accumulate in DECIMAL inside the window frame (exact, order-free —
+    * summing doubles in a window is engine-traversal-dependent), each Σ
+    * casts to double ONCE (correctly rounded), and the Pearson formula
+    * runs in fixed double order — bit-identical on any engine. The
+    * window runs over the ALREADY AGGREGATED hourly frame (≤ hours
+    * rows; partition by a coarser calendar unit if a deployment's series
+    * span makes that frame large). Emits only full windows. */
+  def rollingCorr(events: DataFrame, typeX: String, typeY: String,
+      windowHours: Int): DataFrame = {
+    require(windowHours >= 2, "correlation needs at least two buckets")
+    val zero = lit(0).cast("decimal(18,2)")
+    val dec = col("value").cast("decimal(18,2)")
+    val hourly = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        sum(when(col("event_type") === typeX, dec).otherwise(zero)).as("x"),
+        sum(when(col("event_type") === typeY, dec).otherwise(zero)).as("y"))
+    val w = Window.orderBy(col("bucket_us"))
+      .rowsBetween(-(windowHours - 1), Window.currentRow)
+    val n = lit(windowHours.toLong).cast("double")
+    hourly
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w).cast("double"))
+      .withColumn("sy", sum(col("y")).over(w).cast("double"))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w).cast("double"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("double"))
+      .withColumn("syy", sum(col("y") * col("y")).over(w).cast("double"))
+      .filter(col("cnt") === windowHours)
+      .select(col("bucket_us"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy")))).as("rolling_r"))
+  }
+
   /** Alerting with hold-duration semantics (PromQL `for:`): an alert
     * episode is a maximal run of CONSECUTIVE breach hours — hours whose
     * mean value exceeds the threshold — at least `forHours` long; shorter

@@ -559,6 +559,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       multi.toString)
   }
 
+  test("rollingCorr: +1 on linearly dependent series, -1 on inverted, " +
+      "only full windows emit") {
+    import graft.operators.TimeSeries
+    val hr = 3600000000L
+    // click = i+1, view = 2(i+1) over hours 0..3 → perfectly correlated
+    val rows = (0 to 3).flatMap { i =>
+      Seq((i * hr, i * 10L + 1, (i + 1).toDouble, "click"),
+        (i * hr, i * 10L + 2, 2.0 * (i + 1), "view"))
+    }
+    val ev = rows.toDF("ts_us", "event_id", "value", "event_type")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("value"), col("event_type"))
+    val got = TimeSeries.rollingCorr(ev, "click", "view", 3)
+      .orderBy(col("bucket_us")).collect()
+    assert(got.length == 2) // hours 0,1 lack a full 3-bucket window
+    got.foreach(r => assert(math.abs(r.getAs[Double]("rolling_r") - 1.0) < 1e-12))
+    // inverted view: 10 - (i+1) → perfect anti-correlation
+    val inv = (0 to 3).flatMap { i =>
+      Seq((i * hr, i * 10L + 1, (i + 1).toDouble, "click"),
+        (i * hr, i * 10L + 2, 10.0 - (i + 1), "view"))
+    }.toDF("ts_us", "event_id", "value", "event_type")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("value"), col("event_type"))
+    TimeSeries.rollingCorr(inv, "click", "view", 3).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("rolling_r") + 1.0) < 1e-12))
+  }
+
   test("alertFor: only runs >= forHours fire, gaps split islands, " +
       "mean == threshold is NOT a breach (strict, exact decimal)") {
     import graft.operators.TimeSeries
