@@ -288,6 +288,11 @@ object SparkEntry {
         operators.Graph.customerSupplierEdges(
           Tables.orders(s, dir), Tables.lineitem(s, dir)),
         Seq(4L, 8L), maxHops = 3)),
+    // degree distribution of the part co-purchase graph (power-law /
+    // hub check; ≤ max-degree output rows)
+    "q_degree_dist" -> ((s, dir) =>
+      operators.Graph.degreeDistribution(
+        operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)))),
     // sampled-seed harmonic centrality: exact multi-source BFS, ×60
     // integer reciprocals (exact for d ≤ 6), top-20 most-central nodes
     "q_harmonic" -> ((s, dir) =>
@@ -546,6 +551,10 @@ object SparkEntry {
     "q_jaccard_prefix" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Tables.documents(s, dir), NgramN,
         JaccardTNum, JaccardTDen)),
+    // sketch-quality eval: signature-estimated vs exact Jaccard per LSH
+    // candidate pair (sizes k and the banding before trusting the sketch)
+    "q_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatorEval(Tables.documents(s, dir), NgramN)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
     "q_simhash_neardup" -> ((s, dir) =>
@@ -1886,6 +1895,16 @@ object SparkEntry {
         |  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
         |  WHERE b.hops < 3)
         |SELECT node, min(hops) AS hops FROM bfs GROUP BY 1""".stripMargin,
+    // mirror of Graph.degreeDistribution over partCoPurchasePairs
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |          (SELECT u AS node FROM pairs
+        |           UNION ALL SELECT v FROM pairs) t GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
     // mirror of Graph.harmonicCentrality: per-seed BFS to 6 hops, min
     // dist per (seed, node), exact integer 60 // d reciprocals
     "q_harmonic" -> {
@@ -2566,6 +2585,33 @@ object SparkEntry {
          |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
          |FROM cpairs JOIN csizes s1 ON doc_id_1 = s1.doc_id JOIN csizes s2 ON doc_id_2 = s2.doc_id
          |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= $MinJaccard""".stripMargin,
+    // mirror of Dedup.minhashEstimatorEval: component matches summed as
+    // ints over the 16 signature columns; exact side LEFT-joins the
+    // brute pairs (a candidate pair can share zero shingles)
+    "q_minhash_est" -> {
+      val matches = (0 until Dedup.MinHashK)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sqlShingleCtes,
+         |$sqlMinhashSig,
+         |m AS (SELECT c.doc_id_1, c.doc_id_2, $matches AS n_match
+         |      FROM cand c JOIN sig a ON c.doc_id_1 = a.doc_id
+         |                  JOIN sig b ON c.doc_id_2 = b.doc_id),
+         |e2 AS (SELECT m.doc_id_1, m.doc_id_2,
+         |         CAST(m.n_match AS BIGINT) AS n_match,
+         |         coalesce(p.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |         s1.n AS n1, s2.n AS n2
+         |       FROM m
+         |       LEFT JOIN pairs p ON m.doc_id_1 = p.doc_id_1 AND m.doc_id_2 = p.doc_id_2
+         |       JOIN sizes s1 ON m.doc_id_1 = s1.doc_id
+         |       JOIN sizes s2 ON m.doc_id_2 = s2.doc_id)
+         |SELECT doc_id_1, doc_id_2, n_match,
+         |       CAST(n_match AS DOUBLE) / CAST(${Dedup.MinHashK} AS DOUBLE) AS est_jaccard,
+         |       CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) AS jaccard,
+         |       abs(CAST(n_match AS DOUBLE) / CAST(${Dedup.MinHashK} AS DOUBLE) -
+         |           CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)) AS abs_err
+         |FROM e2""".stripMargin
+    },
     // oracle for the prefix-filtered join is BRUTE FORCE over the uncapped
     // shingle universe — the filter is lossless, so the outputs must match
     "q_jaccard_prefix" ->

@@ -318,6 +318,45 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
 
+  /** MinHash estimator-quality evaluation — the [[graft.operators
+    * .Similarity.annRecall]] twin for the sketch family: for every LSH
+    * candidate pair, the signature-ESTIMATED Jaccard (matching
+    * components / k, integer-exact numerator) against the TRUE Jaccard
+    * from the exact shingle sets, plus the absolute error. This is the
+    * measurement that sizes k and the banding before trusting the sketch
+    * at scale. Cost: the candidate set only — signatures are already
+    * doc-sized, and the exact side reuses the candidates-only
+    * verification pattern. */
+  def minhashEstimatorEval(docs: DataFrame, n: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, n)
+    val candidates = lshCandidates(sigs)
+    val candDocs = candidates.select(col("doc_id_1").as("doc_id"))
+      .unionByName(candidates.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val sets = shingleEx(docs.join(candDocs, Seq("doc_id"), "left_semi"), n)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1")), Seq("doc_id_1"))
+      .join(sigs.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2")), Seq("doc_id_2"))
+      .join(sets.select(col("doc_id").as("doc_id_1"), col("hs").as("hs1")), Seq("doc_id_1"))
+      .join(sets.select(col("doc_id").as("doc_id_2"), col("hs").as("hs2")), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _)
+          .as("n_match"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_common"),
+        size(col("hs1")).cast("long").as("n1"),
+        size(col("hs2")).cast("long").as("n2"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(MinHashK.toDouble))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_match"),
+        col("est_jaccard"), col("jaccard"), col("abs_err"))
+  }
+
   /** SimHash near-dup pairs: all doc pairs within `maxHamming` bits of each
     * other — EXACT, but never materializing the corpus² pair space.
     *

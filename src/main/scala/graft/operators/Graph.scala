@@ -333,6 +333,17 @@ object Graph {
       .limit(topK)
   }
 
+  /** Degree distribution of an undirected pair graph — the first plot
+    * anyone makes of a graph (power-law check, hub detection, join-skew
+    * forecasting for every other graph operator). Two hash aggregates:
+    * degree per node, then node count per degree. Output is ≤ max-degree
+    * rows at any scale. */
+  def degreeDistribution(pairs: DataFrame): DataFrame =
+    pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+
   /** Undirected part co-purchase graph: distinct (u < v) part pairs
     * that share at least one order. The per-order self-join is bounded
     * by order size (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs per order), so the

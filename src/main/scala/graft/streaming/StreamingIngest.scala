@@ -354,6 +354,92 @@ object StreamingIngest {
     * (the batch operator over the replayed log is the source of truth for
     * out-of-order history). Idle series are evicted by event-time timeout
     * once the watermark passes their last sample by `idleTimeoutUs`. */
+  final case class AlertEvent(event_type: String, ts_us: Long, value: Double)
+  final case class AlertEventT(event_type: String, ts_us: Long, value: Double,
+      event_time: java.sql.Timestamp)
+  final case class OpenHour(bucket_us: Long, sum_cents: Long, n: Long)
+  final case class AlertRunState(open: Seq[OpenHour], finalizedThrough: Long,
+      lastBreachHour: Long, runLen: Int, runStart: Long)
+  final case class AlertFired(event_type: String, alert_start_us: Long,
+      fired_at_us: Long, n_hours: Int)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.alertFor]] — PromQL
+    * `for:` alerting as a per-series state machine: open hours accumulate
+    * EXACT integer cent sums in state; an hour FINALIZES once the
+    * event-time watermark passes its end (no admissible event can change
+    * it), finalized hours evaluate the same strict `Σcents > cents·n`
+    * breach test in bucket order, and an alert FIRES the moment a run of
+    * consecutive breach hours reaches `forHours` — once per episode, at
+    * the earliest hour the condition is knowable (the batch operator
+    * reports whole episodes retrospectively; every batch episode of
+    * length ≥ forHours corresponds to exactly one streaming firing with
+    * the same start, parity-spec'd on closed data).
+    *
+    * State is bounded: open hours live only inside the watermark horizon,
+    * run bookkeeping is three numbers, and an idle series evicts once the
+    * watermark is two hours past its last breach (run continuity can no
+    * longer matter — the next breach hour cannot be consecutive). Rows
+    * for already-finalized hours are DROPPED (same contract as the
+    * upstream watermark; the batch operator over the replayed log is the
+    * out-of-order source of truth). */
+  def alertForStream(events: Dataset[AlertEvent], thresholdCents: Long,
+      forHours: Int, watermark: String = "10 minutes"): Dataset[AlertFired] = {
+    require(forHours >= 1, "hold duration must be at least one bucket")
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[AlertEventT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AlertRunState, AlertFired](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[AlertEventT],
+            state: GroupState[AlertRunState]) =>
+          val st0 = state.getOption
+            .getOrElse(AlertRunState(Nil, -1L, -1L, 0, -1L))
+          // fold new rows into open hours (exact cents; inputs are
+          // 2-decimal, so value*100 rounds to the exact integer)
+          val acc = scala.collection.mutable.Map(
+            st0.open.map(h => h.bucket_us -> (h.sum_cents, h.n)): _*)
+          rows.foreach { e =>
+            val b = (e.ts_us / hourUs) * hourUs
+            if (b > st0.finalizedThrough) {
+              val (s, n) = acc.getOrElse(b, (0L, 0L))
+              acc(b) = (s + math.round(e.value * 100), n + 1)
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = acc.toSeq.partition(_._1 + hourUs <= wmUs)
+          var (lastBreach, runLen, runStart) =
+            (st0.lastBreachHour, st0.runLen, st0.runStart)
+          var finalized = st0.finalizedThrough
+          val out = Vector.newBuilder[AlertFired]
+          done.sortBy(_._1).foreach { case (b, (s, n)) =>
+            if (s > thresholdCents * n) {
+              if (lastBreach >= 0 && b == lastBreach + hourUs) runLen += 1
+              else { runLen = 1; runStart = b }
+              lastBreach = b
+              if (runLen == forHours) out += AlertFired(key, runStart, b, forHours)
+            }
+            // a non-breach hour needs no reset: the next breach fails the
+            // consecutive check against lastBreach and restarts the run
+            finalized = math.max(finalized, b)
+          }
+          val idle = open.isEmpty &&
+            (lastBreach < 0 || wmUs > lastBreach + 2 * hourUs)
+          if (idle) state.remove()
+          else {
+            state.update(AlertRunState(
+              open.map { case (b, (s, n)) => OpenHour(b, s, n) },
+              finalized, lastBreach, runLen, runStart))
+            // wake when the watermark moves so trailing hours finalize
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
   def counterRateStream(events: Dataset[RatePoint],
       idleTimeoutUs: Long = 24L * 3600L * 1000000L,
       watermark: String = "10 minutes"): Dataset[Increase] = {

@@ -85,6 +85,31 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     assert(hot.head._4 == 1.0)
   }
 
+  test("minhashEstimatorEval: one row per LSH candidate, estimator in " +
+      "[0,1] with exact integer numerator, identical docs estimate 1.0") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val eval = Dedup.minhashEstimatorEval(docs, 3)
+    val rows = eval.collect()
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(docs, 3)).count()
+    assert(rows.length.toLong == cand && cand > 0)
+    rows.foreach { r =>
+      val (m, est, j) = (r.getAs[Long]("n_match"),
+        r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard"))
+      assert(m >= 0 && m <= Dedup.MinHashK)
+      assert(est == m.toDouble / Dedup.MinHashK)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("abs_err") == math.abs(est - j))
+    }
+    // planted exact duplicates: signatures identical -> est exactly 1.0
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val d = Dedup.minhashEstimatorEval(dup, 3).collect()
+    assert(d.length == 1 && d.head.getAs[Double]("est_jaccard") == 1.0 &&
+      d.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("simhashNearDupPairs rejects maxHamming outside [0, 60)") {
     val docs = hotShingleCorpus
     assertThrows[IllegalArgumentException](Dedup.simhashNearDupPairs(docs, -1))

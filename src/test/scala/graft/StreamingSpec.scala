@@ -292,6 +292,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming alert-for fires once per batch episode, at the hour " +
+      "the hold duration is first knowable") {
+    import graft.streaming.StreamingIngest.AlertEvent
+    val hr = 3600000000L
+    val src = Files.createTempDirectory("graft_alert_src_").toString
+    // type a: breach hours 0-2 (fires at hour 2), gap, breach 5-6 (short,
+    // no fire), breach 9-12 (4-long: fires ONCE at hour 11);
+    // type b: hour 0 mean exactly 60.00 -> strict > excludes it.
+    // base offset: a row AT epoch 0 ties the INITIAL watermark and is
+    // dropped as late before any stateful operator sees it
+    val base = 1700000000000000L - (1700000000000000L % hr) // hour-aligned
+    val rows =
+      (Seq(0, 1, 2, 5, 6, 9, 10, 11, 12).map(h => ("a", base + h * hr, 100.0)) :+
+        (("a", base + 3 * hr, 1.0)) :+
+        (("b", base, 60.0)) :+ (("b", base + 1L, 60.0)))
+    rows.map { case (t, ts, v) => AlertEvent(t, ts, v) }.toDS()
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.alertForStream(
+      spark.readStream.schema(schema).parquet(src).as[AlertEvent],
+      thresholdCents = 6000L, forHours = 3)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("alert_out").start()
+    try {
+      q.processAllAvailable() // batch 0: everything open, wm still epoch
+      // sentinel batches advance the watermark so hours finalize: after
+      // the first the wm covers hours <= 10, after the second hours <= 12
+      Seq(AlertEvent("a", base + 20 * hr, 1.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq(AlertEvent("a", base + 21 * hr, 1.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("alert_out")
+      .orderBy("alert_start_us").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("alert_start_us"), r.getAs[Long]("fired_at_us")))
+    assert(got.toSeq == Seq(("a", base, base + 2 * hr), ("a", base + 9 * hr, base + 11 * hr)),
+      got.mkString(","))
+    // parity: every batch episode with n_hours >= forHours has exactly
+    // one firing with the same start (the batch operator reports whole
+    // episodes; the stream fires at start + (forHours-1) hours)
+    val ev = spark.read.parquet(src)
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        monotonically_increasing_id().as("event_id"),
+        col("value"), col("event_type"))
+    val episodes = graft.operators.TimeSeries.alertFor(ev, 6000L, 3)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("alert_start_us"))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == episodes)
+  }
+
   test("streaming counter rate equals the batch per-sample increases") {
     import graft.streaming.StreamingIngest.RatePoint
     val src = Files.createTempDirectory("graft_rate_src_").toString
