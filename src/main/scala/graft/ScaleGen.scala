@@ -3,7 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only scale-up generator: `ScaleGen <srcSfDir> <outDir> <copies>`.
+/** Dev-only scale-up generator:
+  * `ScaleGen <srcSfDir> <outDir> <copies> [disjoint|densify]`.
+  *
+  * Two orthogonal growth axes:
+  *  - `disjoint` (default, the volume axis): bucket-DISJOINT key-shifted
+  *    copies — more buckets, same per-bucket occupancy (documented below);
+  *  - `densify` (the density axis): same key space, k x occupancy — hot
+  *    users, hub-heavy graph tails, true near-dup doc/embedding cliques
+  *    (documented at the branch).
   *
   * Writes an N-times larger copy of a testdata sf dir for scale probes
   * (the driver only materializes up to sf0.1). Method = N key-shifted
@@ -34,7 +42,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, copiesS) = args
+    val (src, out, copiesS, mode) = args match {
+      case Array(a, b, c)    => (a, b, c, "disjoint")
+      case Array(a, b, c, m) => (a, b, c, m)
+    }
     val copies = copiesS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -67,6 +78,67 @@ object ScaleGen {
       println(s"SCALEGEN $t x$copies -> $out")
     }
     val shift = 1000000000L
+
+    if (mode == "densify") {
+      // DENSITY axis: same key space, k x occupancy. The disjoint mode
+      // grows bucket COUNT (embarrassingly parallel — it cannot expose
+      // in-bucket quadratic blowup); this mode makes the buckets that
+      // pair-forming operators group by k x HOTTER instead:
+      //  - events: user_id / ts untouched -> every user series and every
+      //    hour bucket holds k x the rows (hot-series stress);
+      //  - lineitem: part/supp keys rotate by the copy index inside the
+      //    FIXED dim key space -> co-purchase degrees grow ~k x, wedge
+      //    counts ~k^2 (hub-heavy organic growth, not disjoint islands);
+      //  - documents: copy k appends one trailing token -> every base doc
+      //    becomes a (k+1)-clique of true near-dups (LSH buckets k x
+      //    hotter, candidate pairs ~k^2 — the shape that breaks banded
+      //    LSH when real corpora re-crawl the same pages);
+      //  - embeddings: one-dimension epsilon bump (cosine ~ 1) -> ANN /
+      //    embedding-near-dup buckets k x hotter;
+      //  - row-identity keys (event_id, orderkey, doc_id, vec_id) still
+      //    shift so rows stay distinct and exact-dedup doesn't collapse
+      //    the density back out.
+      val pSpace = graft.sources.Tables.load(spark, src, "part")
+        .agg(max(col("p_partkey"))).head.getLong(0) + 1
+      val sSpace = graft.sources.Tables.load(spark, src, "supplier")
+        .agg(max(col("s_suppkey"))).head.getLong(0) + 1
+      scaled("events") { (df, k) =>
+        df.withColumn("event_id", col("event_id") + lit(k * shift))
+      }
+      scaled("orders") { (df, k) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * shift))
+      }
+      scaled("lineitem") { (df, k) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * shift))
+          .withColumn("l_partkey", pmod(col("l_partkey") + lit(k.toLong), lit(pSpace)))
+          .withColumn("l_suppkey", pmod(col("l_suppkey") + lit(k.toLong), lit(sSpace)))
+      }
+      scaled("documents") { (df, k) =>
+        val txt = if (k == 0) col("text") else concat(col("text"), lit(s" dup$k"))
+        df.withColumn("doc_id", col("doc_id") + lit(k * shift))
+          .withColumn("text", txt)
+      }
+      scaled("embeddings") { (df, k) =>
+        val emb =
+          if (k == 0) col("embedding")
+          else {
+            val dim = (k - 1) % 64
+            val eps = lit(0.001f * ((k - 1) / 64 + 1))
+            zip_with(col("embedding"),
+              sequence(lit(0), lit(63)),
+              (e, i) => when(i === dim, e + eps).otherwise(e))
+          }
+        df.withColumn("vec_id", col("vec_id") + lit(k * shift))
+          .withColumn("embedding", emb)
+      }
+      Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+        graft.sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"SCALEGEN $t x1 -> $out (densify: fixed key space)")
+      }
+      spark.stop()
+      return
+    }
 
     scaled("events") { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * shift))
@@ -108,12 +180,13 @@ object ScaleGen {
       val variant =
         if ((k / dims) % 2 == 0) rotated
         else transform(rotated, e => -e)
-      // label is a copy-LOCAL class id: shift it like every other key so
-      // copies are bucket-disjoint (unshifted labels made label-bucketed
-      // pair queries quadratic in the copy count — an artifact of the
-      // generator, not of the operator under test)
+      // label is a copy-LOCAL class id: shift it by the SAME stride as
+      // every other key so copies are bucket-disjoint at any base label
+      // cardinality (unshifted labels made label-bucketed pair queries
+      // quadratic in the copy count — an artifact of the generator, not
+      // of the operator under test)
       df.withColumn("vec_id", col("vec_id") + lit(k * shift))
-        .withColumn("label", col("label") + lit(k * 1000))
+        .withColumn("label", col("label") + lit(k * shift))
         .withColumn("embedding", variant)
     }
     // fixed dims: single copy, verbatim (25/5 rows at every TPC-H SF)

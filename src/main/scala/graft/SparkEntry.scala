@@ -141,6 +141,11 @@ object SparkEntry {
     // trailing-24h Pearson correlation of click vs view hourly volumes
     "q_rolling_corr" -> ((s, dir) =>
       TimeSeries.rollingCorr(Tables.events(s, dir), "click", "view", 24)),
+    // multi-pair form: one partitioned window over three monitors at once
+    "q_rolling_corr_pairs" -> ((s, dir) =>
+      TimeSeries.rollingCorr(Tables.events(s, dir),
+        Seq(("click", "view"), ("purchase", "error"), ("signup", "click")),
+        24)),
     "q_counter_rate" -> ((s, dir) =>
       TimeSeries.counterRate(Tables.events(s, dir))),
     "q_cumsum" -> ((s, dir) =>
@@ -1121,6 +1126,52 @@ object SparkEntry {
         |  FROM h
         |  WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
         |SELECT bucket_us,
+        |       (24.0 * sxy - sx * sy)
+        |         / (sqrt(24.0 * sxx - sx * sx) * sqrt(24.0 * syy - sy * sy)) AS rolling_r
+        |FROM wsum WHERE cnt = 24""".stripMargin,
+    // multi-pair mirror: per-type hourly decimal sums, one full-outer
+    // bucket join per pair (absent side = exact 0), the SAME co-moment
+    // window now PARTITIONED by the pair key
+    "q_rolling_corr_pairs" ->
+      """WITH pt AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','error','signup')
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT 'click' AS type_x, 'view' AS type_y, bucket_us,
+        |         COALESCE(x.s, CAST(0 AS DECIMAL(18,2))) AS x,
+        |         COALESCE(y.s, CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM (SELECT bucket_us, s FROM pt WHERE event_type = 'click') AS x
+        |  FULL JOIN (SELECT bucket_us, s FROM pt WHERE event_type = 'view') AS y
+        |    USING (bucket_us)
+        |  UNION ALL
+        |  SELECT 'purchase', 'error', bucket_us,
+        |         COALESCE(x.s, CAST(0 AS DECIMAL(18,2))),
+        |         COALESCE(y.s, CAST(0 AS DECIMAL(18,2)))
+        |  FROM (SELECT bucket_us, s FROM pt WHERE event_type = 'purchase') AS x
+        |  FULL JOIN (SELECT bucket_us, s FROM pt WHERE event_type = 'error') AS y
+        |    USING (bucket_us)
+        |  UNION ALL
+        |  SELECT 'signup', 'click', bucket_us,
+        |         COALESCE(x.s, CAST(0 AS DECIMAL(18,2))),
+        |         COALESCE(y.s, CAST(0 AS DECIMAL(18,2)))
+        |  FROM (SELECT bucket_us, s FROM pt WHERE event_type = 'signup') AS x
+        |  FULL JOIN (SELECT bucket_us, s FROM pt WHERE event_type = 'click') AS y
+        |    USING (bucket_us)),
+        |wsum AS (
+        |  SELECT type_x, type_y, bucket_us,
+        |    count(*) OVER w AS cnt,
+        |    CAST(CAST(sum(x) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM pp
+        |  WINDOW w AS (PARTITION BY type_x, type_y ORDER BY bucket_us
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT type_x, type_y, bucket_us,
         |       (24.0 * sxy - sx * sy)
         |         / (sqrt(24.0 * sxx - sx * sx) * sqrt(24.0 * syy - sy * sy)) AS rolling_r
         |FROM wsum WHERE cnt = 24""".stripMargin,

@@ -491,9 +491,12 @@ object Similarity {
   /** Index-quality evaluation: recall@k of the hyperplane-LSH ANN path
     * ([[annTopK]]) against the exact dense top-k ([[cosineTopKBatch]]) for
     * a batch of query vectors — the measurement a pipeline runs before
-    * trusting an approximate index at scale. `recall = |exact ∩ ann| / k`
-    * per query; both retrievals are the library's own (deterministic)
-    * operators, so the whole evaluation is engine-exact.
+    * trusting an approximate index at scale.
+    * `recall = |exact ∩ ann| / n_exact` per query, where `n_exact` is the
+    * exact result count (= k except when the corpus holds fewer than k
+    * vectors, where dividing by k would understate recall); both
+    * retrievals are the library's own (deterministic) operators, so the
+    * whole evaluation is engine-exact.
     *
     * Scale: each retrieval is k-bounded, so the join/aggregate below is
     * O(|queries|·k) regardless of corpus size; the corpus-sized work is

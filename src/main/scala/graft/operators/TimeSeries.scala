@@ -183,25 +183,59 @@ object TimeSeries {
     * accumulate in DECIMAL inside the window frame (exact, order-free —
     * summing doubles in a window is engine-traversal-dependent), each Σ
     * casts to double ONCE (correctly rounded), and the Pearson formula
-    * runs in fixed double order — bit-identical on any engine. The
-    * window runs over the ALREADY AGGREGATED hourly frame (≤ hours
-    * rows; partition by a coarser calendar unit if a deployment's series
-    * span makes that frame large). Emits only full windows. */
-  def rollingCorr(events: DataFrame, typeX: String, typeY: String,
+    * runs in fixed double order — bit-identical on any engine.
+    *
+    * Window semantics — ROWS over PRESENT buckets, not wall-clock RANGE:
+    * the frame is the last `windowHours` hourly buckets that CONTAIN at
+    * least one event of either series; an hour with neither series does
+    * not occupy a slot, so across gaps the "trailing 24h" spans more
+    * than 24 wall-clock hours (gaps compress). A missing SIDE inside a
+    * present bucket contributes exactly 0. Densify the hourly frame
+    * first if strict calendar-trailing semantics are required.
+    *
+    * Scale: the events scan aggregates ONCE to a per-(type, hour) frame
+    * (map-side partials), each pair's x/y columns attach by bucket join
+    * of that hourly-sized frame, and the co-moment window is PARTITIONED
+    * by the series pair — pair cardinality is the parallelism, and one
+    * pair's frame is ≤ its span in hours (partition by a coarser
+    * calendar unit if a single pair's span makes that large). Emits
+    * only full windows. */
+  def rollingCorr(events: DataFrame, pairs: Seq[(String, String)],
       windowHours: Int): DataFrame = {
     require(windowHours >= 2, "correlation needs at least two buckets")
-    val zero = lit(0).cast("decimal(18,2)")
-    val dec = col("value").cast("decimal(18,2)")
-    val hourly = events
-      .filter(col("event_type").isin(typeX, typeY))
-      .groupBy(tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
-      .agg(
-        sum(when(col("event_type") === typeX, dec).otherwise(zero)).as("x"),
-        sum(when(col("event_type") === typeY, dec).otherwise(zero)).as("y"))
-    val w = Window.orderBy(col("bucket_us"))
+    require(pairs.nonEmpty, "at least one series pair")
+    val types = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val perType0 = events
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    // hourly-sized; reuse across pairs without rescanning the facts
+    val perType =
+      if (pairs.sizeIs > 1) perType0.localCheckpoint() else perType0
+    val zero = lit(0).cast("decimal(28,2)") // = sum(decimal(18,2)) type
+    val perPair = pairs.map { case (tx, ty) =>
+      // the pair key rides the DATA (event_type through the join, the
+      // literal only as the absent-side fallback): a plain lit() pair
+      // column is foldable, and FoldablePropagation then erases it from
+      // the window's partition spec — silently degrading the partitioned
+      // window back to a single-partition global one
+      val xs = perType.filter(col("event_type") === tx)
+        .select(col("bucket_us"), col("event_type").as("tx_src"),
+          col("s").as("x"))
+      val ys = perType.filter(col("event_type") === ty)
+        .select(col("bucket_us"), col("event_type").as("ty_src"),
+          col("s").as("y"))
+      xs.join(ys, Seq("bucket_us"), "full_outer")
+        .select(coalesce(col("tx_src"), lit(tx)).as("type_x"),
+          coalesce(col("ty_src"), lit(ty)).as("type_y"), col("bucket_us"),
+          coalesce(col("x"), zero).as("x"), coalesce(col("y"), zero).as("y"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("type_x"), col("type_y"))
+      .orderBy(col("bucket_us"))
       .rowsBetween(-(windowHours - 1), Window.currentRow)
     val n = lit(windowHours.toLong).cast("double")
-    hourly
+    perPair
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("sx", sum(col("x")).over(w).cast("double"))
       .withColumn("sy", sum(col("y")).over(w).cast("double"))
@@ -209,11 +243,20 @@ object TimeSeries {
       .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("double"))
       .withColumn("syy", sum(col("y") * col("y")).over(w).cast("double"))
       .filter(col("cnt") === windowHours)
-      .select(col("bucket_us"),
+      .select(col("type_x"), col("type_y"), col("bucket_us"),
         ((n * col("sxy") - col("sx") * col("sy")) /
           (sqrt(n * col("sxx") - col("sx") * col("sx")) *
             sqrt(n * col("syy") - col("sy") * col("sy")))).as("rolling_r"))
   }
+
+  /** Single-pair [[rollingCorr]] — same co-moments, same exactness, the
+    * pair key dropped from the output (bit-identical to the multi-pair
+    * form restricted to one pair; decimal sums are order-free, so the
+    * join formulation and the conditional-sum formulation agree). */
+  def rollingCorr(events: DataFrame, typeX: String, typeY: String,
+      windowHours: Int): DataFrame =
+    rollingCorr(events, Seq((typeX, typeY)), windowHours)
+      .drop("type_x", "type_y")
 
   /** Alerting with hold-duration semantics (PromQL `for:`): an alert
     * episode is a maximal run of CONSECUTIVE breach hours — hours whose

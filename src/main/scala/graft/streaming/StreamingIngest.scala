@@ -398,15 +398,22 @@ object StreamingIngest {
             state: GroupState[AlertRunState]) =>
           val st0 = state.getOption
             .getOrElse(AlertRunState(Nil, -1L, -1L, 0, -1L))
-          // fold new rows into open hours (exact cents; inputs are
-          // 2-decimal, so value*100 rounds to the exact integer)
+          // fold new rows into open hours in exact cents, normalized
+          // IDENTICALLY to the batch operator's cast(value as
+          // decimal(18,2)): BigDecimal of the double's shortest decimal
+          // repr, HALF_UP by magnitude — so stream and batch agree even
+          // on sub-cent / negative inputs (math.round would half-up
+          // toward +inf and diverge on e.g. -0.005)
           val acc = scala.collection.mutable.Map(
             st0.open.map(h => h.bucket_us -> (h.sum_cents, h.n)): _*)
           rows.foreach { e =>
             val b = (e.ts_us / hourUs) * hourUs
             if (b > st0.finalizedThrough) {
               val (s, n) = acc.getOrElse(b, (0L, 0L))
-              acc(b) = (s + math.round(e.value * 100), n + 1)
+              val cents = BigDecimal(e.value)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .*(BigDecimal(100)).toLongExact
+              acc(b) = (s + cents, n + 1)
             }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L

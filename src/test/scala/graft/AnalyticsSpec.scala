@@ -586,6 +586,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .foreach(r => assert(math.abs(r.getAs[Double]("rolling_r") + 1.0) < 1e-12))
   }
 
+  test("rollingCorr multi-pair: partitioned window matches per-pair " +
+      "single calls bit-for-bit, absent side is exact zero") {
+    import graft.operators.TimeSeries
+    val hr = 3600000000L
+    // click/view over hours 0..4; purchase only on hours 1..4 (view
+    // absent at hour 0 for the purchase/view pair → x=..., y=0 path)
+    val rows = (0 to 4).flatMap { i =>
+      Seq((i * hr, i * 10L + 1, (i + 1).toDouble, "click"),
+        (i * hr, i * 10L + 2, 3.0 * (i + 1) + 0.25, "view")) ++
+        (if (i >= 1) Seq((i * hr, i * 10L + 3, 7.0 - i, "purchase")) else Nil)
+    }
+    val ev = rows.toDF("ts_us", "event_id", "value", "event_type")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_id"),
+        col("value"), col("event_type"))
+    val pairs = Seq(("click", "view"), ("purchase", "view"))
+    val multi = TimeSeries.rollingCorr(ev, pairs, 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        r.getDouble(3))).toMap
+    val singles = pairs.flatMap { case (a, b) =>
+      TimeSeries.rollingCorr(ev, a, b, 3).collect()
+        .map(r => ((a, b, r.getLong(0)), r.getDouble(1)))
+    }.toMap
+    assert(multi == singles, s"$multi vs $singles")
+    // purchase series spans hours 1..4 but the pair frame includes hour 0
+    // (view present there, purchase side = exact 0) → first full 3-window
+    // for purchase/view ends at hour 2
+    assert(multi.keySet.filter(_._1 == "purchase").map(_._3) ==
+      Set(2 * hr, 3 * hr, 4 * hr))
+  }
+
   test("alertFor: only runs >= forHours fire, gaps split islands, " +
       "mean == threshold is NOT a breach (strict, exact decimal)") {
     import graft.operators.TimeSeries
@@ -872,18 +903,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       "frame and is a no-op on plain frames") {
     import org.apache.spark.sql.GraftColumnBridge
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    // Track the SPECIFIC rdd id the checkpoint registers, never absolute
+    // registry sizes: the ContextCleaner asynchronously drops GC'd
+    // entries from earlier suites on the shared context, so global
+    // counts can drift mid-test (seen: -3). Only additions are ours —
+    // the cleaner exclusively removes.
+    def addedBy(before: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet -- before
+    val before1 = sc.getPersistentRDDs.keySet.toSet
     val ck = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
-    assert(sc.getPersistentRDDs.size == before + 1)
+    val added1 = addedBy(before1)
+    assert(added1.size == 1, s"expected one new persistent RDD: $added1")
     GraftColumnBridge.releaseLocalCheckpoint(ck)
     // the registry entry is dropped synchronously (only block deletion
     // is async under blocking = false)
-    assert(sc.getPersistentRDDs.size == before)
+    assert(addedBy(before1).isEmpty, "checkpoint entry not released")
     // derived frames release their backing checkpoint too (the loop
     // pattern: labels = checkpointed.select(...))
+    val before2 = sc.getPersistentRDDs.keySet.toSet
     val ck2 = Seq(4L).toDF("x").localCheckpoint()
+    val added2 = addedBy(before2)
+    assert(added2.size == 1, s"expected one new persistent RDD: $added2")
     GraftColumnBridge.releaseLocalCheckpoint(ck2.select(col("x") + 1))
-    assert(sc.getPersistentRDDs.size == before)
+    assert(addedBy(before2).isEmpty, "derived-frame release missed")
     // plain (never-persisted) frames: no-op, no throw
     GraftColumnBridge.releaseLocalCheckpoint(Seq(5L).toDF("x"))
   }
