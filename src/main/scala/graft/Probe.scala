@@ -49,13 +49,14 @@ object Probe {
     }
     names.split(',').foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, extras(name))
+      var rows = -1L
       val times = (0 until reps).map { _ =>
         // release only the rep's OWN leftovers (snapshot/delta, same
         // discipline as Bench) — reps share nothing, and pinned
         // leftovers at sf10 OOM the session before rep 2
         val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        rows = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
@@ -63,7 +64,7 @@ object Probe {
         dt
       }.sorted
       println(f"PROBE $name%-24s median=${times(times.size / 2)}%.3f " +
-        f"min=${times.head}%.3f max=${times.last}%.3f reps=$reps")
+        f"min=${times.head}%.3f max=${times.last}%.3f reps=$reps rows=$rows")
     }
     spark.stop()
   }

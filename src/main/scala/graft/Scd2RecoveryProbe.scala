@@ -76,11 +76,12 @@ object Scd2RecoveryProbe {
       .option("checkpointLocation", ckDir)
       .format("parquet").option("path", outDir).start()
 
-    // ---- attempt 1: kill as soon as the first commit lands ----
+    // ---- attempt 1: kill as soon as the first batch commits ----
+    // (poll batchId, not sink.numOutputRows — a file sink reports -1)
     val q1 = startQuery()
     val t0 = System.nanoTime()
-    while (q1.isActive && (q1.lastProgress == null ||
-        q1.lastProgress.sink.numOutputRows <= 0)) Thread.sleep(50)
+    while (q1.isActive && !q1.recentProgress.exists(_.numInputRows > 0))
+      Thread.sleep(50)
     q1.stop() // interrupts whatever batch is mid-flight
     val killedAt = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
     println(f"KILL landed after batchId=$killedAt " +
