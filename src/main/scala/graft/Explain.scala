@@ -1,16 +1,27 @@
 package graft
 
 /** Dev tool: print the formatted physical plan of declared queries —
-  * `Explain <sfDir> <q1,q2,...>`. The plan-audit loop the scale notes
-  * call for ("explain until it's the plan you'd want") without writing
-  * a throwaway main each time. */
+  * `Explain <sfDir> <q1,q2,...> [exec]`. With `exec`, each query RUNS
+  * first and the AQE-FINAL executed plan is printed instead of the
+  * static one — the only way to see which join strategy AQE actually
+  * picked at that data size. The plan-audit loop the scale notes call
+  * for ("explain until it's the plan you'd want") without writing a
+  * throwaway main each time. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val Array(dir, names) = args
-    val spark = GraftSession.local(8, "graft-explain")
+    val (dir, names, exec) = args match {
+      case Array(d, n)         => (d, n, false)
+      case Array(d, n, "exec") => (d, n, true)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cpus, "graft-explain")
     names.split(",").foreach { q =>
       println(s"==== $q ====")
-      SparkEntry.queries(q.trim)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(q.trim)(spark, dir)
+      if (exec) {
+        df.count()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

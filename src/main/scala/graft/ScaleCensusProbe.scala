@@ -33,10 +33,30 @@ object ScaleCensusProbe {
       .config("spark.sql.shuffle.partitions", 256)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the r8 1 B-edge attempt died on local scratch (~90 GB vs 78
+      // free): localCheckpoint blocks are UNCOMPRESSED by default
+      // (spark.rdd.compress=false) and everything else is lz4 — zstd
+      // the whole scratch path (blocks, shuffle, spill) for the probe
+      .config("spark.rdd.compress", "true")
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val debug = sys.env.contains("SCALECENSUS_DEBUG")
+    // scratch high-water mark: sample the tmp filesystem's free space —
+    // high-water = max observed (initial − free) across the run
+    val tmpFile = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val freeAtStart = tmpFile.getUsableSpace
+    @volatile var scratchHighWater = 0L
+    val sampler = new Thread(() => {
+      while (true) {
+        val used = freeAtStart - tmpFile.getUsableSpace
+        if (used > scratchHighWater) scratchHighWater = used
+        Thread.sleep(5000)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
     @volatile var shuffleWrite = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -93,7 +113,8 @@ object ScaleCensusProbe {
     // config is checked without a reference run
     require(got.forall(_ == n),
       s"triangle counts wrong: ${configs.zip(got).toSeq} expected=$n")
-    println("SCALECENSUS identical=true")
+    println(f"SCALECENSUS identical=true " +
+      f"scratch_high_water=${scratchHighWater / 1e9}%.1f GB")
     spark.stop()
   }
 }
