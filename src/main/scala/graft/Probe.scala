@@ -37,7 +37,34 @@ object Probe {
       "_pr_iter2" -> ((s, dir) => graft.operators.Graph.pageRank(
         graft.operators.Graph.customerSupplierEdges(
           graft.sources.Tables.orders(s, dir), graft.sources.Tables.lineitem(s, dir)),
-        iters = 2, damping = 0.85)))
+        iters = 2, damping = 0.85)),
+      // r8 watch item: the co-purchase DISTINCT's hash-agg maps outgrow
+      // L2 at sf10 (DRAM-latency knee). _dd_hash = the product path;
+      // _dd_sort = sort-within-partition + dedup-consecutive (sequential
+      // access, no giant map) — if it wins at sf10 the build flips
+      "_dd_hash" -> ((s, dir) =>
+        graft.operators.Graph.partCoPurchasePairs(
+          graft.sources.Tables.lineitem(s, dir))),
+      "_dd_sort" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = graft.sources.Tables.lineitem(s, dir)
+        val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        val pairs = a.join(b, Seq("k")).filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
+        import s.implicits._
+        pairs.repartition(col("u"), col("v"))
+          .sortWithinPartitions(col("u"), col("v"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            var last: (Long, Long) = null
+            it.filter { p =>
+              val fresh = last == null || p != last
+              last = p
+              fresh
+            }
+          }.toDF("u", "v")
+      }))
     // "__order__" prints the bench Map-iteration order and exits — used to
     // reproduce bench-context anomalies (a query can measure 5× slower in
     // the bench than isolated purely from what ran before it).

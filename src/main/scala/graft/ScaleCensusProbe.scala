@@ -28,9 +28,14 @@ object ScaleCensusProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // wedge-sized shuffles at this scale are ~20 GB: 32 partitions
-      // would be ~700 MB each, so run the probe at 256 and let AQE
-      // coalesce the small stages back down
-      .config("spark.sql.shuffle.partitions", 256)
+      // would be ~700 MB each, so run the probe at 256 (1024 for the
+      // 1 B-edge run: the closing probe's shuffle_hash BUILD side is
+      // edges/partitions rows per task and cannot spill — 256 parts at
+      // 1 B edges is ~4 M rows/task and OOMs the contended execution
+      // pool; partition count is exactly the knob a real cluster turns)
+      // and let AQE coalesce the small stages back down
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCALECENSUS_PARTS", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the r8 1 B-edge attempt died on local scratch (~90 GB vs 78
@@ -39,6 +44,9 @@ object ScaleCensusProbe {
       // the whole scratch path (blocks, shuffle, spill) for the probe
       .config("spark.rdd.compress", "true")
       .config("spark.io.compression.codec", "zstd")
+      // the 1 B-edge bloom's hash-prefix shards total ~1.2 GB on the
+      // driver before torrent broadcast — above the 1 GiB default cap
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

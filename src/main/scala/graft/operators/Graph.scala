@@ -603,7 +603,8 @@ object Graph {
     * grow the driver. */
   private[graft] def closedWedges(cen: WedgeCensus,
       maxBloomEdges: Long = -1L,
-      minBloomWedges: Long = 256000000L): DataFrame = {
+      minBloomWedges: Long = 256000000L,
+      shuffleHashEdgeCap: Long = ShuffleHashEdgeCap): DataFrame = {
     import graft.functions.BroadcastBloomMightContain
     import org.apache.spark.sql.GraftColumnBridge
     val edgeBudget =
@@ -658,8 +659,19 @@ object Graph {
       }
     // left-semi keeps each wedge row that closes (multiplicity of the
     // wedge side is preserved — oriented edges are distinct, so one
-    // match per row)
-    candidates.join(cen.closing.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
+    // match per row). shuffle_hash only while the per-task BUILD stays
+    // cache-sized: the hash build cannot spill, and AQE's BYTE-based
+    // coalescing re-fattens partitions behind any configured count
+    // (measured at 1 B edges: 64 MB advisory over zstd-compressed long
+    // pairs ≈ 8 M rows ≈ half-GB builds, OOM at BOTH 256 and 1024
+    // configured partitions — while 750 M edges passed under lz4, whose
+    // fatter bytes left more post-coalesce partitions). Past the cap the
+    // planner's sort-merge join spills gracefully; the cost is one sort
+    // of the candidate side, the failure mode is none.
+    val closingSide =
+      if (nEdges <= shuffleHashEdgeCap) cen.closing.hint("shuffle_hash")
+      else cen.closing
+    candidates.join(closingSide, Seq("b", "c"), "left_semi")
   }
 
   /** Exact triangle count + wedge count + global clustering coefficient
@@ -868,6 +880,20 @@ object Graph {
       math.min(8000000L, Runtime.getRuntime.maxMemory / 25 / 40))
   }
 
+  /** Edge count past which [[closedWedges]] stops FORCING shuffle_hash
+    * on its closing-probe semi-join and lets the planner choose (SMJ,
+    * which spills). The forced hash build cannot spill, and AQE's
+    * byte-based partition coalescing (64 MB advisory) re-fattens the
+    * build to ~8 M rows/task over zstd-compressed long pairs no matter
+    * the configured partition count — measured OOM at 1 B edges under
+    * both 256 and 1024 partitions. 200 M edges keeps worst-case builds
+    * ~cache-adjacent on any sane layout; pin with
+    * `spark.graft.shuffleHashEdgeCap` (sys prop / env). */
+  val ShuffleHashEdgeCap: Long =
+    sys.props.get("spark.graft.shuffleHashEdgeCap")
+      .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_HASH_EDGE_CAP"))
+      .map(_.toLong).getOrElse(200000000L)
+
   /** Edge budget for [[closedWedges]]' broadcast bloom prefilter, sized
     * from the DRIVER heap: the filter is built distributed, but its one
     * merged copy (plus the broadcast manager's serialized blocks) lives
@@ -882,9 +908,13 @@ object Graph {
         val heapEdges = (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong
         val maxResult = spark.sparkContext.getConf
           .getSizeAsBytes("spark.driver.maxResultSize", "1g")
-        // maxResultSize = 0 means unlimited
+        // maxResultSize = 0 means unlimited. 10 % margin over the raw
+        // 1.2 B/edge: the collected shards carry serialization framing —
+        // measured at the 1 B-edge census, an exactly-at-budget filter
+        // arrived as 1045.7 MiB against the 1024 MiB limit
         val resultEdges =
-          if (maxResult <= 0L) Long.MaxValue else (maxResult / 1.2).toLong
+          if (maxResult <= 0L) Long.MaxValue
+          else (maxResult / 1.2 / 1.1).toLong
         math.min(heapEdges, resultEdges)
       }
 

@@ -1000,12 +1000,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val heapEdges = (Runtime.getRuntime.maxMemory / 10 / 1.2).toLong
     val maxResult = spark.sparkContext.getConf
       .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    // 10 % framing margin: an exactly-at-budget filter measured
+    // 1045.7 MiB against a 1024 MiB maxResultSize at the 1 B-edge census
     val resultEdges =
-      if (maxResult <= 0L) Long.MaxValue else (maxResult / 1.2).toLong
+      if (maxResult <= 0L) Long.MaxValue
+      else (maxResult / 1.2 / 1.1).toLong
     assert(derived == math.min(heapEdges, resultEdges))
     spark.conf.set("spark.graft.bloom.maxEdges", "12345")
     try assert(Graph.bloomEdgeBudget(spark) == 12345L)
     finally spark.conf.unset("spark.graft.bloom.maxEdges")
+  }
+
+  test("closedWedges closing probe: shuffle_hash under the edge cap, " +
+      "planner's spillable join past it, bit-identical results") {
+    import graft.operators.Graph
+    val g = ((for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L), (4L, 20L), (20L, 21L)))
+      .toDF("u", "v")
+    val cen = Graph.wedgeCensus(g)
+    val hinted = Graph.closedWedges(cen, maxBloomEdges = 0L)
+    hinted.collect()
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "under-cap probe lost shuffle_hash")
+    // cap 0: every edge count exceeds it — the forced non-spillable
+    // hash build must be GONE (AQE byte-coalescing re-fattens builds
+    // behind any configured partition count; measured OOM at 1 B edges)
+    val uncapped = Graph.closedWedges(cen, maxBloomEdges = 0L,
+      shuffleHashEdgeCap = 0L)
+    val rows = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(!uncapped.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "over-cap probe still forces a build")
+    val base = hinted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows.toSeq == base.toSeq)
+    assert(rows.length == 5, rows.toSeq.toString)
   }
 
   test("acf: linear series autocorrelates to exactly 1 at every lag; " +
