@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
   * (state_rows collapses to ~1). Closed form: exactly `nSeries` firings,
   * every one `(start=hour0, fired=hour2, n=3)`.
   *
-  * Usage: `AlertStreamProbe [nSeries]` (default 10M). Deterministic:
-  * `spark.range` generator, fixed epoch times.
+  * Usage: `AlertStreamProbe [nSeries] [kill]` (default 10M). With
+  * `kill`, the stream is stopped from a side thread the moment the
+  * first batch commits (mid-flight of the next — the
+  * [[Scd2RecoveryProbe]] discipline) and restarted from the checkpoint;
+  * every closed-form assertion must hold ACROSS the kill, proving the
+  * run-tracking state machine (open hours + breach run bookkeeping)
+  * recovers exactly, not just the simpler scd2 open-interval state.
+  * Deterministic: `spark.range` generator, fixed epoch times.
   */
 object AlertStreamProbe {
   def main(args: Array[String]): Unit = {
     val nSeries = if (args.length > 0) args(0).toLong else 10000000L
+    val killMidRun = args.lift(1).contains("kill")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +67,7 @@ object AlertStreamProbe {
       .write.mode("append").parquet(srcDir)
 
     val schema = spark.read.parquet(srcDir).schema
-    val q = graft.streaming.StreamingIngest.alertForStream(
+    def startQuery() = graft.streaming.StreamingIngest.alertForStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
@@ -71,6 +78,15 @@ object AlertStreamProbe {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckDir)
       .format("parquet").option("path", outDir).start()
+    if (killMidRun) {
+      val q1 = startQuery()
+      while (q1.isActive && !q1.recentProgress.exists(_.numInputRows > 0))
+        Thread.sleep(50)
+      q1.stop() // interrupts whatever batch is mid-flight
+      println(s"KILL landed after batchId=" +
+        Option(q1.lastProgress).map(_.batchId).getOrElse(-1L))
+    }
+    val q = startQuery()
     q.processAllAvailable()
 
     println("batch  input_rows  batch_ms  state_rows  removed  state_mem_mb  sst_mb")
