@@ -628,8 +628,22 @@ object Graph {
     val fpp =
       if (nEdges <= edgeBudget) 0.01
       else math.exp(-(budgetBits / nEdges) * ln2sq)
+    // ratio gate (measured, r9): the bloom's own cost is edge-shaped —
+    // one shuffle of every closing-edge hash plus a bits-sized broadcast
+    // — while its saving is wedge-shaped. On the 1 B-edge circulant
+    // (wedge bound 7 B ≈ 7× edges; true oriented wedges 1.5 B) the bloom
+    // path measured 406 s vs 248 s PLAIN with no shuffle saved; on the
+    // hub-heavy sf1 co-purchase graph (bound ≫ 12× edges) it removed
+    // 75 % of census shuffle (r8). Break-even sits between, so the
+    // filter only arms when the wedge BOUND exceeds 12× the edges
+    // (the bound overstates oriented wedges ~4× on regular graphs, so
+    // 12× bound ≈ 3× true wedges). minBloomWedges = 0 still forces the
+    // bloom for tests/probes.
+    val wedgeRatioSkip =
+      minBloomWedges > 0L && nWedges < WedgeEdgeRatioGate * nEdges
     val candidates =
-      if (nEdges == 0L || fpp > 0.5 || nWedges < minBloomWedges) {
+      if (nEdges == 0L || fpp > 0.5 || nWedges < minBloomWedges ||
+          wedgeRatioSkip) {
         if (nEdges > 0L && fpp > 0.5 && nWedges >= minBloomWedges)
           System.err.println(s"[graft] closedWedges: $nEdges edges vs " +
             s"bloom budget $edgeBudget leave fpp ${"%.2f".format(fpp)} " +
@@ -893,6 +907,16 @@ object Graph {
     sys.props.get("spark.graft.shuffleHashEdgeCap")
       .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_HASH_EDGE_CAP"))
       .map(_.toLong).getOrElse(200000000L)
+
+  /** Minimum wedge-bound / edge ratio at which [[closedWedges]] arms its
+    * bloom prefilter — below it the edge-shaped filter build costs more
+    * than the wedge-shaped saving (measured at the 1 B-edge circulant:
+    * bloom 406 s vs plain 248 s at bound-ratio 7). Pin with
+    * `spark.graft.bloom.wedgeEdgeRatio`. */
+  val WedgeEdgeRatioGate: Long =
+    sys.props.get("spark.graft.bloom.wedgeEdgeRatio")
+      .orElse(sys.env.get("SPARK_GRAFT_BLOOM_WEDGE_EDGE_RATIO"))
+      .map(_.toLong).getOrElse(12L)
 
   /** Edge budget for [[closedWedges]]' broadcast bloom prefilter, sized
     * from the DRIVER heap: the filter is built distributed, but its one
