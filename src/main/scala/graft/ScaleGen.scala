@@ -98,10 +98,14 @@ object ScaleGen {
       //  - row-identity keys (event_id, orderkey, doc_id, vec_id) still
       //    shift so rows stay distinct and exact-dedup doesn't collapse
       //    the density back out.
-      val pSpace = graft.sources.Tables.load(spark, src, "part")
-        .agg(max(col("p_partkey"))).head.getLong(0) + 1
-      val sSpace = graft.sources.Tables.load(spark, src, "supplier")
-        .agg(max(col("s_suppkey"))).head.getLong(0) + 1
+      // TPC-H keys are 1-based (1..max): rotate WITHIN that domain.
+      // (A 0-based pmod over max+1 maps key max+1-k of copy k to the
+      // nonexistent key 0 — dangling FKs that silently drop rows from
+      // dim-join probes — and never emits key k.)
+      val pMax = graft.sources.Tables.load(spark, src, "part")
+        .agg(max(col("p_partkey"))).head.getLong(0)
+      val sMax = graft.sources.Tables.load(spark, src, "supplier")
+        .agg(max(col("s_suppkey"))).head.getLong(0)
       scaled("events") { (df, k) =>
         df.withColumn("event_id", col("event_id") + lit(k * shift))
       }
@@ -110,8 +114,8 @@ object ScaleGen {
       }
       scaled("lineitem") { (df, k) =>
         df.withColumn("l_orderkey", col("l_orderkey") + lit(k * shift))
-          .withColumn("l_partkey", pmod(col("l_partkey") + lit(k.toLong), lit(pSpace)))
-          .withColumn("l_suppkey", pmod(col("l_suppkey") + lit(k.toLong), lit(sSpace)))
+          .withColumn("l_partkey", pmod(col("l_partkey") - 1 + lit(k.toLong), lit(pMax)) + 1)
+          .withColumn("l_suppkey", pmod(col("l_suppkey") - 1 + lit(k.toLong), lit(sMax)) + 1)
       }
       scaled("documents") { (df, k) =>
         val txt = if (k == 0) col("text") else concat(col("text"), lit(s" dup$k"))

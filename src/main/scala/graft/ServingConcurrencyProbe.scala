@@ -64,26 +64,38 @@ object ServingConcurrencyProbe {
       val lat = new ConcurrentLinkedQueue[Long]()
       val ready = new CountDownLatch(c)
       val go = new CountDownLatch(1)
+      val failures = new ConcurrentLinkedQueue[Throwable]()
       val threads = (0 until c).map { ci =>
         new Thread(() => {
-          val conn = DriverManager.getConnection(url, s"client$ci", "")
-          val st = conn.createStatement()
-          ready.countDown(); go.await()
-          (0 until perClient).foreach { i =>
-            val q = mix((ci + i) % mix.size)
-            val t0 = System.nanoTime()
-            val rs = st.executeQuery(q)
-            while (rs.next()) ()
-            lat.add((System.nanoTime() - t0) / 1000000L)
+          // always count down `ready` (finally), else a connect/query
+          // failure hangs the main thread's ready.await() forever or
+          // silently shrinks the percentile sample
+          try {
+            val conn = DriverManager.getConnection(url, s"client$ci", "")
+            val st = conn.createStatement()
+            ready.countDown(); go.await()
+            (0 until perClient).foreach { i =>
+              val q = mix((ci + i) % mix.size)
+              val t0 = System.nanoTime()
+              val rs = st.executeQuery(q)
+              while (rs.next()) ()
+              lat.add((System.nanoTime() - t0) / 1000000L)
+            }
+            conn.close()
+          } catch {
+            case t: Throwable => failures.add(t); ready.countDown()
           }
-          conn.close()
         })
       }
       threads.foreach(_.start()); ready.await()
       val t0 = System.nanoTime(); go.countDown()
       threads.foreach(_.join())
       val wall = (System.nanoTime() - t0) / 1e9
+      failures.forEach(t => println(s"CLIENT FAILURE: $t"))
       val xs = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      assert(xs.length == c * perClient,
+        s"missing samples: ${xs.length} of ${c * perClient} " +
+          s"(${failures.size} client failures)")
       def pct(p: Double) = xs(math.min(xs.length - 1, (p * xs.length).toInt))
       println(f"$c%7d ${xs.length}%8d $wall%7.1f ${xs.length / wall}%4.1f " +
         f"${pct(0.50)}%7d ${pct(0.95)}%7d ${pct(0.99)}%7d ${xs.last}%7d")

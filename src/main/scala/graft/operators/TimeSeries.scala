@@ -204,6 +204,11 @@ object TimeSeries {
       windowHours: Int): DataFrame = {
     require(windowHours >= 2, "correlation needs at least two buckets")
     require(pairs.nonEmpty, "at least one series pair")
+    // a repeated pair would union identical rows into the same
+    // (type_x, type_y) window partition — cnt reaches windowHours at
+    // half the real window and the correlations go silently wrong
+    require(pairs.distinct.size == pairs.size,
+      s"duplicate series pair in $pairs")
     val types = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
     val perType0 = events
       .filter(col("event_type").isin(types: _*))
@@ -274,7 +279,13 @@ object TimeSeries {
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
     events
       .groupBy(col("event_type"), tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+      // try_cast, not cast: ANSI cast throws on a finite value past
+      // decimal(18,2) range (a single 1e300 row would kill a monitoring
+      // query); try_cast nulls it — sum skips the row, count(lit(1))
+      // still counts it — identical to cast on every in-range value,
+      // and the streaming operator mirrors this exactly
+      .agg(sum(expr("try_cast(value as decimal(18,2))")).as("s"),
+        count(lit(1)).as("n"))
       .filter(col("s") * 100 > lit(thresholdCents) * col("n"))
       .withColumn("grp",
         expr("bucket_us div 3600000000") - row_number().over(w))

@@ -410,9 +410,20 @@ object StreamingIngest {
             val b = (e.ts_us / hourUs) * hourUs
             if (b > st0.finalizedThrough) {
               val (s, n) = acc.getOrElse(b, (0L, 0L))
-              val cents = BigDecimal(e.value)
-                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
-                .*(BigDecimal(100)).toLongExact
+              // mirror the batch try_cast(value AS decimal(18,2)) on
+              // pathological inputs instead of throwing (a query-killing
+              // stream/batch divergence): NaN/Infinity and values past
+              // decimal(18,2) range try_cast to NULL in batch — sum
+              // skips them but count(lit(1)) still counts the row — so
+              // here they contribute 0 cents and 1 to n
+              val cents =
+                if (!java.lang.Double.isFinite(e.value)) 0L
+                else {
+                  val scaled = BigDecimal(e.value)
+                    .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                  if (scaled.precision > 18) 0L // overflows decimal(18,2)
+                  else scaled.*(BigDecimal(100)).toLongExact
+                }
               acc(b) = (s + cents, n + 1)
             }
           }

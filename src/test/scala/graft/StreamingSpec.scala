@@ -346,6 +346,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSet == episodes)
   }
 
+  test("streaming alert-for survives NaN/Infinity/overflow values and " +
+      "matches the batch cast-to-null semantics") {
+    import graft.streaming.StreamingIngest.AlertEvent
+    val hr = 3600000000L
+    val src = Files.createTempDirectory("graft_alert_nan_src_").toString
+    val base = 1700000000000000L - (1700000000000000L % hr)
+    // hour 0: [100, 100, NaN] -> s=200.00, n=3: 20000 > 6000*3 fires;
+    // hour 2: [100, NaN]      -> s=100.00, n=2: 10000 < 12000 no fire;
+    // hour 4: [100, +Inf]     -> same dilution, no fire;
+    // hour 6: [100, 1e300]    -> overflows decimal(18,2) -> null, no fire
+    val rows = Seq(
+      ("a", base, 100.0), ("a", base + 1L, 100.0), ("a", base + 2L, Double.NaN),
+      ("a", base + 2 * hr, 100.0), ("a", base + 2 * hr + 1L, Double.NaN),
+      ("a", base + 4 * hr, 100.0),
+      ("a", base + 4 * hr + 1L, Double.PositiveInfinity),
+      ("a", base + 6 * hr, 100.0), ("a", base + 6 * hr + 1L, 1e300))
+    rows.map { case (t, ts, v) => AlertEvent(t, ts, v) }.toDS()
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = graft.streaming.StreamingIngest.alertForStream(
+      spark.readStream.schema(schema).parquet(src).as[AlertEvent],
+      thresholdCents = 6000L, forHours = 1)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("alert_nan_out").start()
+    try {
+      q.processAllAvailable()
+      Seq(AlertEvent("a", base + 20 * hr, 1.0)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("alert_nan_out")
+      .select("alert_start_us").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(base), got.mkString(","))
+    // batch parity on the same pathological data
+    val ev = spark.read.parquet(src)
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        monotonically_increasing_id().as("event_id"),
+        col("value"), col("event_type"))
+    val episodes = graft.operators.TimeSeries.alertFor(ev, 6000L, 1)
+      .filter(col("alert_start_us") < base + 20 * hr)
+      .collect().map(_.getAs[Long]("alert_start_us")).sorted.toSeq
+    assert(episodes == got, s"batch $episodes vs stream $got")
+  }
+
   test("streaming counter rate equals the batch per-sample increases") {
     import graft.streaming.StreamingIngest.RatePoint
     val src = Files.createTempDirectory("graft_rate_src_").toString
