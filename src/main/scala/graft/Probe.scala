@@ -42,6 +42,114 @@ object Probe {
       // L2 at sf10 (DRAM-latency knee). _dd_hash = the product path;
       // _dd_sort = sort-within-partition + dedup-consecutive (sequential
       // access, no giant map) — if it wins at sf10 the build flips
+      // q_map_funcs dissection (r9 verdict: the only trending growth
+      // number; at sf1 it runs 15x its own regex cost — q_token_count
+      // 0.12 s vs q_map_funcs 1.80 s — so the suspect is the
+      // map+explode structure, not the regexes). Variants isolate:
+      // map build alone, generate alone (stack), and posexplode.
+      "_mf_maponly" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .select(col("doc_id"), map(
+            lit("alpha"), col("n_alpha"), lit("num"), col("n_num"),
+            lit("sym"), col("n_sym")).as("m"))
+          .select(col("doc_id"), size(map_keys(col("m"))).as("n"))
+      }),
+      "_mf_stack" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .select(col("doc_id"), expr(
+            "stack(3, 'alpha', n_alpha, 'num', n_num, 'sym', n_sym) as (token_class, n)"))
+      }),
+      "_mf_arrayexplode" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .select(col("doc_id"), explode(array(
+            struct(lit("alpha").as("token_class"), col("n_alpha").as("n")),
+            struct(lit("num").as("token_class"), col("n_num").as("n")),
+            struct(lit("sym").as("token_class"), col("n_sym").as("n")))).as("kv"))
+          .select(col("doc_id"), col("kv.token_class"), col("kv.n"))
+      }),
+      // inverse experiment: force token_count's projection to actually
+      // evaluate under .count() (a bare Project is pruned by Catalyst's
+      // count-star rewrite, so q_token_count's bench number measures
+      // scan+count only — the generator variants are the ones paying
+      // the regex cost)
+      "_mf_token_forced" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .agg(sum(col("n_alpha") + col("n_num") + col("n_sym")).as("n"))
+      }),
+      // regexp_count never materializes the match array regexp_extract_all
+      // builds just to take size() of
+      "_mf_regexcount" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.sources.Tables.documents(s, dir).select(
+          col("doc_id"),
+          explode(map(
+            lit("alpha"), regexp_count(col("text"), lit("[a-z]+")).cast("long"),
+            lit("num"), regexp_count(col("text"), lit("[0-9]+")).cast("long"),
+            lit("sym"), regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long"))))
+          .toDF("doc_id", "token_class", "n")
+      }),
+      // generate with CONSTANT values: isolates the Generate operator
+      // cost from the regex child entirely
+      "_mf_generate_const" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.sources.Tables.documents(s, dir).select(
+          col("doc_id"),
+          explode(map(lit("alpha"), lit(1L), lit("num"), lit(2L),
+            lit("sym"), lit(3L))))
+          .toDF("doc_id", "token_class", "n")
+      }),
+      // stage-split variant: a repartition between the regex project and
+      // the explode puts them in SEPARATE codegen methods — if this is
+      // fast while the fused form is slow, the fused whole-stage method
+      // blew HotSpot's DontCompileHugeMethods bytecode limit and the
+      // regex loop ran INTERPRETED
+      "_mf_split" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .repartition(32)
+          .select(col("doc_id"),
+            explode(map(
+              lit("alpha"), col("n_alpha"), lit("num"), col("n_num"),
+              lit("sym"), col("n_sym"))))
+          .toDF("doc_id", "token_class", "n")
+      }),
+      // same stage-1 as _mf_split (regex project + shuffle) but an agg
+      // consumer: isolates whether stage 1 or the explode stage is slow
+      "_mf_split_agg" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .repartition(32)
+          .agg(sum(col("n_alpha") + col("n_num") + col("n_sym")).as("n"))
+      }),
+      // explode whose VALUES are the regex counts via sum-agg first:
+      "_mf_agg_then_explode" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.TextAnalysis.tokenCount(graft.sources.Tables.documents(s, dir))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_alpha")).as("n_alpha"), max(col("n_num")).as("n_num"),
+            max(col("n_sym")).as("n_sym"))
+          .select(col("doc_id"),
+            explode(map(
+              lit("alpha"), col("n_alpha"), lit("num"), col("n_num"),
+              lit("sym"), col("n_sym"))))
+          .toDF("doc_id", "token_class", "n")
+      }),
+      // explode(map) whose values are a plain parquet column — no regex
+      // anywhere: separates "explode of non-constant values" from
+      // "regex-derived values"
+      "_mf_colmap" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.sources.Tables.documents(s, dir).select(
+          col("doc_id"),
+          explode(map(lit("alpha"), col("n_chars"),
+            lit("num"), col("n_chars") + 1,
+            lit("sym"), col("n_chars") + 2)))
+          .toDF("doc_id", "token_class", "n")
+      }),
       "_dd_hash" -> ((s, dir) =>
         graft.operators.Graph.partCoPurchasePairs(
           graft.sources.Tables.lineitem(s, dir))),

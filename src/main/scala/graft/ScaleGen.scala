@@ -4,14 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale-up generator:
-  * `ScaleGen <srcSfDir> <outDir> <copies> [disjoint|densify]`.
+  * `ScaleGen <srcSfDir> <outDir> <copies> [disjoint|densify|skew]`.
   *
-  * Two orthogonal growth axes:
+  * Three orthogonal growth axes:
   *  - `disjoint` (default, the volume axis): bucket-DISJOINT key-shifted
   *    copies — more buckets, same per-bucket occupancy (documented below);
   *  - `densify` (the density axis): same key space, k x occupancy — hot
   *    users, hub-heavy graph tails, true near-dup doc/embedding cliques
-  *    (documented at the branch).
+  *    (documented at the branch);
+  *  - `skew` (the hot-KEY axis): k x rows whose extra mass lands on ONE
+  *    key per table — the single-mega-key Zipf limit that AQE skew-join
+  *    splitting exists for (documented at the branch).
   *
   * Writes an N-times larger copy of a testdata sf dir for scale probes
   * (the driver only materializes up to sf0.1). Method = N key-shifted
@@ -139,6 +142,93 @@ object ScaleGen {
         graft.sources.Tables.load(spark, src, t)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
         println(s"SCALEGEN $t x1 -> $out (densify: fixed key space)")
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "skew") {
+      // SKEW axis: k x rows with the EXTRA mass concentrated on single
+      // hot keys — the Zipf-alpha->inf limit (one mega-key), the
+      // harshest version of the hot-key shape AQE skew handling exists
+      // for. Volume (disjoint) grows bucket count, density grows every
+      // bucket uniformly; this mode grows ONE bucket:
+      //  - events: copies k>=1 reassign user_id to the single hot user
+      //    -> at x10 that user holds ~90% of all events (window
+      //    partitions and user-joins get one mega-partition);
+      //  - orders: copies reassign o_custkey to the hot customer
+      //    (customer-side join/groupBy skew, orderkey stays balanced);
+      //  - lineitem: copies set l_suppkey to the hot supplier on EVERY
+      //    row (q21-shaped supplier join skew) and l_partkey to the hot
+      //    part on line 1 of each order, rotating the rest within the
+      //    1-based dim domain — so every copied order contains the hot
+      //    part plus rotated parts and the co-purchase graph grows one
+      //    mega-hub instead of disjoint islands;
+      //  - documents: copies give 1-in-100 docs one shared hot TEXT (a
+      //    single mega near-dup clique growing ~(k N/100)^2 candidate
+      //    pairs inside one LSH bucket) and affine-cipher the rest
+      //    (corpus grows, background near-dup density stays flat);
+      //  - embeddings: copies give 1-in-100 vectors one shared hot
+      //    vector (one mega ANN bucket), rotating the rest;
+      //  - dims stay at one copy: the hot FKs must land on EXISTING dim
+      //    keys, and broadcast sizes stay realistic.
+      val hotUser = graft.sources.Tables.load(spark, src, "events")
+        .agg(min(col("user_id"))).head.getLong(0)
+      val hotCust = graft.sources.Tables.load(spark, src, "customer")
+        .agg(min(col("c_custkey"))).head.getLong(0)
+      val hotSupp = graft.sources.Tables.load(spark, src, "supplier")
+        .agg(min(col("s_suppkey"))).head.getLong(0)
+      val pKeys = graft.sources.Tables.load(spark, src, "part")
+        .agg(min(col("p_partkey")), max(col("p_partkey"))).head
+      val (hotPart, pMax) = (pKeys.getLong(0), pKeys.getLong(1))
+      scaled("events") { (df, k) =>
+        val u = if (k == 0) col("user_id") else lit(hotUser)
+        df.withColumn("event_id", col("event_id") + lit(k * shift))
+          .withColumn("user_id", u)
+      }
+      scaled("orders") { (df, k) =>
+        val c = if (k == 0) col("o_custkey") else lit(hotCust)
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * shift))
+          .withColumn("o_custkey", c)
+      }
+      scaled("lineitem") { (df, k) =>
+        val p =
+          if (k == 0) col("l_partkey")
+          else when(col("l_linenumber") === 1, lit(hotPart))
+            .otherwise(pmod(col("l_partkey") - 1 + lit(k.toLong), lit(pMax)) + 1)
+        val s = if (k == 0) col("l_suppkey") else lit(hotSupp)
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * shift))
+          .withColumn("l_partkey", p)
+          .withColumn("l_suppkey", s)
+      }
+      val hotText = ("the quick brown fox jumps over the lazy dog and " +
+        "then runs 42 laps around the block before 9 pm, every day!") * 4
+      scaled("documents") { (df, k) =>
+        val ciphered = translate(col("text"), lower + upper,
+          affine(lower, k) + affine(upper, k))
+        val txt =
+          if (k == 0) col("text")
+          else when(col("doc_id") % 100 === 0, lit(hotText)).otherwise(ciphered)
+        df.withColumn("doc_id", col("doc_id") + lit(k * shift))
+          .withColumn("text", txt)
+      }
+      scaled("embeddings") { (df, k) =>
+        val rotated = if (k == 0) col("embedding") else {
+          val r = k % 64
+          concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r))
+        }
+        val hotVec = array((0 until 64).map(_ => lit(0.125f)): _*)
+        val emb =
+          if (k == 0) col("embedding")
+          else when(col("vec_id") % 100 === 0, hotVec).otherwise(rotated)
+        df.withColumn("vec_id", col("vec_id") + lit(k * shift))
+          .withColumn("embedding", emb)
+      }
+      Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+        graft.sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"SCALEGEN $t x1 -> $out (skew: fixed key space)")
       }
       spark.stop()
       return

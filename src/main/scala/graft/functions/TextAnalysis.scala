@@ -68,14 +68,20 @@ object TextAnalysis {
         size(t)).as("avg_token_len"))
   }
 
-  /** BPE-ish token counting via a class regex: alphabetic runs, digit runs,
-    * and single non-alnum symbols — the shape of a byte-pair pretokenizer. */
+  /** BPE-ish token counting: alphabetic runs, digit runs, and single
+    * non-alnum symbols — the shape of a byte-pair pretokenizer. Counted by
+    * the single-pass codegen [[graft.functions.CharClassCount]] expression
+    * rather than `size(regexp_extract_all(...))`: identical counts
+    * (spec-pinned against the regex form), zero match-array allocation,
+    * and immune to the java.util.regex JIT pathology the r10 growth
+    * dissection measured (regex char-class scans ran up to 100× slower
+    * inside Generate-bearing jobs — PLANS.md "q_map_funcs"). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
-      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
-      size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_sym"))
+      GraftFunctions.char_class_count(col("text"), CharClassCount.AlphaRuns).as("n_alpha"),
+      GraftFunctions.char_class_count(col("text"), CharClassCount.DigitRuns).as("n_num"),
+      GraftFunctions.char_class_count(col("text"), CharClassCount.Symbols).as("n_sym"))
 
   /** MapType surface over the token-class counts: build a `map<string,long>`
     * per document, then explode it back to (key, value) rows — the

@@ -174,6 +174,88 @@ case class TimeBucket(child: Expression, widthUs: Long)
     copy(child = newChild)
 }
 
+/** Single-pass token-class counter over a string column — the native
+  * replacement for `size(regexp_extract_all(text, <class>))` in the
+  * BPE-ish pretokenizer ([[graft.functions.TextAnalysis.tokenCount]]).
+  *
+  * Why not regex: the r9→r10 growth dissection (PLANS.md "q_map_funcs")
+  * measured java.util.regex char-class scans running up to 100× slower
+  * per document inside Generate-bearing jobs than the IDENTICAL
+  * expressions in aggregate-only jobs (hot frames in
+  * `Pattern$CharPredicate` lambdas; whole-stage-codegen on/off
+  * invariant) — a JVM inlining pathology, not a plan property. A branchy
+  * byte loop has no such failure mode, allocates nothing (regex
+  * materializes every match into an array just to `size` it), and is the
+  * right 100 TB hot path regardless of JIT mood.
+  *
+  * Modes: 0 = maximal runs of `[a-z]`, 1 = maximal runs of `[0-9]`,
+  * 2 = single characters outside `[a-z0-9 ]`. Counting is per CODEPOINT
+  * (UTF-8 leading bytes; continuation bytes never count), which matches
+  * RE2/DuckDB — `java.util.regex` counts non-BMP codepoints as two
+  * UTF-16 units, so the regex form this replaces disagreed with the
+  * oracle on astral-plane input; ASCII (all testdata) is identical
+  * everywhere (spec-pinned against the regex form). */
+case class CharClassCount(child: Expression, mode: Int)
+    extends UnaryExpression {
+  require(mode >= 0 && mode <= 2, s"mode must be 0|1|2, got $mode")
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"graft_char_class_count($mode)"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_char_class_count needs a string column, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CharClassCount.count(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharClassCount.count($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCount =
+    copy(child = newChild)
+}
+
+object CharClassCount {
+  final val AlphaRuns = 0
+  final val DigitRuns = 1
+  final val Symbols = 2
+
+  /** Shared by interpreted eval and generated code — one byte pass. */
+  def count(s: org.apache.spark.unsafe.types.UTF8String, mode: Int): Long = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 0L
+    var inRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (mode == 0) {
+        if (b >= 'a' && b <= 'z') { if (!inRun) cnt += 1; inRun = true }
+        else inRun = false
+      } else if (mode == 1) {
+        if (b >= '0' && b <= '9') { if (!inRun) cnt += 1; inRun = true }
+        else inRun = false
+      } else {
+        // a UTF-8 continuation byte (0b10xxxxxx) is part of an already
+        // counted codepoint; every other byte outside [a-z0-9 ] is one
+        // symbol character
+        if ((b & 0xC0) != 0x80 &&
+            !(b >= 'a' && b <= 'z') && !(b >= '0' && b <= '9') && b != ' ')
+          cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
 /** Bloom-filter membership probe against a TORRENT-BROADCAST filter —
   * the scale-safe form of Spark's `BloomFilterMightContain(Literal(bytes),
   * h)`. A literal bloom is copied on the driver (source array → Literal →
@@ -359,6 +441,12 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Single-pass token-class count (mode: [[CharClassCount.AlphaRuns]],
+    * [[CharClassCount.DigitRuns]], [[CharClassCount.Symbols]]). */
+  def char_class_count(c: Column, mode: Int): Column =
+    GraftColumnBridge.column(
+      CharClassCount(GraftColumnBridge.expression(c), mode))
 }
 
 /** Optimizer rule: peephole-fuse the composed cosine pattern
