@@ -185,6 +185,10 @@ object SparkEntry {
       TimeSeries.topkHours(Tables.events(s, dir), 5)),
     "q_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(Tables.events(s, dir), 1800000000L)),
+    // skew-proof variant: (user, time-block) local windows + session-level
+    // stitch — identical output, hot-user parallelism = block count
+    "q_sessionize_blocked" -> ((s, dir) =>
+      TimeSeries.sessionizeBlocked(Tables.events(s, dir), 1800000000L)),
     // the NATIVE session_window operator (half-open [ts, ts+gap) merge)
     "q_session_native" -> ((s, dir) =>
       TimeSeries.sessionizeNative(Tables.events(s, dir), 1800000000L)),
@@ -208,6 +212,10 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) =>
       operators.Analytics.sessionPaths(Tables.events(s, dir), 1800000000L,
         depth = 3, topK = 20)),
+    // skew-proof variant: block-local prefixes + session-level stitch
+    "q_session_paths_blocked" -> ((s, dir) =>
+      operators.Analytics.sessionPathsBlocked(Tables.events(s, dir),
+        1800000000L, depth = 3, topK = 20)),
     // historian-style time-weighted mean over irregular samples
     "q_time_weighted_avg" -> ((s, dir) =>
       TimeSeries.timeWeightedAvg(Tables.events(s, dir))),
@@ -1406,6 +1414,23 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the blocked sessionizer is output-identical to the plain one, so it
+    // carries the same oracle
+    "q_sessionize_blocked" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q_session_native" ->
       // session_window coalesces TOUCHING ranges: a gap of exactly 30 min
       // still merges (split is strictly >, spec-pinned); end = last + gap
@@ -1447,6 +1472,28 @@ object SparkEntry {
     // mirror of Analytics.sessionPaths: same gap sessions, ordered
     // string_agg replays the engine's rn-sorted concat exactly
     "q_session_paths" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, event_id, event_type, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m),
+        |r AS (SELECT user_id, session_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id, session_id
+        |                                ORDER BY ts_us, event_id) AS rn
+        |      FROM s),
+        |p AS (SELECT user_id, session_id,
+        |             string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // output-identical to q_session_paths, same oracle
+    "q_session_paths_blocked" ->
       """WITH m AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -628,6 +628,68 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Skew-proof [[sessionPaths]] — identical output, bounded partitions.
+    * Same block-split-then-stitch construction as
+    * [[TimeSeries.sessionizeBlocked]] (see there for the why): local
+    * sessions form inside `(user, blockUs-block)` windows, each keeps
+    * only its first `depth` events as a sorted struct array, and merged
+    * sessions assemble their opening path from the time-ordered concat
+    * of constituent prefixes, truncated to `depth`. The stitch window
+    * runs over SESSION-level rows carrying ≤ `depth`-element arrays —
+    * per-user volume is blocks × depth, never events. */
+  def sessionPathsBlocked(events: DataFrame, gapUs: Long, depth: Int,
+      topK: Int, blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else 64L * gapUs
+    require(block > gapUs, s"blockUs=$block must exceed gapUs=$gapUs")
+    val wLocal = Window.partitionBy(col("user_id"), col("blk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val local = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeries.tsUs(col("ts")).as("ts_us"))
+      .withColumn("blk", expr(s"ts_us div ${block}L"))
+      .withColumn("new_s",
+        when(lag(col("ts_us"), 1).over(wLocal).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wLocal) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("ls",
+        sum(col("new_s")).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("blk"), col("ls"))
+          .orderBy(col("ts_us"), col("event_id"))))
+      // the stitch needs the TRUE local-session end, and the prefix
+      // filter below drops the tail rows — take it as a window max over
+      // the full local session first (same (user, blk) exchange, only a
+      // re-sort; ls is monotonic in the existing order)
+      .withColumn("true_end", max(col("ts_us")).over(
+        Window.partitionBy(col("user_id"), col("blk"), col("ls"))))
+      .filter(col("rn") <= depth)
+      .groupBy(col("user_id"), col("blk"), col("ls"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("true_end")).as("true_end"),
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("prefix"))
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_start"), col("true_end"))
+    local
+      .withColumn("new_m",
+        when(lag(col("true_end"), 1).over(wUser).isNull ||
+          col("s_start") - lag(col("true_end"), 1).over(wUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_m")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        transform(
+          slice(flatten(transform(
+            array_sort(collect_list(struct(col("s_start"), col("prefix")))),
+            x => x.getField("prefix"))), 1, depth),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Distributed global `row_number` within `partCols` over the strict
     * total order `orderCols`: range-repartition on (part, order), rank
     * inside each partition, then add per-(part, partition) exclusive

@@ -236,6 +236,70 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(s.filter(col("n_events") <= 0).count() == 0)
   }
 
+  test("sessionizeBlocked is row-identical to sessionize on the corpus " +
+      "and on block-boundary fixtures") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val gap = 1800000000L
+    val plain = graft.operators.TimeSeries.sessionize(ev, gap)
+    val blocked = graft.operators.TimeSeries.sessionizeBlocked(ev, gap)
+    assert(plain.exceptAll(blocked).count() == 0 &&
+      blocked.exceptAll(plain).count() == 0)
+    // adversarial: gaps of exactly gapUs (merge) and gapUs+1 (split)
+    // placed to STRADDLE block boundaries, a session spanning >2 blocks,
+    // and same-ts duplicate events — tiny block (gap+1) maximizes
+    // boundary sessions
+    val gapT = 10L
+    val blockT = gapT + 1L
+    val ts = Seq(
+      0L, gapT,                   // merge across blk 0->1 (exactly gap)
+      3 * blockT, 3 * blockT,     // same-ts pair, new session
+      5 * blockT, 5 * blockT + gapT, 5 * blockT + 2 * gapT, // 3-block chain
+      9 * blockT, 9 * blockT + gapT + 1) // split at gap+1
+    val fx = ts.zipWithIndex
+      .map { case (t, i) => (7L, i.toLong, t) }
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val p2 = graft.operators.TimeSeries.sessionize(fx, gapT)
+    val b2 = graft.operators.TimeSeries.sessionizeBlocked(fx, gapT, blockT)
+    assert(p2.exceptAll(b2).count() == 0 && b2.exceptAll(p2).count() == 0,
+      s"plain=${p2.collect().mkString(";")} blocked=${b2.collect().mkString(";")}")
+    // {0,10} {33,33} {55,65,75} {99} {110}
+    assert(p2.count() == 5)
+  }
+
+  test("sessionPathsBlocked is row-identical to sessionPaths on the corpus " +
+      "and on a prefix-straddling fixture") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val a = graft.operators.Analytics.sessionPaths(ev, 1800000000L, 3, 20)
+    val b = graft.operators.Analytics.sessionPathsBlocked(ev, 1800000000L, 3, 20)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"plain=${a.collect().mkString(";")} blocked=${b.collect().mkString(";")}")
+    // a session whose 3-event prefix STRADDLES a block boundary: local
+    // session 1 contributes 2 events, local session 2 the third; plus a
+    // long session whose prefix is entirely in block 1 but whose true
+    // end reaches block 3 (stitch must use the TRUE end, not the
+    // prefix-truncated one)
+    val gapT = 10L
+    val blockT = gapT + 1L
+    val rows = Seq(
+      (1L, 0L, "a", 5L), (1L, 1L, "b", blockT + 4L), (1L, 2L, "c", blockT + 5L),
+      (1L, 3L, "d", blockT + 6L),
+      (2L, 4L, "x", 0L), (2L, 5L, "y", 1L), (2L, 6L, "z", 2L),
+      (2L, 7L, "w", gapT), (2L, 8L, "v", 2 * gapT), (2L, 9L, "u", 3 * gapT))
+    val fx = rows.toDF("user_id", "event_id", "event_type", "t_us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val p2 = graft.operators.Analytics.sessionPaths(fx, gapT, 3, 20)
+    val b2 = graft.operators.Analytics.sessionPathsBlocked(fx, gapT, 3, 20, blockT)
+    assert(p2.exceptAll(b2).count() == 0 && b2.exceptAll(p2).count() == 0,
+      s"plain=${p2.collect().mkString(";")} blocked=${b2.collect().mkString(";")}")
+    val paths = p2.collect().map(_.getString(0)).toSet
+    assert(paths == Set("a>b>c", "x>y>z"), paths.toString)
+  }
+
   test("sessionizeNative merges touching windows at EXACTLY gap and splits " +
       "past it; end = last_ts + gap") {
     import spark.implicits._
