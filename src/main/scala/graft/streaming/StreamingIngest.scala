@@ -300,7 +300,12 @@ object StreamingIngest {
     * watermark passes before folding — costs a per-user event buffer and
     * one watermark of emission latency; this operator deliberately trades
     * that for immediate emission, matching the reference's
-    * append-in-arrival-order ingest (shard.cpp appends as received). */
+    * append-in-arrival-order ingest (shard.cpp appends as received).
+    * Within that trade the output is still kept WELL-FORMED: a row older
+    * than the open interval's start (a cross-batch straggler) is STALE
+    * and dropped — without that guard it would close the interval at an
+    * earlier timestamp, emitting valid_to < valid_from (r10 late-storm
+    * probe; spec-pinned in StreamingSpec). */
   def scd2Stream(events: Dataset[StateEvent],
       idleTimeoutUs: Long = 24L * 3600L * 1000000L,
       watermark: String = "10 minutes"): Dataset[ClosedInterval] = {
@@ -321,6 +326,15 @@ object StreamingIngest {
             val out = Vector.newBuilder[ClosedInterval]
             rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
               cur match {
+                // STALE row: older than the open interval's start (only
+                // possible via cross-batch reordering). Without this
+                // guard a late different-type row would close the open
+                // interval at an EARLIER timestamp — an inverted
+                // (valid_to < valid_from) interval (r10 late-storm probe
+                // caught it). Policy: transitions apply forward in time
+                // only; stale rows drop, the batch operator over the
+                // replayed log stays the out-of-order source of truth.
+                case Some(s) if r.ts_us < s.since_us => ()
                 case Some(s) if s.state_type != r.state_type =>
                   out += ClosedInterval(user, s.state_type, s.since_us, r.ts_us)
                   cur = Some(Scd2State(r.state_type, r.ts_us, r.ts_us))

@@ -516,6 +516,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream drops cross-batch stale rows instead of emitting " +
+      "inverted intervals") {
+    import graft.streaming.StreamingIngest.StateEvent
+    val hr = 3600000000L
+    val base = 1700000000000000L - (1700000000000000L % hr)
+    val src = Files.createTempDirectory("graft_scd2_stale_src_").toString
+    // batch 0: A at h0, B at h2 (closes A). batch 1: stale C at h1 —
+    // inside the 3h watermark horizon but OLDER than the open interval's
+    // start; must drop (pre-fix it closed B at h1 < h2: inverted).
+    // batch 2: A at h4 closes B normally.
+    Seq(StateEvent(1L, 0L, "A", base), StateEvent(1L, 1L, "B", base + 2 * hr))
+      .toDS().write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = graft.streaming.StreamingIngest.scd2Stream(
+      spark.readStream.schema(schema).parquet(src).as[StateEvent],
+      watermark = "3 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_stale_out").start()
+    try {
+      q.processAllAvailable()
+      Seq(StateEvent(1L, 2L, "C", base + 1 * hr)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq(StateEvent(1L, 3L, "A", base + 4 * hr)).toDS()
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_stale_out")
+      .select("state", "valid_from_us", "valid_to_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("A", base, base + 2 * hr),
+      ("B", base + 2 * hr, base + 4 * hr)), got.toString)
+  }
+
   test("scd2Stream idle eviction drops the open tail; same-type activity " +
       "refreshes liveness") {
     import graft.streaming.StreamingIngest.StateEvent
