@@ -76,11 +76,25 @@ object ScaleCensusProbe {
       }
     })
 
-    // circulant C_N(1,2,50,90): unordered pairs {i, (i+k) mod N},
-    // k ∈ {1,2,50,90} — distinct for N > 180, every node degree 8
+    // circulant C_N(offsets): unordered pairs {i, (i+k) mod N} — degree
+    // 2|K| regular, so the census wedge BOUND / edges ratio is exactly
+    // 2|K|−1: SCALECENSUS_OFFSETS dials the graph across the
+    // WedgeEdgeRatioGate for the break-even measurement (r10). Closed
+    // form: each triangle {i, i+a, i+c} anchors at its minimal vertex,
+    // so triangles = N · #{(a,c) : a < c, a,c ∈ K, c−a ∈ K}.
+    val offsets = sys.env.getOrElse("SCALECENSUS_OFFSETS", "1,2,50,90")
+      .split(',').map(_.trim.toLong).toSeq
+    require(offsets.distinct.size == offsets.size && offsets.forall(_ > 0))
+    val triPerNode = (for {
+      a <- offsets; c <- offsets
+      if a < c && offsets.contains(c - a)
+    } yield 1).size
+    println(s"SCALECENSUS offsets=${offsets.mkString(",")} " +
+      s"degree=${2 * offsets.size} bound_ratio=${2 * offsets.size - 1} " +
+      s"tri_per_node=$triPerNode")
     val pairs = spark.range(n)
       .select(col("id"),
-        explode(array(lit(1L), lit(2L), lit(50L), lit(90L))).as("k"))
+        explode(array(offsets.map(lit): _*)).as("k"))
       .select(col("id").as("a"), ((col("id") + col("k")) % n).as("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
@@ -116,11 +130,12 @@ object ScaleCensusProbe {
       case "plain"    => run("plain", 0L)
       case other      => sys.error(s"unknown config $other")
     }
-    // closed-form oracle: C_N(1,2,50,90) has EXACTLY N triangles (the
-    // only additive identity over the offsets is 1+1=2), so every
+    // closed-form oracle: N · triPerNode triangles (for the default
+    // C_N(1,2,50,90) the only additive identity is 1+1=2 → N), so every
     // config is checked without a reference run
-    require(got.forall(_ == n),
-      s"triangle counts wrong: ${configs.zip(got).toSeq} expected=$n")
+    require(got.forall(_ == n * triPerNode),
+      s"triangle counts wrong: ${configs.zip(got).toSeq} " +
+        s"expected=${n * triPerNode}")
     println(f"SCALECENSUS identical=true " +
       f"scratch_high_water=${scratchHighWater / 1e9}%.1f GB")
     spark.stop()

@@ -1,0 +1,165 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+
+/** Dev-only probe (r10): the serving tier under CONCURRENT WRITE load.
+  * The r9 concurrency probe served a static store; a deployment serves
+  * while ingesting and compacting. This boots the same Thrift JDBC
+  * surface over a live hour-partitioned store and drives 16 parallel
+  * clients while (a) a writer thread appends batches of new points and
+  * (b) one `compactShard` cycle rewrites a CLOSED hour mid-run.
+  *
+  * Checks: zero failed queries; store counts observed by clients are
+  * MONOTONE nondecreasing (appends only add; the compaction swap must
+  * never surface a dip — the documented reader-visible absence window is
+  * what this hunts); p50/p99 under write load vs the same mix on the
+  * quiesced store.
+  *
+  * `ServingUnderWriteProbe [perClient] [writerBatches]` (defaults 30, 20).
+  */
+object ServingUnderWriteProbe {
+  def main(args: Array[String]): Unit = {
+    val perClient = args.headOption.map(_.toInt).getOrElse(30)
+    val writerBatches = args.lift(1).map(_.toInt).getOrElse(20)
+    val clients = 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_servewrite_store_").toString
+    val hourMs = 3600L * 1000L
+    val baseMs = 1700000000000L - (1700000000000L % hourMs)
+    def points(n: Long, hour: Int, metric: String) =
+      spark.range(n).select(
+        (lit(baseMs + hour * hourMs) + col("id") % 3600000L).as("timestamp"),
+        (col("id") % 1000).cast("double").as("value"),
+        lit(metric).as("metric"))
+        .as[graft.model.DataPoint]
+    // seed: 10 closed hours x 100k points; hour 0 gets 64 small appends
+    // so the mid-run compaction has real work
+    (0 until 10).foreach(h => operators.Ingest.ingestBatch(points(100000L, h, "cpu"), store))
+    (0 until 64).foreach(i => operators.Ingest.ingestBatch(points(1000L, 0, s"m$i"), store))
+    val seeded = spark.read.parquet(store).count()
+    println(s"SERVEWRITE seeded rows=$seeded")
+
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    spark.conf.set("hive.server2.thrift.port", port.toString)
+    val server = HiveThriftServer2.startWithContext(spark.sqlContext)
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val url = s"jdbc:hive2://localhost:$port/default"
+    var warm: java.sql.Connection = null
+    var attempts = 0
+    while (warm == null) {
+      try warm = DriverManager.getConnection(url, "graft", "")
+      catch { case _: Exception if attempts < 120 =>
+        attempts += 1; Thread.sleep(500) }
+    }
+    // fresh plan per query (re-lists files) — the live-store read
+    val countQ = s"SELECT count(*) AS n FROM parquet.`$store`"
+    val mix = Seq(
+      countQ,
+      s"SELECT sum(value) AS s, count(*) AS n FROM parquet.`$store` WHERE shard_hour = ${baseMs / hourMs}",
+      s"SELECT metric, count(*) AS n FROM parquet.`$store` WHERE shard_hour = ${baseMs / hourMs + 5} GROUP BY metric")
+    val wst = warm.createStatement()
+    mix.foreach { q => val rs = wst.executeQuery(q); while (rs.next()) () }
+
+    def drive(tag: String): (Array[Long], Long) = {
+      val lat = new ConcurrentLinkedQueue[Long]()
+      val counts = new ConcurrentLinkedQueue[(Long, Long)]() // (seq, n)
+      val failures = new ConcurrentLinkedQueue[Throwable]()
+      val seq = new java.util.concurrent.atomic.AtomicLong(0)
+      val ready = new CountDownLatch(clients)
+      val go = new CountDownLatch(1)
+      val threads = (0 until clients).map { ci =>
+        new Thread(() => {
+          try {
+            val conn = DriverManager.getConnection(url, s"client$ci", "")
+            val st = conn.createStatement()
+            ready.countDown(); go.await()
+            (0 until perClient).foreach { i =>
+              val q = mix((ci + i) % mix.size)
+              val t0 = System.nanoTime()
+              val rs = st.executeQuery(q)
+              var n = -1L
+              while (rs.next()) if (q == countQ) n = rs.getLong(1)
+              lat.add((System.nanoTime() - t0) / 1000000L)
+              if (n >= 0) counts.add((seq.incrementAndGet(), n))
+            }
+            conn.close()
+          } catch {
+            case t: Throwable => failures.add(t); ready.countDown()
+          }
+        })
+      }
+      threads.foreach(_.start()); ready.await()
+      val t0 = System.nanoTime(); go.countDown()
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      failures.forEach(t => println(s"SERVEWRITE CLIENT FAILURE [$tag]: $t"))
+      assert(failures.isEmpty, s"$tag: ${failures.size} client failures")
+      import scala.jdk.CollectionConverters._
+      val xs = lat.asScala.toArray.sorted
+      assert(xs.length == clients * perClient,
+        s"$tag: ${xs.length} of ${clients * perClient} samples")
+      // counts ordered by completion seq must be nondecreasing: appends
+      // only add rows and the compaction swap must never surface a dip.
+      // (seq is taken after the read completes; concurrent reads can
+      // interleave, so compare against the running max of earlier
+      // completions minus nothing — strict nondecreasing by seq.)
+      val cs = counts.asScala.toArray.sortBy(_._1).map(_._2)
+      val dips = cs.sliding(2).count(p => p.length == 2 && p(1) < p(0))
+      println(f"SERVEWRITE $tag%-10s queries=${xs.length} wall=$wall%.1f " +
+        f"p50=${xs(xs.length / 2)}ms p99=${xs((0.99 * xs.length).toInt)}ms " +
+        f"max=${xs.last}ms count_obs=${cs.length} dips=$dips " +
+        s"first=${cs.headOption.getOrElse(-1L)} last=${cs.lastOption.getOrElse(-1L)}")
+      (xs, dips.toLong)
+    }
+
+    // baseline: quiesced store
+    val (base, d0) = drive("static")
+    assert(d0 == 0)
+
+    // under write load: appends to NEW hours + one compaction of hour 0
+    @volatile var writerDone = false
+    val writer = new Thread(() => {
+      (0 until writerBatches).foreach { i =>
+        operators.Ingest.ingestBatch(points(50000L, 10 + i, "cpu"), store)
+        if (i == writerBatches / 2) {
+          val t0 = System.nanoTime()
+          operators.Ingest.compactShard(spark, store, baseMs / hourMs, 4)
+          println(f"SERVEWRITE compaction of hour0 took " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4)")
+        }
+      }
+      writerDone = true
+    })
+    writer.start()
+    val (under, d1) = drive("underwrite")
+    writer.join()
+    val finalRows = spark.read.parquet(store).count()
+    println(s"SERVEWRITE final rows=$finalRows dips_underwrite=$d1 " +
+      s"writer_done_before_clients=${writerDone}")
+    assert(d1 == 0, s"$d1 count dips under write load")
+    assert(finalRows == seeded + writerBatches * 50000L)
+    println(f"SERVEWRITE OK p99 static=${base((0.99 * base.length).toInt)}ms " +
+      f"underwrite=${under((0.99 * under.length).toInt)}ms")
+    server.stop()
+    spark.stop()
+  }
+}
