@@ -66,15 +66,34 @@ object ScaleCensusProbe {
     })
     sampler.setDaemon(true); sampler.start()
     @volatile var shuffleWrite = 0L
+    // r10 envelope attribution: peakExecutionMemory is the stage's
+    // ACCUMULATED per-task execution-memory peak — the number that,
+    // summed over concurrently running tasks, has to fit the execution
+    // pool. Track the top stages so an OOM (or a near-miss) names its
+    // stage instead of being folklore.
+    val memTop = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val b = s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         shuffleWrite += b
+        memTop.add((s.stageInfo.stageId, s.stageInfo.numTasks,
+          s.stageInfo.taskMetrics.peakExecutionMemory,
+          b, s.stageInfo.details.linesIterator.toSeq.headOption.getOrElse("")))
         if (debug && b > 0)
           println(f"SCALECENSUS   stage=${s.stageInfo.stageId}%4d " +
             f"write=${b / 1e6}%10.1f MB  ${s.stageInfo.name.take(80)}")
       }
     })
+    def printMemTop(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val top = memTop.asScala.toSeq.sortBy(-_._3).take(5)
+      top.foreach { case (id, nt, pm, sw, _) =>
+        println(f"SCALECENSUS memtop[$tag] stage=$id%4d tasks=$nt%4d " +
+          f"peakExecMemSum=${pm / 1e9}%6.2f GB shuffleWrite=${sw / 1e6}%8.1f MB")
+      }
+      memTop.clear()
+    }
 
     // circulant C_N(offsets): unordered pairs {i, (i+k) mod N} — degree
     // 2|K| regular, so the census wedge BOUND / edges ratio is exactly
@@ -103,6 +122,7 @@ object ScaleCensusProbe {
     val nEdges = cen.oriented.count()
     println(f"SCALECENSUS nodes=$n oriented_edges=$nEdges " +
       f"census_build=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    printMemTop("build")
 
     def run(label: String, maxBloomEdges: Long): Long = {
       shuffleWrite = 0L
@@ -117,6 +137,7 @@ object ScaleCensusProbe {
       println(f"SCALECENSUS $label%-8s triangles=$tri%12d " +
         f"shuffle_write=${shuffleWrite / 1e6}%10.1f MB " +
         f"wall=${(System.nanoTime() - t) / 1e9}%7.2f s")
+      printMemTop(label)
       // the config's frames are dereferenced here — GC hands their
       // shuffle files to the ContextCleaner before the next config
       System.gc(); Thread.sleep(3000)

@@ -628,17 +628,23 @@ object Graph {
     val fpp =
       if (nEdges <= edgeBudget) 0.01
       else math.exp(-(budgetBits / nEdges) * ln2sq)
-    // ratio gate (measured, r9): the bloom's own cost is edge-shaped —
-    // one shuffle of every closing-edge hash plus a bits-sized broadcast
-    // — while its saving is wedge-shaped. On the 1 B-edge circulant
-    // (wedge bound 7 B ≈ 7× edges; true oriented wedges 1.5 B) the bloom
-    // path measured 406 s vs 248 s PLAIN with no shuffle saved; on the
+    // ratio gate (measured r9, break-even BRACKETED r10): the bloom's
+    // own cost is edge-shaped — one shuffle of every closing-edge hash
+    // plus a bits-sized broadcast — while its saving is wedge-shaped.
+    // On the 1 B-edge circulant (wedge bound 7× edges) the bloom path
+    // measured 406 s vs 248 s PLAIN with no shuffle saved (r9); on the
     // hub-heavy sf1 co-purchase graph (bound ≫ 12× edges) it removed
-    // 75 % of census shuffle (r8). Break-even sits between, so the
-    // filter only arms when the wedge BOUND exceeds 12× the edges
-    // (the bound overstates oriented wedges ~4× on regular graphs, so
-    // 12× bound ≈ 3× true wedges). minBloomWedges = 0 still forces the
-    // bloom for tests/probes.
+    // 75 % of census shuffle (r8). The r10 ratio sweep (circulants of
+    // bound-ratio 7/13/17 at 200-450 M edges, closed-form-checked) pins
+    // the crossover with DETERMINISTIC shuffle bytes — wall on the probe
+    // host carries ±45 % same-config noise and cannot resolve it:
+    // ratio 7 the bloom ADDS bytes (3.66 vs 3.12 GB), ratio 13 it saves
+    // 18 % (6.18 vs 7.58 GB), ratio 17 it saves 28 % (8.30 vs 11.60 GB)
+    // and wins wall in both clean runs. The byte crossover sits in
+    // (7, 13); 12 lies inside that bracket erring toward plain (which
+    // is never wrong, only sometimes slower). The bound overstates
+    // oriented wedges ~4× on regular graphs, so 12× bound ≈ 3× true
+    // wedges. minBloomWedges = 0 still forces the bloom for tests/probes.
     val wedgeRatioSkip =
       minBloomWedges > 0L && nWedges < WedgeEdgeRatioGate * nEdges
     val candidates =
