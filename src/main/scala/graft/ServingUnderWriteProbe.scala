@@ -70,12 +70,19 @@ object ServingUnderWriteProbe {
       catch { case _: Exception if attempts < 120 =>
         attempts += 1; Thread.sleep(500) }
     }
-    // fresh plan per query (re-lists files) — the live-store read
-    val countQ = s"SELECT count(*) AS n FROM parquet.`$store`"
+    // snapshot serving recipe: a global view over the manifest's file
+    // list, re-registered by the WRITER after each commit. In-flight
+    // queries keep their pinned (still-on-disk) generation; new queries
+    // get the new one — no FILE_NOT_EXIST, no dips, by construction.
+    def refreshView(): Unit = operators.Snapshot.read(spark, store)
+      .createOrReplaceGlobalTempView("store_live")
+    operators.Snapshot.commit(spark, store)
+    refreshView()
+    val countQ = "SELECT count(*) AS n FROM global_temp.store_live"
     val mix = Seq(
       countQ,
-      s"SELECT sum(value) AS s, count(*) AS n FROM parquet.`$store` WHERE shard_hour = ${baseMs / hourMs}",
-      s"SELECT metric, count(*) AS n FROM parquet.`$store` WHERE shard_hour = ${baseMs / hourMs + 5} GROUP BY metric")
+      s"SELECT sum(value) AS s, count(*) AS n FROM global_temp.store_live WHERE shard_hour = ${baseMs / hourMs}",
+      s"SELECT metric, count(*) AS n FROM global_temp.store_live WHERE shard_hour = ${baseMs / hourMs + 5} GROUP BY metric")
     val wst = warm.createStatement()
     mix.foreach { q => val rs = wst.executeQuery(q); while (rs.next()) () }
 
@@ -135,16 +142,21 @@ object ServingUnderWriteProbe {
     val (base, d0) = drive("static")
     assert(d0 == 0)
 
-    // under write load: appends to NEW hours + one compaction of hour 0
+    // under write load: appends (commit + view refresh each) to NEW
+    // hours + one SNAPSHOT compaction of hour 0 mid-run
     @volatile var writerDone = false
     val writer = new Thread(() => {
       (0 until writerBatches).foreach { i =>
         operators.Ingest.ingestBatch(points(50000L, 10 + i, "cpu"), store)
+        operators.Snapshot.commit(spark, store)
+        refreshView()
         if (i == writerBatches / 2) {
           val t0 = System.nanoTime()
-          operators.Ingest.compactShard(spark, store, baseMs / hourMs, 4)
-          println(f"SERVEWRITE compaction of hour0 took " +
-            f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4)")
+          operators.Snapshot.compactShard(spark, store, baseMs / hourMs, 4)
+          refreshView()
+          println(f"SERVEWRITE snapshot compaction of hour0 took " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4, " +
+            "old files tombstoned)")
         }
       }
       writerDone = true
@@ -152,13 +164,22 @@ object ServingUnderWriteProbe {
     writer.start()
     val (under, d1) = drive("underwrite")
     writer.join()
-    val finalRows = spark.read.parquet(store).count()
+    val finalRows = operators.Snapshot.read(spark, store).count()
     println(s"SERVEWRITE final rows=$finalRows dips_underwrite=$d1 " +
       s"writer_done_before_clients=${writerDone}")
     assert(d1 == 0, s"$d1 count dips under write load")
     assert(finalRows == seeded + writerBatches * 50000L)
-    println(f"SERVEWRITE OK p99 static=${base((0.99 * base.length).toInt)}ms " +
-      f"underwrite=${under((0.99 * under.length).toInt)}ms")
+    // two-phase delete completes once queries drain: vacuum, then one
+    // more client burst on the vacuumed store
+    val deleted = operators.Snapshot.vacuum(spark, store, graceMs = 0L)
+    refreshView()
+    val (post, d2) = drive("postvacuum")
+    assert(d2 == 0)
+    assert(operators.Snapshot.read(spark, store).count() == finalRows)
+    println(f"SERVEWRITE OK vacuum_deleted=$deleted " +
+      f"p99 static=${base((0.99 * base.length).toInt)}ms " +
+      f"underwrite=${under((0.99 * under.length).toInt)}ms " +
+      f"postvacuum=${post((0.99 * post.length).toInt)}ms")
     server.stop()
     spark.stop()
   }
