@@ -44,6 +44,22 @@ object ScaleCensusProbe {
       // the whole scratch path (blocks, shuffle, spill) for the probe
       .config("spark.rdd.compress", "true")
       .config("spark.io.compression.codec", "zstd")
+      // r10 envelope fix: the 1-in-3 OOM at 32 thr/64 g is AQE
+      // re-coalescing the 1024-partition build down toward DEFAULT
+      // PARALLELISM (parallelismFirst=true, the default): stage 8 (the
+      // oriented-edge degree joins) landed at 45 tasks × ~1.98 GB peak
+      // sort memory = 63 GB concurrent demand vs the ~38 GB execution
+      // pool — UnsafeExternalRowSorter's pointer-array growth then
+      // catches the pool at zero mid-GCLocker and aborts instead of
+      // spilling. zstd makes it worse: AQE coalesces on COMPRESSED
+      // bytes (~111 MB/task) that decompress to ~2 GB in sort memory.
+      // parallelismFirst=false + a 32 MB advisory keeps the build at
+      // byte-sized tasks (~150+ partitions), per-task peak ~0.6 GB,
+      // 32-thread demand ~19 GB — inside the pool with margin.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SCALECENSUS_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SCALECENSUS_ADVISORY", "32m"))
       // the 1 B-edge bloom's hash-prefix shards total ~1.2 GB on the
       // driver before torrent broadcast — above the 1 GiB default cap
       .config("spark.driver.maxResultSize", "8g")
