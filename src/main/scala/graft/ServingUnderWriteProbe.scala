@@ -70,15 +70,27 @@ object ServingUnderWriteProbe {
       catch { case _: Exception if attempts < 120 =>
         attempts += 1; Thread.sleep(500) }
     }
-    // snapshot serving recipe: a global view over the manifest's file
-    // list, re-registered by the WRITER after each commit. In-flight
-    // queries keep their pinned (still-on-disk) generation; new queries
-    // get the new one — no FILE_NOT_EXIST, no dips, by construction.
-    def refreshView(): Unit = operators.Snapshot.read(spark, store)
-      .createOrReplaceGlobalTempView("store_live")
+    // snapshot serving recipe: a global view over the DEFAULT read path
+    // (Ingest.readPoints — manifest-aware since r11, so the serving tier
+    // uses the same entry point every other consumer does), re-registered
+    // by the WRITER after each commit. In-flight queries keep their
+    // pinned (still-on-disk) generation; new queries get the new one —
+    // no FILE_NOT_EXIST, no dips, by construction. The view carries the
+    // generation it was planned against as a literal column so snapshot
+    // isolation is checked PER GENERATION, not by completion order (a
+    // slow gen-N query may legitimately finish after a fast gen-N+1 one).
+    def refreshView(): Unit = {
+      // same-thread with the commit (single-writer contract), so no
+      // commit can slip between reading the gen and planning the view
+      val (gen, _, _) = operators.Snapshot.latest(spark, store)
+      operators.Ingest.readPoints(spark, store)
+        .withColumn("manifest_gen", lit(gen))
+        .createOrReplaceGlobalTempView("store_live")
+    }
     operators.Snapshot.commit(spark, store)
     refreshView()
-    val countQ = "SELECT count(*) AS n FROM global_temp.store_live"
+    val countQ =
+      "SELECT max(manifest_gen) AS g, count(*) AS n FROM global_temp.store_live"
     val mix = Seq(
       countQ,
       s"SELECT sum(value) AS s, count(*) AS n FROM global_temp.store_live WHERE shard_hour = ${baseMs / hourMs}",
@@ -88,9 +100,8 @@ object ServingUnderWriteProbe {
 
     def drive(tag: String): (Array[Long], Long) = {
       val lat = new ConcurrentLinkedQueue[Long]()
-      val counts = new ConcurrentLinkedQueue[(Long, Long)]() // (seq, n)
+      val counts = new ConcurrentLinkedQueue[(Long, Long)]() // (gen, n)
       val failures = new ConcurrentLinkedQueue[Throwable]()
-      val seq = new java.util.concurrent.atomic.AtomicLong(0)
       val ready = new CountDownLatch(clients)
       val go = new CountDownLatch(1)
       val threads = (0 until clients).map { ci =>
@@ -103,10 +114,10 @@ object ServingUnderWriteProbe {
               val q = mix((ci + i) % mix.size)
               val t0 = System.nanoTime()
               val rs = st.executeQuery(q)
-              var n = -1L
-              while (rs.next()) if (q == countQ) n = rs.getLong(1)
+              var g = -1L; var n = -1L
+              while (rs.next()) if (q == countQ) { g = rs.getLong(1); n = rs.getLong(2) }
               lat.add((System.nanoTime() - t0) / 1000000L)
-              if (n >= 0) counts.add((seq.incrementAndGet(), n))
+              if (n >= 0) counts.add((g, n))
             }
             conn.close()
           } catch {
@@ -124,17 +135,25 @@ object ServingUnderWriteProbe {
       val xs = lat.asScala.toArray.sorted
       assert(xs.length == clients * perClient,
         s"$tag: ${xs.length} of ${clients * perClient} samples")
-      // counts ordered by completion seq must be nondecreasing: appends
-      // only add rows and the compaction swap must never surface a dip.
-      // (seq is taken after the read completes; concurrent reads can
-      // interleave, so compare against the running max of earlier
-      // completions minus nothing — strict nondecreasing by seq.)
-      val cs = counts.asScala.toArray.sortBy(_._1).map(_._2)
-      val dips = cs.sliding(2).count(p => p.length == 2 && p(1) < p(0))
+      // snapshot-isolation check PER GENERATION (r10 advisor: completion
+      // order is not commit order under concurrent clients): every count
+      // observed against generation g must be IDENTICAL (a generation's
+      // live set is immutable), and counts across generations must be
+      // nondecreasing in g (appends add rows; compaction preserves them).
+      val byGen = counts.asScala.toArray.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (g, obs) => (g, obs.map(_._2).distinct) }
+      val intraGenViolations = byGen.count(_._2.length > 1)
+      val genCounts = byGen.map { case (g, ns) => (g, ns.head) }
+      val dips = genCounts.map(_._2).sliding(2)
+        .count(p => p.length == 2 && p(1) < p(0))
       println(f"SERVEWRITE $tag%-10s queries=${xs.length} wall=$wall%.1f " +
         f"p50=${xs(xs.length / 2)}ms p99=${xs((0.99 * xs.length).toInt)}ms " +
-        f"max=${xs.last}ms count_obs=${cs.length} dips=$dips " +
-        s"first=${cs.headOption.getOrElse(-1L)} last=${cs.lastOption.getOrElse(-1L)}")
+        f"max=${xs.last}ms count_obs=${counts.size} gens=${byGen.length} " +
+        s"intra_gen_violations=$intraGenViolations dips=$dips " +
+        s"first=${genCounts.headOption.map(_._2).getOrElse(-1L)} " +
+        s"last=${genCounts.lastOption.map(_._2).getOrElse(-1L)}")
+      assert(intraGenViolations == 0,
+        s"$tag: a generation served two different counts — torn read")
       (xs, dips.toLong)
     }
 
@@ -164,7 +183,8 @@ object ServingUnderWriteProbe {
     writer.start()
     val (under, d1) = drive("underwrite")
     writer.join()
-    val finalRows = operators.Snapshot.read(spark, store).count()
+    // final audits through the DEFAULT entry points (manifest-aware r11)
+    val finalRows = operators.Ingest.readPoints(spark, store).count()
     println(s"SERVEWRITE final rows=$finalRows dips_underwrite=$d1 " +
       s"writer_done_before_clients=${writerDone}")
     assert(d1 == 0, s"$d1 count dips under write load")
@@ -175,7 +195,10 @@ object ServingUnderWriteProbe {
     refreshView()
     val (post, d2) = drive("postvacuum")
     assert(d2 == 0)
-    assert(operators.Snapshot.read(spark, store).count() == finalRows)
+    assert(operators.Ingest.readPoints(spark, store).count() == finalRows)
+    assert(operators.Ingest.queryRange(spark, store, baseMs,
+      baseMs + hourMs - 1, cap = 200000).count() ==
+      100000L + 64 * 1000L, "queryRange double-counted the compacted hour")
     println(f"SERVEWRITE OK vacuum_deleted=$deleted " +
       f"p99 static=${base((0.99 * base.length).toInt)}ms " +
       f"underwrite=${under((0.99 * under.length).toInt)}ms " +

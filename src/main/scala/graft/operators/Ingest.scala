@@ -40,9 +40,26 @@ object Ingest {
       .option("parquet.writer.version", "v2")
       .partitionBy("shard_hour").parquet(path)
 
-  /** Full-store scan (schema: timestamp, value, metric, shard_hour). */
+  /** Full-store scan (schema: timestamp, value, metric, shard_hour).
+    * MANIFEST-AWARE: on a snapshot-managed store (a `_graft_manifest/`
+    * directory exists) this plans over the latest committed live set —
+    * a plain directory read between [[Snapshot.compactShard]] and
+    * [[Snapshot.vacuum]] would DOUBLE-COUNT every compacted hour, since
+    * old and compacted files deliberately coexist in that window (r10
+    * verdict's one latent wrong-answer trap). Manifest-free stores read
+    * the directory as before. */
   def readPoints(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    Snapshot.read(spark, path) // falls back to a plain read when no manifest
+
+  /** Destructive plain-path lifecycle ops bypass the manifest log — on a
+    * snapshot store they would strand live manifest entries pointing at
+    * renamed/deleted files (every later read fails) or resurrect
+    * tombstoned data. Fail loudly instead of corrupting. */
+  private def requirePlainStore(spark: SparkSession, path: String, op: String): Unit =
+    require(!Snapshot.hasManifest(spark, path),
+      s"$op bypasses the snapshot manifest at $path — use the Snapshot.* " +
+        "equivalents (compactShard via Snapshot.compactShard; expiry/delete " +
+        "need a manifest-aware rewrite) on a manifest-managed store")
 
   /** Bucketed write (hash-bucket co-location): both sides of a recurring
     * fact-fact join written with the SAME bucket count on the join key join
@@ -66,6 +83,7 @@ object Ingest {
     * shards dropped. */
   def expireShards(spark: SparkSession, path: String, cutoffHour: Long): Long = {
     import org.apache.hadoop.fs.Path
+    requirePlainStore(spark, path, "expireShards")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0L
@@ -120,6 +138,7 @@ object Ingest {
   def upsertPoints(spark: SparkSession, path: String,
       updates: Dataset[DataPoint]): Unit = {
     import org.apache.hadoop.fs.Path
+    requirePlainStore(spark, path, "upsertPoints")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val upd = updates.toDF()
       .withColumn("shard_hour", shardHourCol(col("timestamp")))
@@ -160,6 +179,7 @@ object Ingest {
   def deleteRange(spark: SparkSession, path: String,
       startMs: Long, endMs: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    requirePlainStore(spark, path, "deleteRange")
     require(startMs <= endMs, s"empty range [$startMs, $endMs]")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val root = new Path(path)
@@ -213,6 +233,7 @@ object Ingest {
   private def rewriteShard(spark: SparkSession, path: String, shardHour: Long)(
       transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
+    requirePlainStore(spark, path, "shard rewrite")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val partDir = new Path(path, s"shard_hour=$shardHour")
     val tmp = new Path(path, s".compact_tmp_$shardHour")

@@ -1,41 +1,75 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.model.DataPoint
 
 /** Snapshot isolation for the hour-partitioned store — the minimal
   * manifest log that makes SERVE-WHILE-COMPACT safe on a plain
   * filesystem (r10; the ServingUnderWriteProbe demonstrated concurrent
-  * readers dying with FILE_NOT_EXIST the instant [[Ingest.compactShard]]
-  * rename-swapped a shard under them — the documented maintenance-window
+  * readers dying with FILE_NOT_EXIST the instant the rename-swap
+  * compaction ran under them — the documented maintenance-window
   * caveat, now measured instead of declared).
   *
-  * Design (a Delta/Iceberg log scoped to exactly what the probe needs):
+  * Design (a Delta/Iceberg log scoped to exactly what the store needs):
   *  - `_graft_manifest/m<gen>` files, one per commit, written via
   *    temp + rename-to-fresh-name (atomic on POSIX AND object-store
   *    semantics — no overwrite anywhere). Readers list the dir, take the
   *    max gen, and plan over exactly that file list (`basePath` keeps
   *    the `shard_hour` partition column). A reader never observes a
   *    half-commit: it sees gen N or gen N+1, never in between.
-  *  - a manifest line is `live <relpath>` or `dead <relpath>`:
-  *    compaction REPLACES an hour's live set with the compacted files
-  *    and TOMBSTONES the old ones instead of deleting — in-flight
-  *    queries planned against gen N keep reading files that still
-  *    exist. [[vacuum]] physically deletes tombstones later (grace =
-  *    longer than any query's lifetime), the same two-phase delete
-  *    every transactional table format uses.
-  *  - appends stay plain parquet appends: [[commit]] folds
-  *    (directory − known live − known dead) in as new live files, so
-  *    the writer needs no knowledge of the part-file names its write
-  *    produced.
+  *  - a manifest line is `live <relpath>` or
+  *    `dead <gen> <tombstonedAtMs> <relpath>`: compaction REPLACES an
+  *    hour's live set with the compacted files and TOMBSTONES the old
+  *    ones instead of deleting — in-flight queries planned against gen N
+  *    keep reading files that still exist. [[vacuum]] physically deletes
+  *    tombstones later, the same two-phase delete every transactional
+  *    table format uses. The tombstone carries the generation that
+  *    killed the file and the WALL TIME of that commit — vacuum's grace
+  *    is measured from tombstone time, never from file mtime (a
+  *    compacted-away file was typically WRITTEN long before it was
+  *    tombstoned, so mtime-based grace would delete it instantly and
+  *    recreate the FILE_NOT_EXIST failure the manifest exists to
+  *    prevent — r10 advisor finding).
+  *  - readers that outlive any fixed grace can [[pin]] the generation
+  *    they planned against: a `lease-<uuid>` file in the manifest dir
+  *    holding the gen. [[vacuum]] never deletes a file tombstoned AFTER
+  *    the oldest pinned generation (the reader may still scan it);
+  *    abandoned leases expire after `leaseTtlMs` so a crashed reader
+  *    cannot block deletion forever.
+  *  - appends: [[ingestCommitted]] diffs the directory around its own
+  *    write and commits EXACTLY the files that write produced — a torn
+  *    write from an earlier crashed job (task files promoted, job died
+  *    before commit) is never silently adopted as live data. The
+  *    adopt-everything [[commit]] stays available for initial adoption
+  *    of a pre-existing plain store, where directory contents ARE the
+  *    truth by definition.
   * Single concurrent committer assumed (the store's existing
   * pause-writers contract); readers are unlimited. */
 object Snapshot {
   val ManifestDir = "_graft_manifest"
 
+  /** A physically present but logically deleted file: killed by commit
+    * `gen` at wall time `tombstonedAtMs`. */
+  final case class Tombstone(gen: Long, tombstonedAtMs: Long, path: String)
+
+  /** A reader's hold on generation `gen`: while the lease file exists
+    * (and is younger than vacuum's `leaseTtlMs`), vacuum retains every
+    * file that was still live at `gen`. Close when the query finishes. */
+  final class Lease private[Snapshot] (val gen: Long, fs: FileSystem,
+      private[Snapshot] val file: Path) extends AutoCloseable {
+    override def close(): Unit = { fs.delete(file, false); () }
+  }
+
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** True when `root` is manifest-managed — the plain-path guards and
+    * [[graft.operators.Ingest.readPoints]] dispatch on this. */
+  def hasManifest(spark: SparkSession, root: String): Boolean =
+    fsFor(spark, root).exists(new Path(new Path(root), ManifestDir))
 
   private def manifestGens(fs: FileSystem, root: String): Seq[(Long, Path)] = {
     val dir = new Path(root, ManifestDir)
@@ -48,7 +82,7 @@ object Snapshot {
   }
 
   /** (gen, live, dead) of the latest manifest; gen −1 when none. */
-  def latest(spark: SparkSession, root: String): (Long, Seq[String], Seq[String]) = {
+  def latest(spark: SparkSession, root: String): (Long, Seq[String], Seq[Tombstone]) = {
     val fs = fsFor(spark, root)
     manifestGens(fs, root).lastOption match {
       case None => (-1L, Seq.empty, Seq.empty)
@@ -56,15 +90,27 @@ object Snapshot {
         val in = fs.open(p)
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toVector finally in.close()
+        val mtime = fs.getFileStatus(p).getModificationTime
         (gen,
           lines.collect { case l if l.startsWith("live ") => l.drop(5) },
-          lines.collect { case l if l.startsWith("dead ") => l.drop(5) })
+          lines.collect { case l if l.startsWith("dead ") =>
+            l.drop(5).split(" ", 3) match {
+              // `dead <gen> <tombstonedAtMs> <relpath>`
+              case Array(g, ts, path) if g.toLongOption.isDefined &&
+                  ts.toLongOption.isDefined =>
+                Tombstone(g.toLong, ts.toLong, path)
+              // pre-r11 `dead <relpath>`: attribute to this manifest —
+              // conservative (the tombstone is AT MOST this old/new)
+              case _ => Tombstone(gen, mtime, l.drop(5))
+            }
+          })
     }
   }
 
   private def listDataFiles(fs: FileSystem, root: String): Seq[String] = {
     val base = new Path(root)
-    fs.listStatus(base).toSeq
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard_hour="))
       .flatMap { dir =>
         fs.listStatus(dir.getPath).toSeq
@@ -74,13 +120,14 @@ object Snapshot {
   }
 
   private def writeManifest(fs: FileSystem, root: String, gen: Long,
-      live: Seq[String], dead: Seq[String]): Unit = {
+      live: Seq[String], dead: Seq[Tombstone]): Unit = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val outS = fs.create(tmp, false)
     try {
-      val body = (live.sorted.map("live " + _) ++ dead.sorted.map("dead " + _))
+      val body = (live.sorted.map("live " + _) ++
+        dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
         .mkString("", "\n", "\n")
       outS.write(body.getBytes("UTF-8"))
     } finally outS.close()
@@ -92,27 +139,100 @@ object Snapshot {
     }
   }
 
-  /** Fold any new directory files into the live set and commit gen+1.
-    * Returns the committed generation. */
+  /** Adopt-everything commit: fold ANY unknown directory file into the
+    * live set and commit gen+1. Right for bringing a pre-existing plain
+    * store under management (the directory IS the truth); for ongoing
+    * appends prefer [[ingestCommitted]]/[[commit(spark,root,added)*]],
+    * which never adopt a torn write's orphan files. Returns the
+    * committed generation. */
   def commit(spark: SparkSession, root: String): Long = {
     val fs = fsFor(spark, root)
     val (gen, live, dead) = latest(spark, root)
-    val known = live.toSet ++ dead.toSet
+    val known = live.toSet ++ dead.map(_.path).toSet
     val added = listDataFiles(fs, root).filterNot(known)
     val next = gen + 1
     writeManifest(fs, root, next, live ++ added, dead)
     next
   }
 
+  /** Exact-file-list commit: adds precisely `added` (store-relative
+    * `shard_hour=N/file.parquet` paths, which must exist) to the live
+    * set. Unknown directory files — e.g. a previous writer's torn
+    * output — stay quarantined outside the table. */
+  def commit(spark: SparkSession, root: String, added: Seq[String]): Long = {
+    val fs = fsFor(spark, root)
+    val (gen, live, dead) = latest(spark, root)
+    val known = live.toSet ++ dead.map(_.path).toSet
+    val fresh = added.filterNot(known)
+    fresh.foreach { f =>
+      require(fs.exists(new Path(root, f)), s"commit of missing file $f")
+    }
+    val next = gen + 1
+    writeManifest(fs, root, next, live ++ fresh, dead)
+    next
+  }
+
+  /** Append `points` and commit EXACTLY the files that append produced
+    * (directory diff around the write — sound under the single-committer
+    * contract). A torn earlier write's orphans are never adopted. */
+  def ingestCommitted(points: Dataset[DataPoint], root: String): Long = {
+    val spark = points.sparkSession
+    val fs = fsFor(spark, root)
+    val before = listDataFiles(fs, root).toSet
+    Ingest.ingestBatch(points, root)
+    val written = listDataFiles(fs, root).filterNot(before)
+    commit(spark, root, written)
+  }
+
   /** Snapshot read of the latest committed generation (falls back to a
     * plain directory read when the store has no manifest). */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def read(spark: SparkSession, root: String): DataFrame =
+    readWithGen(spark, root)._2
+
+  /** Like [[read]] but also returns the generation the plan is pinned
+    * to (−1 for a manifest-free store), from the SAME manifest lookup —
+    * serving tiers label results with it so snapshot isolation is
+    * checkable per generation (r10 advisor: completion order across
+    * concurrent clients is not commit order). */
+  def readWithGen(spark: SparkSession, root: String): (Long, DataFrame) = {
     val (gen, live, _) = latest(spark, root)
+    (gen, planOver(spark, root, live, gen))
+  }
+
+  private def planOver(spark: SparkSession, root: String,
+      live: Seq[String], gen: Long): DataFrame =
     if (gen < 0) spark.read.parquet(root)
-    else if (live.isEmpty)
-      spark.read.parquet(root).limit(0)
+    else if (live.isEmpty) spark.read.parquet(root).limit(0)
     else spark.read.option("basePath", root)
       .parquet(live.map(f => s"$root/$f"): _*)
+
+  /** Snapshot read + a reader lease on the planned generation: vacuum
+    * retains every file this plan can touch until the lease is closed
+    * (or expires after its `leaseTtlMs`). For queries that may outlive
+    * any fixed grace window. */
+  def pin(spark: SparkSession, root: String): (DataFrame, Lease) = {
+    val fs = fsFor(spark, root)
+    val (gen, live, _) = latest(spark, root)
+    require(gen >= 0, s"no manifest at $root — nothing to pin")
+    val dir = new Path(root, ManifestDir)
+    val f = new Path(dir, s"lease-${java.util.UUID.randomUUID()}")
+    val outS = fs.create(f, false)
+    try outS.write(gen.toString.getBytes("UTF-8")) finally outS.close()
+    (planOver(spark, root, live, gen), new Lease(gen, fs, f))
+  }
+
+  /** Active leases as (gen, leaseFile, mtime). */
+  private def leases(fs: FileSystem, root: String): Seq[(Long, Path, Long)] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption.map(g => (g, st.getPath, st.getModificationTime))
+      }
   }
 
   /** Snapshot-safe shard compaction: write the hour's compacted files
@@ -148,29 +268,45 @@ object Snapshot {
       }
     fs.delete(tmp, true)
     val next = gen + 1
+    val now = System.currentTimeMillis()
     writeManifest(fs, root, next,
       live.filterNot(_.startsWith(prefix)) ++ moved,
-      dead ++ hourOld)
+      dead ++ hourOld.map(Tombstone(next, now, _)))
     next
   }
 
-  /** Physically delete tombstoned files older than `graceMs` (grace must
-    * exceed the longest query lifetime — in-flight plans may still hold
-    * the previous generation's list) and trim old manifests, keeping the
-    * last `keepManifests`. Returns the number of data files deleted. */
+  /** Physically delete tombstoned files and trim old manifests (keeping
+    * the last `keepManifests`). A tombstone is deletable only when BOTH
+    * holds:
+    *  - `now − tombstonedAtMs > graceMs` — grace runs from the commit
+    *    that killed the file, NOT file mtime (a compacted-away file is
+    *    usually far older than its tombstone);
+    *  - no live lease pins a generation older than the tombstone's —
+    *    a reader planned at gen P still scans files killed at gen > P.
+    * Leases older than `leaseTtlMs` are expired (deleted) first, so a
+    * crashed reader cannot block vacuum forever — size the TTL like the
+    * old grace contract: longer than any legitimate query. Returns the
+    * number of data files deleted. */
   def vacuum(spark: SparkSession, root: String, graceMs: Long = 0L,
-      keepManifests: Int = 3): Long = {
+      keepManifests: Int = 3, leaseTtlMs: Long = 24L * 3600000L): Long = {
     val fs = fsFor(spark, root)
     val (gen, live, dead) = latest(spark, root)
     require(gen >= 0, s"no manifest at $root")
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
+    val activeLeases = leases(fs, root).filter { case (_, p, mtime) =>
+      if (now - mtime > leaseTtlMs) { fs.delete(p, false); false } else true
+    }
+    val minPinned = activeLeases.map(_._1).minOption.getOrElse(Long.MaxValue)
     var deleted = 0L
-    val remaining = dead.filter { f =>
-      val p = new Path(root, f)
+    val remaining = dead.filter { t =>
+      val p = new Path(root, t.path)
       if (!fs.exists(p)) false // already gone: drop the tombstone
-      else if (fs.getFileStatus(p).getModificationTime <= cutoff) {
+      // deletable: grace elapsed since the KILLING commit, and no lease
+      // pins a generation that predates it (lease gen < t.gen would mean
+      // the file was still live in that reader's plan)
+      else if (now - t.tombstonedAtMs >= graceMs && t.gen <= minPinned) {
         fs.delete(p, false); deleted += 1; false
-      } else true // inside grace: keep the tombstone for next vacuum
+      } else true // inside grace or pinned: keep for a later vacuum
     }
     writeManifest(fs, root, gen + 1, live, remaining)
     manifestGens(fs, root).dropRight(keepManifests)
