@@ -189,6 +189,10 @@ object SparkEntry {
     // stitch — identical output, hot-user parallelism = block count
     "q_sessionize_blocked" -> ((s, dir) =>
       TimeSeries.sessionizeBlocked(Tables.events(s, dir), 1800000000L)),
+    // measured-skew dispatch (r11): plain vs blocked chosen from the
+    // sampled hottest-user share, zero caller hints, bit-identical output
+    "q_sessionize_adaptive" -> ((s, dir) =>
+      TimeSeries.sessionizeAdaptive(Tables.events(s, dir), 1800000000L)),
     // the NATIVE session_window operator (half-open [ts, ts+gap) merge)
     "q_session_native" -> ((s, dir) =>
       TimeSeries.sessionizeNative(Tables.events(s, dir), 1800000000L)),
@@ -1417,6 +1421,23 @@ object SparkEntry {
     // the blocked sessionizer is output-identical to the plain one, so it
     // carries the same oracle
     "q_sessionize_blocked" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // the adaptive dispatcher picks plain or blocked — both bit-identical
+    // to the same island-method SQL, so the oracle is shared again
+    "q_sessionize_adaptive" ->
       """WITH m AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -690,6 +690,19 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Adaptive [[sessionPaths]]: same measured-skew dispatch as
+    * [[TimeSeries.sessionizeAdaptive]] (see there for the threshold
+    * rationale) — plain on balanced keys, the blocked stitch when the
+    * sampled hottest-user share crosses `skewThreshold`. Bit-identical
+    * either way. */
+  def sessionPathsAdaptive(events: DataFrame, gapUs: Long, depth: Int,
+      topK: Int, blockUs: Long = 0L, sampleFraction: Double = 0.01,
+      skewThreshold: Double = 0.2): DataFrame =
+    if (TimeSeries.sampledMaxKeyShare(events, "user_id", sampleFraction)
+        >= skewThreshold)
+      sessionPathsBlocked(events, gapUs, depth, topK, blockUs)
+    else sessionPaths(events, gapUs, depth, topK)
+
   /** Distributed global `row_number` within `partCols` over the strict
     * total order `orderCols`: range-repartition on (part, order), rank
     * inside each partition, then add per-(part, partition) exclusive

@@ -828,6 +828,42 @@ object TimeSeries {
         max(col("s_end")).as("session_end_us"))
   }
 
+  /** Sampled hottest-key share — the dispatch signal for the adaptive
+    * session operators. One cheap probe job (sample → tiny map-side-
+    * combined count — the probe itself is skew-immune because hash
+    * aggregation partials combine hot keys per task), returning
+    * max-key-rows / sampled-rows, 0.0 on an empty sample. `fraction=1.0`
+    * makes the share exact (specs; small inputs). */
+  def sampledMaxKeyShare(df: DataFrame, key: String,
+      fraction: Double = 0.01, seed: Long = 42L): Double = {
+    val r = df.select(col(key))
+      .sample(withReplacement = false, fraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .collect()(0)
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
+
+  /** Adaptive sessionize: picks [[sessionize]] (one shuffle, one window
+    * pass — fastest on balanced keys) or the skew-proof
+    * [[sessionizeBlocked]] (pays a second session-level shuffle, but
+    * hot-user parallelism = block count) from a MEASURED signal instead
+    * of a caller hint — the same degrade-not-die pattern as the census
+    * gates. The signal is the sampled share of the hottest user: a
+    * window partition holding ≥ `skewThreshold` of all rows caps the
+    * stage's speedup at 1/threshold regardless of cores (Amdahl on the
+    * serialized hot partition), which is when the stitch overhead —
+    * measured single-digit % on balanced data — is always worth paying.
+    * Both branches are bit-identical (spec-pinned), so the dispatch
+    * threshold affects PERFORMANCE only, never results. */
+  def sessionizeAdaptive(events: DataFrame, gapUs: Long,
+      blockUs: Long = 0L, sampleFraction: Double = 0.01,
+      skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "user_id", sampleFraction) >= skewThreshold)
+      sessionizeBlocked(events, gapUs, blockUs)
+    else sessionize(events, gapUs)
+
   /** [[sessionize]] via Spark's NATIVE `session_window` operator — the
     * built-in (codegen'd `SessionWindowing` + merging state in streaming)
     * rather than the lag/cumsum island method. Merge semantics are

@@ -269,6 +269,48 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(p2.count() == 5)
   }
 
+  test("sessionizeAdaptive dispatches on the measured hot-key share and is " +
+      "bit-identical to plain on BOTH sides of the threshold") {
+    import spark.implicits._
+    val gapT = 10L
+    // balanced: 4 users x 5 events (max share 0.25); skewed: one user
+    // holds 17 of 20 events (share 0.85)
+    def fx(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val balanced = fx(for (u <- 0L until 4L; i <- 0L until 5L)
+      yield (u, u * 5 + i, i * (gapT + 2)))
+    val skewed = fx((0L until 17L).map(i => (9L, i, i * (gapT + 2))) ++
+      (0L until 3L).map(i => (i, 17L + i, i * 3)))
+    // the dispatch signal itself, exact at fraction 1.0
+    val sBal = graft.operators.TimeSeries.sampledMaxKeyShare(balanced, "user_id", 1.0)
+    val sSkw = graft.operators.TimeSeries.sampledMaxKeyShare(skewed, "user_id", 1.0)
+    assert(math.abs(sBal - 0.25) < 1e-9 && math.abs(sSkw - 0.85) < 1e-9,
+      s"shares: balanced=$sBal skewed=$sSkw")
+    // zero caller hints: same call on both inputs, exact either way
+    for (ev <- Seq(balanced, skewed)) {
+      val plain = graft.operators.TimeSeries.sessionize(ev, gapT)
+      val adaptive = graft.operators.TimeSeries.sessionizeAdaptive(
+        ev, gapT, blockUs = gapT + 1, sampleFraction = 1.0)
+      assert(plain.exceptAll(adaptive).count() == 0 &&
+        adaptive.exceptAll(plain).count() == 0)
+      val pa = graft.operators.Analytics.sessionPaths(
+        ev.withColumn("event_type", concat(lit("e"), col("event_id") % 3)),
+        gapT, 3, 20)
+      val aa = graft.operators.Analytics.sessionPathsAdaptive(
+        ev.withColumn("event_type", concat(lit("e"), col("event_id") % 3)),
+        gapT, 3, 20, blockUs = gapT + 1, sampleFraction = 1.0)
+      assert(pa.exceptAll(aa).count() == 0 && aa.exceptAll(pa).count() == 0)
+    }
+    // threshold boundary: share exactly AT threshold goes blocked (>=)
+    assert(graft.operators.TimeSeries.sessionizeAdaptive(
+      balanced, gapT, blockUs = gapT + 1, sampleFraction = 1.0,
+      skewThreshold = 0.25).exceptAll(
+      graft.operators.TimeSeries.sessionizeBlocked(
+        balanced, gapT, gapT + 1)).count() == 0)
+  }
+
   test("sessionPathsBlocked is row-identical to sessionPaths on the corpus " +
       "and on a prefix-straddling fixture") {
     import spark.implicits._
