@@ -38,6 +38,15 @@ object Bench {
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
     }
+    // A/B knob for the r10 census finding (parallelism-first AQE
+    // coalescing rebuilt 1024 zstd shuffle partitions into ~45 tasks
+    // whose decompressed sort inputs OOMed): SPARK_GRAFT_COALESCE=bytes
+    // pins coalescing to a byte target instead of the cpu count.
+    if (sys.env.get("SPARK_GRAFT_COALESCE").contains("bytes")) {
+      builder
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -92,7 +101,16 @@ object Bench {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // HONEST evaluation (r11): Dataset.count() wraps the plan in
+        // Aggregate(count(1)) and lets Catalyst prune every unreferenced
+        // projection — bare-Project queries (q_token_count, q_lang_id,
+        // q_quality_score, …) measured scan+count only (PLANS.md r9
+        // dissection). Consuming the planned RDD's UnsafeRows instead
+        // forces every output column of the query AS DECLARED to be
+        // computed, with zero driver collection. Per-query numbers from
+        // r11 on are therefore NOT comparable with <=r10 for the
+        // bare-Project text family (growth ratios remain comparable).
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
       } catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs

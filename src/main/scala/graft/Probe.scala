@@ -12,12 +12,17 @@ object Probe {
     val Array(sfDir, repsS, names) = args
     val reps = repsS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same A/B knob as Bench: byte-targeted AQE coalescing
+    if (sys.env.get("SPARK_GRAFT_COALESCE").contains("bytes")) {
+      b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     try graft.sources.Tables.events(spark, sfDir).count()
@@ -191,7 +196,9 @@ object Probe {
         // leftovers at sf10 OOM the session before rep 2
         val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
-        rows = fn(spark, sfDir).count()
+        // toRdd.count(): honest full-column evaluation, same as Bench
+        // (Dataset.count() would let Catalyst prune bare projections)
+        rows = fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>

@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   * probe sits under them — the RATIO hot/median is what's being probed,
   * and it is scale-invariant (99 % on one key). The aggregate on top
   * reuses the join's partitioning, so without a split the whole
-  * sort+join+agg chain of the hot partition runs on ONE task. */
+  * sort+join+agg chain of the hot partition runs on ONE task.
+  *
+  * `SkewJoinProbe synth:<share> [reps] [rows]` (r11, advisor follow-up)
+  * replaces the ScaleGen dir with a SYNTHETIC events frame whose hot key
+  * holds exactly `share` of `rows` (rest uniform over 100 k keys) — the
+  * knob that brackets the BREAK-EVEN region: share 0 (balanced — the
+  * force must never fire), a hot partition just past the skew threshold
+  * (the advisor's regression concern: the forced extra shuffle vs a
+  * downstream agg that collapses cheaply), and the 99 % pathology. */
 object SkewJoinProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -50,9 +58,21 @@ object SkewJoinProbe {
         }
     })
 
-    val events = graft.sources.Tables.events(spark, dir)
-      .select(col("user_id"), col("value"))
-    val profile = graft.sources.Tables.events(spark, dir)
+    val events =
+      if (dir.startsWith("synth:")) {
+        val share = dir.stripPrefix("synth:").toDouble
+        val n = if (args.length > 2) args(2).toLong else 10000000L
+        val hot = (n * share).toLong
+        spark.range(n).select(
+          when(col("id") < hot, lit(0L))
+            .otherwise(pmod(col("id"), lit(100000L)) + 1L).as("user_id"),
+          (col("id") % 1000).cast("double").as("value"))
+          // freeze the synthetic frame: the probe measures the join, not
+          // a fused range generator
+          .localCheckpoint()
+      } else graft.sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("value"))
+    val profile = events
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_total"), max(col("value")).as("max_value"))
       .localCheckpoint() // freeze the dim; we are probing the join below
