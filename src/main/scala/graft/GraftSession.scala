@@ -34,9 +34,13 @@ object GraftSession {
       // and aggregate-on-the-join-key, the single most common analytics
       // shape, is exactly that case. Measured (SkewJoinProbe, 10 M rows
       // 99 % on one key): refused 7.4 s vs forced 1.4 s INCLUDING the
-      // extra re-shuffle the force accepts; on balanced data the flag
-      // never fires (no partition crosses the skew threshold), measured
-      // identical. At 100 TB a hot key crosses the default 256 MiB
+      // extra re-shuffle the force accepts. The full hot-share sweep
+      // (synth:0.1-0.99, r11) shows no regression region anywhere: the
+      // force only fires when a partition exceeds BOTH the byte
+      // threshold AND 5× the median (skewedPartitionFactor), so in the
+      // mildly-skewed band it never engages (plans byte-identical to
+      // off), and wherever it does engage it wins ≥2× including the
+      // extra shuffle. At 100 TB a hot key crosses the default 256 MiB
       // threshold routinely; serializing sort+join+agg of the hot
       // partition onto one task is never the better trade.
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")

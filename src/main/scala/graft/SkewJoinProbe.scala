@@ -91,23 +91,46 @@ object SkewJoinProbe {
       .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
         count(lit(1)).as("n"))
 
-    val modes = Seq(
+    val allModes = Seq(
       ("keyagg_skew_on",   "true",  "false", () => keyagg()),
       ("keyagg_skew_off",  "false", "false", () => keyagg()),
       ("keyagg_forced",    "true",  "true",  () => keyagg()),
       ("globalagg_skew_on","true",  "false", () => globalagg()),
       ("globalagg_skew_off","false","false", () => globalagg()))
-    modes.foreach { case (tag, on, force, join) =>
+    // SKEWJOIN_MODES=tag1,tag2 selects AND orders the modes — the knob
+    // that separates a position effect (first mode pays JIT/warmup) from
+    // a conf effect when a single mode looks pathological.
+    val modes = sys.env.get("SKEWJOIN_MODES") match {
+      case Some(sel) => sel.split(",").toSeq
+        .map(t => allModes.find(_._1 == t.trim)
+          .getOrElse(sys.error(s"unknown mode $t")))
+      case None => allModes
+    }
+    // Two untimed warmup executions: the first plan in a fresh JVM pays
+    // codegen compilation + C2 JIT of the whole shuffle/agg path —
+    // measured 15-40× on this box (the r11 position-vs-mode experiment:
+    // whichever mode ran FIRST was pathological, on BALANCED data).
+    modes.headOption.foreach { case (_, on, force, join) =>
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on)
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", force)
-      val walls = (0 until reps).map { _ =>
+      join().collect(); join().collect()
+    }
+    // Interleaved round-robin: rep i runs EVERY mode before rep i+1, so
+    // slow-VM noise windows (wall swings 1-8 s on identical work here)
+    // hit all modes alike instead of whichever mode-block they land on.
+    import scala.jdk.CollectionConverters._
+    val walls = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until reps).foreach { _ =>
+      modes.foreach { case (tag, on, force, join) =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", force)
         taskShuffleRead.clear(); taskRunTime.clear()
         val t0 = System.nanoTime()
         val df = join()
         val out = df.collect()
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300)
-        import scala.jdk.CollectionConverters._
         val xs = taskShuffleRead.asScala.toArray.filter(_ > 0).sorted
         val rt = taskRunTime.asScala.toArray.sorted
         val p50 = if (xs.nonEmpty) xs(xs.length / 2) else 0L
@@ -121,13 +144,19 @@ object SkewJoinProbe {
           f"maxread=${mx / 1024 / 1024}MiB " +
           f"taskTimeMax=${rtMax}ms taskTimeSum=${rtSum}ms " +
           f"aqe_skew_split=$skewed")
-        dt
-      }.sorted
-      println(f"SKEWJOIN $tag median=${walls(walls.size / 2)}%.3f")
-      if (sys.env.contains("SKEWJOIN_PLAN")) {
-        val df = join(); df.collect()
-        println(df.queryExecution.executedPlan.toString.take(4000))
+        walls(tag) = walls(tag) :+ dt
       }
+    }
+    modes.foreach { case (tag, _, _, _) =>
+      val w = walls(tag).sorted
+      println(f"SKEWJOIN $tag median=${w(w.size / 2)}%.3f min=${w.head}%.3f")
+    }
+    if (sys.env.contains("SKEWJOIN_PLAN")) modes.foreach { case (tag, on, force, join) =>
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on)
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", force)
+      val df = join(); df.collect()
+      println(s"SKEWJOIN plan $tag\n" +
+        df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

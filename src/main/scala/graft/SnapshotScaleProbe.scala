@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Snapshot
+
+/** Dev-only scale probe for the snapshot manifest log (r11).
+  *
+  * The r10 log wrote a FULL live+dead snapshot per commit — O(table
+  * files) bytes per append. At 100 TB (~10⁵-10⁶ live files of 128 MB)
+  * that is a tens-of-MB manifest write per commit, at serving-ingest
+  * cadence. Log v2 adds incremental commits (`i<gen>`, O(delta) bytes)
+  * replayed from periodic checkpoints, plus [[Snapshot.Committer]] — a
+  * cached single-committer handle whose sustained commits do no full
+  * manifest read and no whole-table listing.
+  *
+  * `SnapshotScaleProbe <baseFiles> <nCommits> [filesPerCommit]`
+  *
+  * Builds a store with `baseFiles` live files (zero-byte — the probe
+  * measures LOG mechanics, not parquet IO), then times three commit
+  * paths appending `nCommits × filesPerCommit` files:
+  *   - `full`: checkpoint every commit (the r10 design, via
+  *     checkpointEvery=1);
+  *   - `oneshot`: the stateless [[Snapshot.commit]] API — O(files) log
+  *     read + O(delta) write per call;
+  *   - `cached`: [[Snapshot.Committer.commitAdded]] — O(delta) both ways.
+  * Reports per-commit median/p99 ms, manifest bytes written, and the
+  * reader-side [[Snapshot.latest]] ms at the end of each run (the replay
+  * chain: one checkpoint + ≤ checkpointEvery increments).
+  */
+object SnapshotScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseFiles = args(0).toInt
+    val nCommits = args(1).toInt
+    val perCommit = if (args.length > 2) args(2).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("snapshot-scale-probe")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val hconf = spark.sessionState.newHadoopConf()
+
+    // fixture files via java.nio, NOT hadoop fs.create — RawLocalFileSystem
+    // forks a `chmod` shell per create (measured: the 100k-file store build
+    // dominated the probe's wall clock through process forks)
+    def touch(root: String, rel: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.createFile(p)
+    }
+
+    def buildStore(tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"snapprobe_$tag").toString
+      // one shard-hour dir per 1000 files keeps directory listings sane
+      (0 until baseFiles).foreach { i =>
+        touch(root, f"shard_hour=${i / 1000}/base-$i%06d.parquet")
+      }
+      root
+    }
+
+    def manifestBytes(root: String): Long = {
+      val fs = new Path(root).getFileSystem(hconf)
+      val dir = new Path(root, Snapshot.ManifestDir)
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getLen).sum
+    }
+
+    def run(tag: String)(commitFn: (String, Seq[String]) => Long): Unit = {
+      val root = buildStore(tag)
+      val fs = new Path(root).getFileSystem(hconf)
+      Snapshot.commit(spark, root) // adopt the base: gen 0 checkpoint
+      val bytes0 = manifestBytes(root)
+      val walls = new Array[Double](nCommits)
+      var c = 0
+      val t00 = System.nanoTime()
+      while (c < nCommits) {
+        val files = (0 until perCommit).map { j =>
+          val rel = f"shard_hour=${1000000 + c}/app-$c%06d-$j.parquet"
+          touch(root, rel)
+          rel
+        }
+        val t0 = System.nanoTime()
+        commitFn(root, files)
+        walls(c) = (System.nanoTime() - t0) / 1e6
+        c += 1
+      }
+      val total = (System.nanoTime() - t00) / 1e9
+      val sorted = walls.sorted
+      val tRead0 = System.nanoTime()
+      val (gen, live, dead) = Snapshot.latest(spark, root)
+      val readMs = (System.nanoTime() - tRead0) / 1e6
+      val expect = baseFiles + nCommits * perCommit
+      println(f"SNAPSHOT $tag commits=$nCommits files=$expect gen=$gen " +
+        f"liveOk=${live.size == expect} dead=${dead.size} " +
+        f"commitMedian=${sorted(nCommits / 2)}%.2fms " +
+        f"commitP99=${sorted((nCommits * 99) / 100 min (nCommits - 1))}%.2fms " +
+        f"totalWall=$total%.1fs " +
+        f"manifestMB=${(manifestBytes(root) - bytes0) / 1e6}%.1f " +
+        f"latestMs=$readMs%.1f")
+      fs.delete(new Path(root), true)
+    }
+
+    run("full") { (root, files) =>
+      // r10 design: O(files) log read (fresh handle) + full snapshot write
+      Snapshot.committer(spark, root).commitAdded(files, checkpointEvery = 1)
+    }
+    run("oneshot")((root, files) => Snapshot.commit(spark, root, files))
+    locally {
+      var cm: Snapshot.Committer = null
+      run("cached") { (root, files) =>
+        if (cm == null) cm = Snapshot.committer(spark, root)
+        cm.commitAdded(files)
+      }
+    }
+    spark.stop()
+  }
+}

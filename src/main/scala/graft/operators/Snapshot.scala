@@ -71,40 +71,71 @@ object Snapshot {
   def hasManifest(spark: SparkSession, root: String): Boolean =
     fsFor(spark, root).exists(new Path(new Path(root), ManifestDir))
 
-  private def manifestGens(fs: FileSystem, root: String): Seq[(Long, Path)] = {
+  /** Manifest files, ascending by generation. `checkpoint` = a full
+    * `m<gen>` snapshot; false = an `i<gen>` increment (r11 log v2). */
+  private def manifestGens(fs: FileSystem, root: String): Seq[(Long, Path, Boolean)] = {
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .filter(st => st.getPath.getName.startsWith("m"))
-      .flatMap(st => st.getPath.getName.stripPrefix("m").toLongOption
-        .map(g => (g, st.getPath)))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("m"))
+          n.stripPrefix("m").toLongOption.map(g => (g, st.getPath, true))
+        else if (n.startsWith("i"))
+          n.stripPrefix("i").toLongOption.map(g => (g, st.getPath, false))
+        else None
+      }
       .sortBy(_._1)
   }
 
-  /** (gen, live, dead) of the latest manifest; gen −1 when none. */
+  private def readLines(fs: FileSystem, p: Path): Vector[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  private def parseTombstone(rest: String, fallbackGen: Long,
+      fallbackTs: Long): Tombstone =
+    rest.split(" ", 3) match {
+      // `<gen> <tombstonedAtMs> <relpath>`
+      case Array(g, ts, path) if g.toLongOption.isDefined &&
+          ts.toLongOption.isDefined =>
+        Tombstone(g.toLong, ts.toLong, path)
+      // pre-r11 `dead <relpath>`: attribute to the carrying manifest —
+      // conservative (the tombstone is AT MOST this old/new)
+      case _ => Tombstone(fallbackGen, fallbackTs, rest)
+    }
+
+  /** (gen, live, dead) of the latest committed state; gen −1 when none.
+    * Log v2 (r11): replays from the newest CHECKPOINT (`m<gen>`, a full
+    * snapshot) through the increments (`i<gen>`: `add`/`tomb` lines)
+    * after it — the read cost is one checkpoint + the increments since,
+    * never the whole commit history. A v1 store (checkpoints only)
+    * replays zero increments and reads exactly as before. */
   def latest(spark: SparkSession, root: String): (Long, Seq[String], Seq[Tombstone]) = {
     val fs = fsFor(spark, root)
-    manifestGens(fs, root).lastOption match {
-      case None => (-1L, Seq.empty, Seq.empty)
-      case Some((gen, p)) =>
-        val in = fs.open(p)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toVector finally in.close()
-        val mtime = fs.getFileStatus(p).getModificationTime
-        (gen,
-          lines.collect { case l if l.startsWith("live ") => l.drop(5) },
-          lines.collect { case l if l.startsWith("dead ") =>
-            l.drop(5).split(" ", 3) match {
-              // `dead <gen> <tombstonedAtMs> <relpath>`
-              case Array(g, ts, path) if g.toLongOption.isDefined &&
-                  ts.toLongOption.isDefined =>
-                Tombstone(g.toLong, ts.toLong, path)
-              // pre-r11 `dead <relpath>`: attribute to this manifest —
-              // conservative (the tombstone is AT MOST this old/new)
-              case _ => Tombstone(gen, mtime, l.drop(5))
-            }
-          })
+    val gens = manifestGens(fs, root)
+    if (gens.isEmpty) return (-1L, Seq.empty, Seq.empty)
+    // replay chain: newest checkpoint ≤ max gen, then every increment after
+    val fromIdx = gens.lastIndexWhere(_._3)
+    require(fromIdx >= 0,
+      s"manifest log at $root has increments but no checkpoint — corrupt trim?")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dead = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
+    gens.drop(fromIdx).foreach { case (gen, p, isCkpt) =>
+      val mtime = fs.getFileStatus(p).getModificationTime
+      readLines(fs, p).foreach { l =>
+        if (l.startsWith("live ")) live += l.drop(5)
+        else if (l.startsWith("add ")) live += l.drop(4)
+        else if (l.startsWith("dead ") || l.startsWith("tomb ")) {
+          val t = parseTombstone(l.drop(5), gen, mtime)
+          live -= t.path
+          dead(t.path) = t
+        }
+      }
+      val _ = isCkpt // state reset not needed: the chain starts AT the checkpoint
     }
+    (gens.last._1, live.toVector, dead.values.toVector)
   }
 
   private def listDataFiles(fs: FileSystem, root: String): Seq[String] = {
@@ -119,24 +150,62 @@ object Snapshot {
       }
   }
 
-  private def writeManifest(fs: FileSystem, root: String, gen: Long,
-      live: Seq[String], dead: Seq[Tombstone]): Unit = {
+  private def writeLog(fs: FileSystem, root: String, name: String,
+      body: String): Unit = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val outS = fs.create(tmp, false)
-    try {
-      val body = (live.sorted.map("live " + _) ++
-        dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
-        .mkString("", "\n", "\n")
-      outS.write(body.getBytes("UTF-8"))
-    } finally outS.close()
-    val target = new Path(dir, s"m$gen")
-    if (!fs.rename(tmp, target)) {
+    try outS.write(body.getBytes("UTF-8")) finally outS.close()
+    val target = new Path(dir, name)
+    // HDFS/object-store rename fails on an existing target (the atomic
+    // guard); local File.renameTo silently OVERWRITES, so check first —
+    // a racy backstop, but the single-committer contract is the real
+    // guard and this makes a violation loud on every filesystem.
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"manifest commit lost the race for gen $gen (concurrent committer?)")
+        s"manifest commit lost the race for $name (concurrent committer?)")
     }
+  }
+
+  /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state. */
+  private def writeManifest(fs: FileSystem, root: String, gen: Long,
+      live: Seq[String], dead: Seq[Tombstone]): Unit =
+    writeLog(fs, root, s"m$gen",
+      (live.sorted.map("live " + _) ++
+        dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
+        .mkString("", "\n", "\n"))
+
+  /** Incremental commit `i<gen>` (log v2): only this commit's delta —
+    * `add <relpath>` joins the live set, `tomb <gen> <ts> <relpath>`
+    * kills a live file. O(delta) bytes instead of O(table files). */
+  private def writeIncrement(fs: FileSystem, root: String, gen: Long,
+      adds: Seq[String], tombs: Seq[Tombstone]): Unit =
+    writeLog(fs, root, s"i$gen",
+      (adds.sorted.map("add " + _) ++
+        tombs.sortBy(_.path).map(t => s"tomb ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
+        .mkString("", "\n", "\n"))
+
+  /** Default checkpoint cadence: a full `m<gen>` snapshot every this many
+    * incremental commits, bounding every reader's replay chain to one
+    * checkpoint + at most this many (small) increments. */
+  val CheckpointEvery = 64
+
+  /** Write gen as an increment, or as a full checkpoint when the replay
+    * chain is due for one (every `checkpointEvery` commits, and always
+    * for the first commit of a store). `live`/`dead` must be the
+    * POST-commit state; `adds`/`tombs` the delta that produced it. */
+  private def commitDelta(fs: FileSystem, root: String, gen: Long,
+      live: Seq[String], dead: Seq[Tombstone],
+      adds: Seq[String], tombs: Seq[Tombstone],
+      checkpointEvery: Int = CheckpointEvery): Unit = {
+    val gens = manifestGens(fs, root)
+    val idx = gens.lastIndexWhere(_._3)
+    val sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
+    if (gens.isEmpty || sinceCkpt + 1 >= checkpointEvery)
+      writeManifest(fs, root, gen, live, dead)
+    else writeIncrement(fs, root, gen, adds, tombs)
   }
 
   /** Adopt-everything commit: fold ANY unknown directory file into the
@@ -151,7 +220,7 @@ object Snapshot {
     val known = live.toSet ++ dead.map(_.path).toSet
     val added = listDataFiles(fs, root).filterNot(known)
     val next = gen + 1
-    writeManifest(fs, root, next, live ++ added, dead)
+    commitDelta(fs, root, next, live ++ added, dead, added, Seq.empty)
     next
   }
 
@@ -168,7 +237,7 @@ object Snapshot {
       require(fs.exists(new Path(root, f)), s"commit of missing file $f")
     }
     val next = gen + 1
-    writeManifest(fs, root, next, live ++ fresh, dead)
+    commitDelta(fs, root, next, live ++ fresh, dead, fresh, Seq.empty)
     next
   }
 
@@ -182,6 +251,88 @@ object Snapshot {
     Ingest.ingestBatch(points, root)
     val written = listDataFiles(fs, root).filterNot(before)
     commit(spark, root, written)
+  }
+
+  /** Open a [[Committer]] — the cached single-committer handle whose
+    * sustained commits are O(delta): no full manifest read, write, or
+    * whole-table listing per commit. The one-shot [[commit]] /
+    * [[ingestCommitted]] stay correct but re-read the log and re-list
+    * the table every call — at 100 TB (~10⁵-10⁶ live files) that is the
+    * difference between a ~ms append commit and a multi-second one. */
+  def committer(spark: SparkSession, root: String): Committer =
+    new Committer(spark, root)
+
+  /** Cached manifest state for SUSTAINED commits (log v2, r11).
+    *
+    * Safety: the store's single-committer contract makes the cache
+    * authoritative; even if it is violated, [[writeLog]]'s
+    * rename-to-fresh-name commit makes the generation collision LOUD
+    * (throws) instead of corrupting the log. After any external commit
+    * (a concurrent [[compactShard]]/[[vacuum]] run), call [[refresh]]. */
+  final class Committer private[Snapshot] (spark: SparkSession, root: String) {
+    private val fs = fsFor(spark, root)
+    private var genV: Long = -1L
+    private val liveV = scala.collection.mutable.LinkedHashSet.empty[String]
+    private val deadV = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
+    private var sinceCkpt = 0
+    refresh()
+
+    def gen: Long = genV
+
+    /** Re-read the log (one checkpoint + increments since). */
+    def refresh(): Unit = {
+      val (g, l, d) = latest(spark, root)
+      genV = g
+      liveV.clear(); liveV ++= l
+      deadV.clear(); d.foreach(t => deadV(t.path) = t)
+      val gens = manifestGens(fs, root)
+      val idx = gens.lastIndexWhere(_._3)
+      sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
+    }
+
+    /** Commit exactly `added` (store-relative paths, must exist).
+      * O(delta) except every `checkpointEvery`-th commit, which writes a
+      * full checkpoint to bound readers' replay chains. */
+    def commitAdded(added: Seq[String],
+        checkpointEvery: Int = CheckpointEvery): Long = {
+      val fresh = added.filterNot(f => liveV.contains(f) || deadV.contains(f))
+      fresh.foreach { f =>
+        require(fs.exists(new Path(root, f)), s"commit of missing file $f")
+      }
+      val next = genV + 1
+      if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
+        writeManifest(fs, root, next, liveV.toVector ++ fresh, deadV.values.toVector)
+        sinceCkpt = 0
+      } else {
+        writeIncrement(fs, root, next, fresh, Seq.empty)
+        sinceCkpt += 1
+      }
+      liveV ++= fresh
+      genV = next
+      next
+    }
+
+    /** Append `points` and commit exactly the files the append produced.
+      * The directory diff is restricted to the shard hours the batch
+      * touches (one small distinct job on the batch), so commit cost
+      * scales with the BATCH, never with the table. */
+    def ingest(points: Dataset[DataPoint]): Long = {
+      import graft.model.shardHourCol
+      val hours = points.toDF()
+        .select(shardHourCol(col("timestamp")).as("h")).distinct()
+        .collect().map(_.getLong(0))
+      def listHours(): Set[String] = hours.flatMap { h =>
+        val dir = new Path(root, s"shard_hour=$h")
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"shard_hour=$h/${f.getPath.getName}")
+      }.toSet
+      val before = listHours()
+      Ingest.ingestBatch(points, root)
+      val written = (listHours() -- before).toVector
+      commitAdded(written)
+    }
   }
 
   /** Snapshot read of the latest committed generation (falls back to a
@@ -269,9 +420,10 @@ object Snapshot {
     fs.delete(tmp, true)
     val next = gen + 1
     val now = System.currentTimeMillis()
-    writeManifest(fs, root, next,
+    val tombs = hourOld.map(Tombstone(next, now, _))
+    commitDelta(fs, root, next,
       live.filterNot(_.startsWith(prefix)) ++ moved,
-      dead ++ hourOld.map(Tombstone(next, now, _)))
+      dead ++ tombs, moved, tombs)
     next
   }
 
@@ -308,9 +460,19 @@ object Snapshot {
         fs.delete(p, false); deleted += 1; false
       } else true // inside grace or pinned: keep for a later vacuum
     }
+    // vacuum always writes a CHECKPOINT: purging tombstones is a
+    // full-state rewrite, and it resets the replay chain for free.
     writeManifest(fs, root, gen + 1, live, remaining)
-    manifestGens(fs, root).dropRight(keepManifests)
-      .foreach { case (_, p) => fs.delete(p, false) }
+    // Trim rule (log v2): a kept chain must START at a checkpoint, or
+    // replay is impossible. Keep the newest `keepManifests` checkpoints
+    // and every increment newer than the oldest kept checkpoint; delete
+    // everything older.
+    val gens = manifestGens(fs, root)
+    val ckptGens = gens.filter(_._3).map(_._1)
+    val oldestKept = ckptGens.takeRight(keepManifests.max(1)).headOption
+      .getOrElse(Long.MinValue)
+    gens.filter(_._1 < oldestKept)
+      .foreach { case (_, p, _) => fs.delete(p, false) }
     deleted
   }
 }

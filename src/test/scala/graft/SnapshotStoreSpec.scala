@@ -218,4 +218,94 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     Snapshot.commit(spark, store)
     assert(Snapshot.read(spark, store).count() > 700)
   }
+
+  test("log v2: incremental commits replay exactly from the last " +
+      "checkpoint; the cadence bounds the chain; vacuum re-checkpoints") {
+    val store = Files.createTempDirectory("graft_snapv2_").toString
+    val cm = Snapshot.committer(spark, store)
+    // 7 ingests at checkpointEvery=3: m0 i1 i2 m3 i4 i5 m6
+    (0 until 7).foreach { i =>
+      // route through commitAdded to control the cadence
+      Ingest.ingestBatch(points(100, i, s"m$i"), store)
+      val files = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + i}")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"shard_hour=${baseMs / hourMs + i}/${f.getName}")
+      val g = cm.commitAdded(files.toSeq, checkpointEvery = 3)
+      assert(g == i.toLong)
+    }
+    val names = new java.io.File(s"$store/${Snapshot.ManifestDir}")
+      .listFiles().map(_.getName).filter(n => n.startsWith("m") || n.startsWith("i"))
+      .sorted.toVector
+    assert(names == Vector("i1", "i2", "i4", "i5", "m0", "m3", "m6"),
+      s"unexpected manifest chain: $names")
+    // replay equals the full state: every commit visible exactly once
+    val (g, live, dead) = Snapshot.latest(spark, store)
+    assert(g == 6 && live.size >= 7 && dead.isEmpty)
+    assert(Snapshot.read(spark, store).count() == 700)
+    // a fresh (uncached) reader agrees hour by hour
+    (0 until 7).foreach { i =>
+      assert(Snapshot.read(spark, store)
+        .filter(col("shard_hour") === baseMs / hourMs + i).count() == 100)
+    }
+    // compaction commits an INCREMENT (adds + tombs); replay stays exact
+    Snapshot.compactShard(spark, store, baseMs / hourMs)
+    assert(Snapshot.read(spark, store).count() == 700)
+    val (_, _, dead1) = Snapshot.latest(spark, store)
+    assert(dead1.nonEmpty)
+    // vacuum always re-checkpoints and trims the chain to checkpoints +
+    // newer increments — the kept chain must stay replayable
+    Snapshot.vacuum(spark, store, graceMs = 0L, keepManifests = 1)
+    val kept = new java.io.File(s"$store/${Snapshot.ManifestDir}")
+      .listFiles().map(_.getName).filter(n => n.startsWith("m") || n.startsWith("i"))
+      .sorted.toVector
+    assert(kept.head.startsWith("m"), s"trimmed chain starts mid-air: $kept")
+    assert(Snapshot.read(spark, store).count() == 700)
+    val (_, _, dead2) = Snapshot.latest(spark, store)
+    assert(dead2.isEmpty)
+  }
+
+  test("log v2: a second committer's stale-generation commit is LOUD " +
+      "(refused), and refresh() recovers it") {
+    val store = Files.createTempDirectory("graft_snapv2b_").toString
+    val cm1 = Snapshot.committer(spark, store)
+    Ingest.ingestBatch(points(100, 0, "a"), store)
+    val files0 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"shard_hour=${baseMs / hourMs}/${f.getName}").toSeq
+    cm1.commitAdded(files0)
+    val cm2 = Snapshot.committer(spark, store) // same gen as cm1 now
+    Ingest.ingestBatch(points(100, 1, "b"), store)
+    val files1 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + 1}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"shard_hour=${baseMs / hourMs + 1}/${f.getName}").toSeq
+    cm1.commitAdded(files1)
+    // cm2 is now stale: its next commit targets an existing generation
+    Ingest.ingestBatch(points(100, 2, "c"), store)
+    val files2 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + 2}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"shard_hour=${baseMs / hourMs + 2}/${f.getName}").toSeq
+    intercept[IllegalStateException] { cm2.commitAdded(files2) }
+    // the store is uncorrupted and refresh() brings cm2 current
+    assert(Snapshot.read(spark, store).count() == 200)
+    cm2.refresh()
+    cm2.commitAdded(files2)
+    assert(Snapshot.read(spark, store).count() == 300)
+  }
+
+  test("log v2: Committer.ingest commits exactly its own files with a " +
+      "batch-scoped directory diff; orphans in touched hours stay out") {
+    val store = Files.createTempDirectory("graft_snapv2c_").toString
+    val cm = Snapshot.committer(spark, store)
+    cm.ingest(points(400, 0, "cpu"))
+    assert(Snapshot.read(spark, store).count() == 400)
+    // orphan in the SAME hour a later batch touches: present before the
+    // write, so the batch-scoped diff must exclude it
+    val hourDir = new java.io.File(s"$store/shard_hour=${baseMs / hourMs}")
+    val donor = hourDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(hourDir, "part-torn-orphan.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    cm.ingest(points(300, 0, "mem"))
+    assert(Snapshot.read(spark, store).count() == 700)
+    assert(Ingest.readPoints(spark, store).count() == 700)
+  }
 }
