@@ -161,21 +161,30 @@ object ServingUnderWriteProbe {
     val (base, d0) = drive("static")
     assert(d0 == 0)
 
-    // under write load: appends (commit + view refresh each) to NEW
-    // hours + one SNAPSHOT compaction of hour 0 mid-run
+    // under write load: sustained appends through the LOG V2 COMMITTER
+    // (cached handle — O(delta) commits, batch-scoped dir diff) + one
+    // SNAPSHOT compaction of hour 0 and a grace-window vacuum mid-run.
+    // Compaction/vacuum are stateless committers, so they deliberately
+    // stale the Committer's cache — the next append's generation
+    // collides and must self-recover via refresh-retry, live.
     @volatile var writerDone = false
     val writer = new Thread(() => {
+      val cm = operators.Snapshot.committer(spark, store)
       (0 until writerBatches).foreach { i =>
-        operators.Ingest.ingestBatch(points(50000L, 10 + i, "cpu"), store)
-        operators.Snapshot.commit(spark, store)
+        cm.ingest(points(50000L, 10 + i, "cpu"))
         refreshView()
         if (i == writerBatches / 2) {
           val t0 = System.nanoTime()
           operators.Snapshot.compactShard(spark, store, baseMs / hourMs, 4)
+          // grace-window vacuum: commits a checkpoint, deletes nothing
+          // (every tombstone is seconds old) — in-flight readers keep
+          // their files; the real delete happens after the drain below
+          val del = operators.Snapshot.vacuum(spark, store, graceMs = 3600000L)
           refreshView()
-          println(f"SERVEWRITE snapshot compaction of hour0 took " +
+          println(f"SERVEWRITE snapshot compaction+vacuum of hour0 took " +
             f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4, " +
-            "old files tombstoned)")
+            s"old files tombstoned, vacuum_deleted=$del expected 0)")
+          assert(del == 0L, "grace-window vacuum deleted under live readers")
         }
       }
       writerDone = true
@@ -205,5 +214,9 @@ object ServingUnderWriteProbe {
       f"postvacuum=${post((0.99 * post.length).toInt)}ms")
     server.stop()
     spark.stop()
+    // a non-daemon HiveServer2 handler-pool thread outlives stop() and
+    // keeps the JVM alive indefinitely (observed: main gone, DestroyJavaVM
+    // waiting 18+ min) — the probe is done, leave unconditionally
+    System.exit(0)
   }
 }

@@ -292,20 +292,40 @@ object Snapshot {
 
     /** Commit exactly `added` (store-relative paths, must exist).
       * O(delta) except every `checkpointEvery`-th commit, which writes a
-      * full checkpoint to bound readers' replay chains. */
+      * full checkpoint to bound readers' replay chains.
+      *
+      * An APPEND's delta is disjoint from any other commit by
+      * construction (fresh UUID-named files only this writer knows), so
+      * losing a generation race to a maintenance commit — compaction and
+      * vacuum are committers too — is recoverable, not a conflict:
+      * `retries` > 0 refreshes the cache and re-commits at the new head.
+      * The default 2 covers the legitimate interleaving (one compaction
+      * + its vacuum landing mid-append); a hot loop of collisions still
+      * escalates, keeping a genuine double-writer violation LOUD. */
     def commitAdded(added: Seq[String],
-        checkpointEvery: Int = CheckpointEvery): Long = {
+        checkpointEvery: Int = CheckpointEvery,
+        retries: Int = 2): Long = {
       val fresh = added.filterNot(f => liveV.contains(f) || deadV.contains(f))
       fresh.foreach { f =>
         require(fs.exists(new Path(root, f)), s"commit of missing file $f")
       }
       val next = genV + 1
-      if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
-        writeManifest(fs, root, next, liveV.toVector ++ fresh, deadV.values.toVector)
-        sinceCkpt = 0
-      } else {
-        writeIncrement(fs, root, next, fresh, Seq.empty)
-        sinceCkpt += 1
+      try {
+        if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
+          writeManifest(fs, root, next, liveV.toVector ++ fresh, deadV.values.toVector)
+          sinceCkpt = 0
+        } else {
+          writeIncrement(fs, root, next, fresh, Seq.empty)
+          sinceCkpt += 1
+        }
+      } catch {
+        case _: IllegalStateException if retries > 0 =>
+          refresh() // another commit advanced the head; re-commit on top
+          return commitAdded(added, checkpointEvery, retries - 1)
+        case e: IllegalStateException =>
+          throw new IllegalStateException(
+            s"$root: generation $next collided repeatedly — concurrent " +
+              "committer violating the single-committer contract?", e)
       }
       liveV ++= fresh
       genV = next

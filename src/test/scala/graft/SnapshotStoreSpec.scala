@@ -284,12 +284,20 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     val files2 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + 2}")
       .listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => s"shard_hour=${baseMs / hourMs + 2}/${f.getName}").toSeq
-    intercept[IllegalStateException] { cm2.commitAdded(files2) }
-    // the store is uncorrupted and refresh() brings cm2 current
+    intercept[IllegalStateException] { cm2.commitAdded(files2, retries = 0) }
+    // the store is uncorrupted after the refused commit
     assert(Snapshot.read(spark, store).count() == 200)
-    cm2.refresh()
+    // an APPEND's delta is disjoint by construction, so the default
+    // retry refreshes and re-commits on top of the new head
     cm2.commitAdded(files2)
     assert(Snapshot.read(spark, store).count() == 300)
+    // cm1 is stale in turn now; its next append also self-recovers
+    Ingest.ingestBatch(points(50, 3, "d"), store)
+    val files3 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + 3}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"shard_hour=${baseMs / hourMs + 3}/${f.getName}").toSeq
+    cm1.commitAdded(files3)
+    assert(Snapshot.read(spark, store).count() == 350)
   }
 
   test("log v2: Committer.ingest commits exactly its own files with a " +
