@@ -106,23 +106,29 @@ object Snapshot {
       case _ => Tombstone(fallbackGen, fallbackTs, rest)
     }
 
-  /** (gen, live, dead) of the latest committed state; gen −1 when none.
-    * Log v2 (r11): replays from the newest CHECKPOINT (`m<gen>`, a full
-    * snapshot) through the increments (`i<gen>`: `add`/`tomb` lines)
-    * after it — the read cost is one checkpoint + the increments since,
-    * never the whole commit history. A v1 store (checkpoints only)
-    * replays zero increments and reads exactly as before. */
-  def latest(spark: SparkSession, root: String): (Long, Seq[String], Seq[Tombstone]) = {
-    val fs = fsFor(spark, root)
+  /** Full replayed log state. `txns` are streaming-transaction high-water
+    * marks (`txn <appId> <version>` lines — the Delta-style idempotence
+    * token): a committed version per writer app, carried through every
+    * checkpoint so restarts can recognize an already-committed batch. */
+  private[graft] final case class LogState(gen: Long, live: Vector[String],
+      dead: Vector[Tombstone], txns: Map[String, Long])
+
+  /** Log v2 (r11) replay: from the newest CHECKPOINT (`m<gen>`, a full
+    * snapshot) through the increments (`i<gen>`: `add`/`tomb`/`txn`
+    * lines) after it — the read cost is one checkpoint + the increments
+    * since, never the whole commit history. A v1 store (checkpoints
+    * only) replays zero increments and reads exactly as before. */
+  private[graft] def loadState(fs: FileSystem, root: String): LogState = {
     val gens = manifestGens(fs, root)
-    if (gens.isEmpty) return (-1L, Seq.empty, Seq.empty)
+    if (gens.isEmpty) return LogState(-1L, Vector.empty, Vector.empty, Map.empty)
     // replay chain: newest checkpoint ≤ max gen, then every increment after
     val fromIdx = gens.lastIndexWhere(_._3)
     require(fromIdx >= 0,
       s"manifest log at $root has increments but no checkpoint — corrupt trim?")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val dead = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
-    gens.drop(fromIdx).foreach { case (gen, p, isCkpt) =>
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    gens.drop(fromIdx).foreach { case (gen, p, _) =>
       val mtime = fs.getFileStatus(p).getModificationTime
       readLines(fs, p).foreach { l =>
         if (l.startsWith("live ")) live += l.drop(5)
@@ -131,11 +137,21 @@ object Snapshot {
           val t = parseTombstone(l.drop(5), gen, mtime)
           live -= t.path
           dead(t.path) = t
+        } else if (l.startsWith("txn ")) l.drop(4).split(" ", 2) match {
+          case Array(app, v) if v.toLongOption.isDefined =>
+            // versions are monotone per app; keep the max defensively
+            txns(app) = txns.getOrElse(app, Long.MinValue).max(v.toLong)
+          case _ => ()
         }
       }
-      val _ = isCkpt // state reset not needed: the chain starts AT the checkpoint
     }
-    (gens.last._1, live.toVector, dead.values.toVector)
+    LogState(gens.last._1, live.toVector, dead.values.toVector, txns.toMap)
+  }
+
+  /** (gen, live, dead) of the latest committed state; gen −1 when none. */
+  def latest(spark: SparkSession, root: String): (Long, Seq[String], Seq[Tombstone]) = {
+    val s = loadState(fsFor(spark, root), root)
+    (s.gen, s.live, s.dead)
   }
 
   private def listDataFiles(fs: FileSystem, root: String): Seq[String] = {
@@ -169,22 +185,29 @@ object Snapshot {
     }
   }
 
-  /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state. */
+  /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state,
+    * plus every app's streaming-txn high-water (idempotence must survive
+    * chain trims). */
   private def writeManifest(fs: FileSystem, root: String, gen: Long,
-      live: Seq[String], dead: Seq[Tombstone]): Unit =
+      live: Seq[String], dead: Seq[Tombstone],
+      txns: Map[String, Long] = Map.empty): Unit =
     writeLog(fs, root, s"m$gen",
       (live.sorted.map("live " + _) ++
-        dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
+        dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
+        txns.toSeq.sortBy(_._1).map { case (app, v) => s"txn $app $v" })
         .mkString("", "\n", "\n"))
 
   /** Incremental commit `i<gen>` (log v2): only this commit's delta —
     * `add <relpath>` joins the live set, `tomb <gen> <ts> <relpath>`
-    * kills a live file. O(delta) bytes instead of O(table files). */
+    * kills a live file, `txn <app> <version>` advances a streaming-txn
+    * high-water. O(delta) bytes instead of O(table files). */
   private def writeIncrement(fs: FileSystem, root: String, gen: Long,
-      adds: Seq[String], tombs: Seq[Tombstone]): Unit =
+      adds: Seq[String], tombs: Seq[Tombstone],
+      txn: Option[(String, Long)] = None): Unit =
     writeLog(fs, root, s"i$gen",
       (adds.sorted.map("add " + _) ++
-        tombs.sortBy(_.path).map(t => s"tomb ${t.gen} ${t.tombstonedAtMs} ${t.path}"))
+        tombs.sortBy(_.path).map(t => s"tomb ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
+        txn.map { case (app, v) => s"txn $app $v" }.toSeq)
         .mkString("", "\n", "\n"))
 
   /** Default checkpoint cadence: a full `m<gen>` snapshot every this many
@@ -199,13 +222,15 @@ object Snapshot {
   private def commitDelta(fs: FileSystem, root: String, gen: Long,
       live: Seq[String], dead: Seq[Tombstone],
       adds: Seq[String], tombs: Seq[Tombstone],
+      txns: Map[String, Long] = Map.empty,
+      txn: Option[(String, Long)] = None,
       checkpointEvery: Int = CheckpointEvery): Unit = {
     val gens = manifestGens(fs, root)
     val idx = gens.lastIndexWhere(_._3)
     val sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
     if (gens.isEmpty || sinceCkpt + 1 >= checkpointEvery)
-      writeManifest(fs, root, gen, live, dead)
-    else writeIncrement(fs, root, gen, adds, tombs)
+      writeManifest(fs, root, gen, live, dead, txns ++ txn)
+    else writeIncrement(fs, root, gen, adds, tombs, txn)
   }
 
   /** Adopt-everything commit: fold ANY unknown directory file into the
@@ -216,11 +241,12 @@ object Snapshot {
     * committed generation. */
   def commit(spark: SparkSession, root: String): Long = {
     val fs = fsFor(spark, root)
-    val (gen, live, dead) = latest(spark, root)
-    val known = live.toSet ++ dead.map(_.path).toSet
+    val st = loadState(fs, root)
+    val known = st.live.toSet ++ st.dead.map(_.path).toSet
     val added = listDataFiles(fs, root).filterNot(known)
-    val next = gen + 1
-    commitDelta(fs, root, next, live ++ added, dead, added, Seq.empty)
+    val next = st.gen + 1
+    commitDelta(fs, root, next, st.live ++ added, st.dead, added, Seq.empty,
+      st.txns)
     next
   }
 
@@ -230,14 +256,15 @@ object Snapshot {
     * output — stay quarantined outside the table. */
   def commit(spark: SparkSession, root: String, added: Seq[String]): Long = {
     val fs = fsFor(spark, root)
-    val (gen, live, dead) = latest(spark, root)
-    val known = live.toSet ++ dead.map(_.path).toSet
+    val st = loadState(fs, root)
+    val known = st.live.toSet ++ st.dead.map(_.path).toSet
     val fresh = added.filterNot(known)
     fresh.foreach { f =>
       require(fs.exists(new Path(root, f)), s"commit of missing file $f")
     }
-    val next = gen + 1
-    commitDelta(fs, root, next, live ++ fresh, dead, fresh, Seq.empty)
+    val next = st.gen + 1
+    commitDelta(fs, root, next, st.live ++ fresh, st.dead, fresh, Seq.empty,
+      st.txns)
     next
   }
 
@@ -274,17 +301,23 @@ object Snapshot {
     private var genV: Long = -1L
     private val liveV = scala.collection.mutable.LinkedHashSet.empty[String]
     private val deadV = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
+    private val txnsV = scala.collection.mutable.Map.empty[String, Long]
     private var sinceCkpt = 0
     refresh()
 
     def gen: Long = genV
 
+    /** Committed streaming-txn high-water for `appId`; Long.MinValue when
+      * the app has never committed. */
+    def txnVersion(appId: String): Long = txnsV.getOrElse(appId, Long.MinValue)
+
     /** Re-read the log (one checkpoint + increments since). */
     def refresh(): Unit = {
-      val (g, l, d) = latest(spark, root)
-      genV = g
-      liveV.clear(); liveV ++= l
-      deadV.clear(); d.foreach(t => deadV(t.path) = t)
+      val st = loadState(fs, root)
+      genV = st.gen
+      liveV.clear(); liveV ++= st.live
+      deadV.clear(); st.dead.foreach(t => deadV(t.path) = t)
+      txnsV.clear(); txnsV ++= st.txns
       val gens = manifestGens(fs, root)
       val idx = gens.lastIndexWhere(_._3)
       sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
@@ -304,7 +337,8 @@ object Snapshot {
       * escalates, keeping a genuine double-writer violation LOUD. */
     def commitAdded(added: Seq[String],
         checkpointEvery: Int = CheckpointEvery,
-        retries: Int = 2): Long = {
+        retries: Int = 2,
+        txn: Option[(String, Long)] = None): Long = {
       val fresh = added.filterNot(f => liveV.contains(f) || deadV.contains(f))
       fresh.foreach { f =>
         require(fs.exists(new Path(root, f)), s"commit of missing file $f")
@@ -312,22 +346,24 @@ object Snapshot {
       val next = genV + 1
       try {
         if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
-          writeManifest(fs, root, next, liveV.toVector ++ fresh, deadV.values.toVector)
+          writeManifest(fs, root, next, liveV.toVector ++ fresh,
+            deadV.values.toVector, txnsV.toMap ++ txn)
           sinceCkpt = 0
         } else {
-          writeIncrement(fs, root, next, fresh, Seq.empty)
+          writeIncrement(fs, root, next, fresh, Seq.empty, txn)
           sinceCkpt += 1
         }
       } catch {
         case _: IllegalStateException if retries > 0 =>
           refresh() // another commit advanced the head; re-commit on top
-          return commitAdded(added, checkpointEvery, retries - 1)
+          return commitAdded(added, checkpointEvery, retries - 1, txn)
         case e: IllegalStateException =>
           throw new IllegalStateException(
             s"$root: generation $next collided repeatedly — concurrent " +
               "committer violating the single-committer contract?", e)
       }
       liveV ++= fresh
+      txn.foreach { case (app, v) => txnsV(app) = v }
       genV = next
       next
     }
@@ -336,7 +372,23 @@ object Snapshot {
       * The directory diff is restricted to the shard hours the batch
       * touches (one small distinct job on the batch), so commit cost
       * scales with the BATCH, never with the table. */
-    def ingest(points: Dataset[DataPoint]): Long = {
+    def ingest(points: Dataset[DataPoint]): Long =
+      ingestTagged(points, None)
+
+    /** Exactly-once ingest for at-least-once delivery (streaming
+      * foreachBatch): commit `points` tagged `txn <appId> <version>`, or
+      * SKIP when the log already holds `version` (or newer) for `appId` —
+      * a restart's re-delivered batch is a no-op. A prior attempt that
+      * wrote files but died before its commit leaves only quarantined
+      * orphans (the batch-scoped diff commits this attempt's files alone),
+      * so the retry duplicates nothing. Returns the current generation. */
+    def ingestOnce(points: Dataset[DataPoint], appId: String,
+        version: Long): Long =
+      if (txnVersion(appId) >= version) genV
+      else ingestTagged(points, Some((appId, version)))
+
+    private def ingestTagged(points: Dataset[DataPoint],
+        txn: Option[(String, Long)]): Long = {
       import graft.model.shardHourCol
       val hours = points.toDF()
         .select(shardHourCol(col("timestamp")).as("h")).distinct()
@@ -351,7 +403,7 @@ object Snapshot {
       val before = listHours()
       Ingest.ingestBatch(points, root)
       val written = (listHours() -- before).toVector
-      commitAdded(written)
+      commitAdded(written, txn = txn)
     }
   }
 
@@ -414,7 +466,7 @@ object Snapshot {
   def compactShard(spark: SparkSession, root: String, shardHour: Long,
       targetFiles: Int = 1): Long = {
     val fs = fsFor(spark, root)
-    val (gen, live, dead) = latest(spark, root)
+    val LogState(gen, live, dead, txns) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root — commit() before compacting")
     val prefix = s"shard_hour=$shardHour/"
     val hourOld = live.filter(_.startsWith(prefix))
@@ -443,7 +495,7 @@ object Snapshot {
     val tombs = hourOld.map(Tombstone(next, now, _))
     commitDelta(fs, root, next,
       live.filterNot(_.startsWith(prefix)) ++ moved,
-      dead ++ tombs, moved, tombs)
+      dead ++ tombs, moved, tombs, txns)
     next
   }
 
@@ -462,7 +514,7 @@ object Snapshot {
   def vacuum(spark: SparkSession, root: String, graceMs: Long = 0L,
       keepManifests: Int = 3, leaseTtlMs: Long = 24L * 3600000L): Long = {
     val fs = fsFor(spark, root)
-    val (gen, live, dead) = latest(spark, root)
+    val LogState(gen, live, dead, txns) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root")
     val now = System.currentTimeMillis()
     val activeLeases = leases(fs, root).filter { case (_, p, mtime) =>
@@ -482,7 +534,8 @@ object Snapshot {
     }
     // vacuum always writes a CHECKPOINT: purging tombstones is a
     // full-state rewrite, and it resets the replay chain for free.
-    writeManifest(fs, root, gen + 1, live, remaining)
+    // Streaming-txn high-waters ride along — idempotence survives trims.
+    writeManifest(fs, root, gen + 1, live, remaining, txns)
     // Trim rule (log v2): a kept chain must START at a checkpoint, or
     // replay is impossible. Keep the newest `keepManifests` checkpoints
     // and every increment newer than the oldest kept checkpoint; delete

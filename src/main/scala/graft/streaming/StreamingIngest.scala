@@ -30,6 +30,33 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once streaming ingest into a SNAPSHOT-MANIFEST store (log
+    * v2, r11). The plain [[ingestStream]] file sink is exactly-once only
+    * for readers of ITS `_spark_metadata`; a snapshot store's truth is
+    * the manifest, and `foreachBatch` is AT-LEAST-ONCE on restart (the
+    * batch in flight when the query died is re-delivered). Each commit
+    * therefore carries a `txn <appId> <batchId>` high-water in the
+    * manifest — the Delta-style idempotence token: a re-delivered batch
+    * id at-or-below the committed high-water is a no-op, and an attempt
+    * that wrote files but died pre-commit leaves only quarantined
+    * orphans (the batch-scoped diff commits each attempt's own files).
+    * One streaming writer per `appId` per store — the committer's
+    * single-writer contract, per app. */
+  def snapshotSinkStream(points: Dataset[graft.model.DataPoint],
+      storePath: String, checkpoint: String,
+      appId: String = "graft-stream",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cm = graft.operators.Snapshot.committer(points.sparkSession, storePath)
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[graft.model.DataPoint], batchId: Long) =>
+        cm.ingestOnce(batch, appId, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Watermarked tumbling 1-hour downsample over a streaming events frame
     * (`ts` timestamp, `value` double). Late rows beyond the watermark are
     * dropped — the defined late-data policy. Output: append mode per closed

@@ -300,6 +300,37 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshot.read(spark, store).count() == 350)
   }
 
+  test("log v2 txn: ingestOnce skips re-delivered batches, and the " +
+      "high-water survives restarts, maintenance checkpoints, and trims") {
+    val store = Files.createTempDirectory("graft_snaptxn_").toString
+    val cm = Snapshot.committer(spark, store)
+    cm.ingestOnce(points(100, 0, "a"), "app", 0L)
+    cm.ingestOnce(points(100, 1, "b"), "app", 1L)
+    assert(Snapshot.read(spark, store).count() == 200)
+    // at-least-once delivery: the same batch id again is a NO-OP (no
+    // write job runs at all — the skip is before ingest)
+    cm.ingestOnce(points(100, 1, "b"), "app", 1L)
+    assert(Snapshot.read(spark, store).count() == 200)
+    // restart: a fresh committer reads the high-water from the log
+    val cm2 = Snapshot.committer(spark, store)
+    assert(cm2.txnVersion("app") == 1L)
+    cm2.ingestOnce(points(100, 1, "b"), "app", 1L)
+    assert(Snapshot.read(spark, store).count() == 200)
+    // an independent app's versions are tracked separately
+    cm2.ingestOnce(points(50, 2, "c"), "other", 0L)
+    assert(Snapshot.read(spark, store).count() == 250)
+    // maintenance checkpoints + trims must carry the high-waters:
+    // vacuum(keepManifests=1) leaves ONLY its own checkpoint behind
+    Snapshot.compactShard(spark, store, baseMs / hourMs)
+    Snapshot.vacuum(spark, store, graceMs = 0L, keepManifests = 1)
+    val cm3 = Snapshot.committer(spark, store)
+    assert(cm3.txnVersion("app") == 1L && cm3.txnVersion("other") == 0L)
+    cm3.ingestOnce(points(100, 1, "b"), "app", 1L) // still a no-op
+    assert(Snapshot.read(spark, store).count() == 250)
+    cm3.ingestOnce(points(100, 3, "d"), "app", 2L) // next batch applies
+    assert(Snapshot.read(spark, store).count() == 350)
+  }
+
   test("log v2: Committer.ingest commits exactly its own files with a " +
       "batch-scoped directory diff; orphans in touched hours stay out") {
     val store = Files.createTempDirectory("graft_snapv2c_").toString

@@ -39,6 +39,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(store).count() == points.size)
   }
 
+  test("streaming snapshot sink is exactly-once into the manifest store: " +
+      "restart continues, checkpoint loss never duplicates") {
+    import graft.operators.Snapshot
+    val src = Files.createTempDirectory("graft_snapsink_src_").toString
+    val store = Files.createTempDirectory("graft_snapsink_store_").toString
+    val ckpt = Files.createTempDirectory("graft_snapsink_ckpt_").toString
+    val half = points.take(2500)
+    half.toDS().toDF().write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema).parquet(src).as[DataPoint]
+
+    val q = StreamingIngest.snapshotSinkStream(stream(), store, ckpt.toString)
+    q.awaitTermination(120000)
+    // reads go through the MANIFEST (snapshot store, not a plain dir)
+    assert(Snapshot.hasManifest(spark, store))
+    assert(Ingest.readPoints(spark, store).count() == half.size)
+
+    // restart with more source data: the checkpoint resumes, the manifest
+    // commits exactly the new batches
+    points.drop(2500).toDS().toDF().write.mode("append").parquet(src)
+    val q2 = StreamingIngest.snapshotSinkStream(stream(), store, ckpt.toString)
+    q2.awaitTermination(120000)
+    assert(Ingest.readPoints(spark, store).count() == points.size)
+    // no (timestamp, metric) pair landed twice
+    assert(Ingest.readPoints(spark, store)
+      .groupBy("timestamp", "metric").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // disaster case: the CHECKPOINT is lost but the store survives. A
+    // fresh checkpoint re-delivers everything as new batch ids starting
+    // at 0 — the manifest's txn high-water (batches 0..k committed)
+    // refuses them all: at-most-once on checkpoint loss, never duplicates
+    val ckpt2 = Files.createTempDirectory("graft_snapsink_ckpt2_").toString
+    val q3 = StreamingIngest.snapshotSinkStream(stream(), store, ckpt2.toString)
+    q3.awaitTermination(120000)
+    assert(Ingest.readPoints(spark, store).count() == points.size)
+  }
+
   test("watermarked streaming downsample equals the batch aggregation") {
     val src = Files.createTempDirectory("graft_stream_agg_").toString
     points.toDS().toDF()
