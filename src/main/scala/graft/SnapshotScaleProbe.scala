@@ -28,9 +28,18 @@ import graft.operators.Snapshot
   * Reports per-commit median/p99 ms, manifest bytes written, and the
   * reader-side [[Snapshot.latest]] ms at the end of each run (the replay
   * chain: one checkpoint + ≤ checkpointEvery increments).
+  *
+  * `SnapshotScaleProbe plan <files1,files2,...>`
+  *
+  * Reader-side axis: a snapshot read plans over an EXPLICIT file list
+  * (that is the isolation mechanism), so the driver's file index must
+  * status every path. Builds stores of real (tiny) parquet files at each
+  * count and reports latest() / plan-build / count() wall — the planning
+  * cost curve a 100 TB table (~10⁵-10⁶ live files) lives on.
   */
 object SnapshotScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("plan")) return planMain(args.drop(1))
     val baseFiles = args(0).toInt
     val nCommits = args(1).toInt
     val perCommit = if (args.length > 2) args(2).toInt else 4
@@ -113,6 +122,66 @@ object SnapshotScaleProbe {
         if (cm == null) cm = Snapshot.committer(spark, root)
         cm.commitAdded(files)
       }
+    }
+    spark.stop()
+  }
+
+  private def planMain(args: Array[String]): Unit = {
+    val counts = args.headOption.getOrElse("1000,10000,50000,100000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("snapshot-plan-probe")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // donor: one real tiny parquet file, nio-copied N times
+    val donorDir = java.nio.file.Files.createTempDirectory("snapplan_donor")
+    spark.range(100).map(i => graft.model.DataPoint(i * 1000L, i.toDouble))
+      .coalesce(1).write.mode("overwrite").parquet(donorDir.toString)
+    val donor = java.nio.file.Files.list(donorDir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+
+    counts.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory(s"snapplan_$n").toString
+      (0 until n).foreach { i =>
+        val p = java.nio.file.Paths.get(root,
+          f"shard_hour=${i / 1000}", f"f-$i%06d.parquet")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(donor), p)
+      }
+      Snapshot.commit(spark, root)
+      def ms[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f
+        ((System.nanoTime() - t0) / 1e6, a)
+      }
+      // warm nothing store-specific: each count is a fresh store
+      val (tLatest, (_, live, _)) = ms(Snapshot.latest(spark, root))
+      // legacy path: explicit file list through the stock reader — the
+      // driver statuses every path
+      val (tPlanLegacy, dfLegacy) = ms {
+        val d = spark.read.option("basePath", root)
+          .parquet(live.map(f => s"$root/$f"): _*)
+        d.queryExecution.executedPlan
+        d
+      }
+      val (tCountLegacy, rowsLegacy) = ms(dfLegacy.count())
+      // manifest-index path: Snapshot.read plans from the log alone
+      val (tPlan, df) = ms {
+        val d = Snapshot.read(spark, root)
+        d.queryExecution.executedPlan // force analysis+planning+file index
+        d
+      }
+      val (tCount, rows) = ms(df.count())
+      println(f"SNAPPLAN files=$n live=${live.size} rows=$rows " +
+        f"latestMs=$tLatest%.1f planMs=$tPlan%.1f countMs=$tCount%.1f " +
+        f"legacyPlanMs=$tPlanLegacy%.1f legacyCountMs=$tCountLegacy%.1f " +
+        f"rowsAgree=${rows == rowsLegacy}")
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(root), true)
     }
     spark.stop()
   }

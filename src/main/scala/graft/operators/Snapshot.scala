@@ -109,9 +109,23 @@ object Snapshot {
   /** Full replayed log state. `txns` are streaming-transaction high-water
     * marks (`txn <appId> <version>` lines — the Delta-style idempotence
     * token): a committed version per writer app, carried through every
-    * checkpoint so restarts can recognize an already-committed batch. */
+    * checkpoint so restarts can recognize an already-committed batch.
+    * `sizes` maps each live path to its recorded byte size (−1 when a
+    * legacy manifest line carried none) — what lets a reader PLAN from
+    * the log alone, zero filesystem calls (see [[ManifestFileIndex]]). */
   private[graft] final case class LogState(gen: Long, live: Vector[String],
-      dead: Vector[Tombstone], txns: Map[String, Long])
+      dead: Vector[Tombstone], txns: Map[String, Long],
+      sizes: Map[String, Long])
+
+  /** `<size> <relpath>` or legacy `<relpath>` (size −1). Relpaths always
+    * start with `shard_hour=`, never a bare integer, so the split is
+    * unambiguous. */
+  private def parseSized(rest: String): (String, Long) =
+    rest.split(" ", 2) match {
+      case Array(sz, path) if sz.nonEmpty && sz.forall(_.isDigit) =>
+        (path, sz.toLong)
+      case _ => (rest, -1L)
+    }
 
   /** Log v2 (r11) replay: from the newest CHECKPOINT (`m<gen>`, a full
     * snapshot) through the increments (`i<gen>`: `add`/`tomb`/`txn`
@@ -120,19 +134,20 @@ object Snapshot {
     * only) replays zero increments and reads exactly as before. */
   private[graft] def loadState(fs: FileSystem, root: String): LogState = {
     val gens = manifestGens(fs, root)
-    if (gens.isEmpty) return LogState(-1L, Vector.empty, Vector.empty, Map.empty)
+    if (gens.isEmpty)
+      return LogState(-1L, Vector.empty, Vector.empty, Map.empty, Map.empty)
     // replay chain: newest checkpoint ≤ max gen, then every increment after
     val fromIdx = gens.lastIndexWhere(_._3)
     require(fromIdx >= 0,
       s"manifest log at $root has increments but no checkpoint — corrupt trim?")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dead = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     gens.drop(fromIdx).foreach { case (gen, p, _) =>
       val mtime = fs.getFileStatus(p).getModificationTime
       readLines(fs, p).foreach { l =>
-        if (l.startsWith("live ")) live += l.drop(5)
-        else if (l.startsWith("add ")) live += l.drop(4)
+        if (l.startsWith("live ")) { val (f, sz) = parseSized(l.drop(5)); live(f) = sz }
+        else if (l.startsWith("add ")) { val (f, sz) = parseSized(l.drop(4)); live(f) = sz }
         else if (l.startsWith("dead ") || l.startsWith("tomb ")) {
           val t = parseTombstone(l.drop(5), gen, mtime)
           live -= t.path
@@ -145,7 +160,8 @@ object Snapshot {
         }
       }
     }
-    LogState(gens.last._1, live.toVector, dead.values.toVector, txns.toMap)
+    LogState(gens.last._1, live.keysIterator.toVector, dead.values.toVector,
+      txns.toMap, live.toMap)
   }
 
   /** (gen, live, dead) of the latest committed state; gen −1 when none. */
@@ -154,7 +170,7 @@ object Snapshot {
     (s.gen, s.live, s.dead)
   }
 
-  private def listDataFiles(fs: FileSystem, root: String): Seq[String] = {
+  private def listDataFiles(fs: FileSystem, root: String): Seq[(String, Long)] = {
     val base = new Path(root)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
@@ -162,7 +178,7 @@ object Snapshot {
       .flatMap { dir =>
         fs.listStatus(dir.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"${dir.getPath.getName}/${f.getPath.getName}")
+          .map(f => (s"${dir.getPath.getName}/${f.getPath.getName}", f.getLen))
       }
   }
 
@@ -185,27 +201,32 @@ object Snapshot {
     }
   }
 
+  /** `live`/`add` line body: `<size> <relpath>`, or the legacy sizeless
+    * form when the size is unknown (−1) — readers of either parse both. */
+  private def sizedBody(f: (String, Long)): String =
+    if (f._2 >= 0) s"${f._2} ${f._1}" else f._1
+
   /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state,
     * plus every app's streaming-txn high-water (idempotence must survive
     * chain trims). */
   private def writeManifest(fs: FileSystem, root: String, gen: Long,
-      live: Seq[String], dead: Seq[Tombstone],
+      live: Seq[(String, Long)], dead: Seq[Tombstone],
       txns: Map[String, Long] = Map.empty): Unit =
     writeLog(fs, root, s"m$gen",
-      (live.sorted.map("live " + _) ++
+      (live.sortBy(_._1).map(f => "live " + sizedBody(f)) ++
         dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
         txns.toSeq.sortBy(_._1).map { case (app, v) => s"txn $app $v" })
         .mkString("", "\n", "\n"))
 
   /** Incremental commit `i<gen>` (log v2): only this commit's delta —
-    * `add <relpath>` joins the live set, `tomb <gen> <ts> <relpath>`
-    * kills a live file, `txn <app> <version>` advances a streaming-txn
-    * high-water. O(delta) bytes instead of O(table files). */
+    * `add <size> <relpath>` joins the live set, `tomb <gen> <ts>
+    * <relpath>` kills a live file, `txn <app> <version>` advances a
+    * streaming-txn high-water. O(delta) bytes instead of O(table files). */
   private def writeIncrement(fs: FileSystem, root: String, gen: Long,
-      adds: Seq[String], tombs: Seq[Tombstone],
+      adds: Seq[(String, Long)], tombs: Seq[Tombstone],
       txn: Option[(String, Long)] = None): Unit =
     writeLog(fs, root, s"i$gen",
-      (adds.sorted.map("add " + _) ++
+      (adds.sortBy(_._1).map(f => "add " + sizedBody(f)) ++
         tombs.sortBy(_.path).map(t => s"tomb ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
         txn.map { case (app, v) => s"txn $app $v" }.toSeq)
         .mkString("", "\n", "\n"))
@@ -220,8 +241,8 @@ object Snapshot {
     * for the first commit of a store). `live`/`dead` must be the
     * POST-commit state; `adds`/`tombs` the delta that produced it. */
   private def commitDelta(fs: FileSystem, root: String, gen: Long,
-      live: Seq[String], dead: Seq[Tombstone],
-      adds: Seq[String], tombs: Seq[Tombstone],
+      live: Seq[(String, Long)], dead: Seq[Tombstone],
+      adds: Seq[(String, Long)], tombs: Seq[Tombstone],
       txns: Map[String, Long] = Map.empty,
       txn: Option[(String, Long)] = None,
       checkpointEvery: Int = CheckpointEvery): Unit = {
@@ -243,9 +264,10 @@ object Snapshot {
     val fs = fsFor(spark, root)
     val st = loadState(fs, root)
     val known = st.live.toSet ++ st.dead.map(_.path).toSet
-    val added = listDataFiles(fs, root).filterNot(known)
+    val added = listDataFiles(fs, root).filterNot(f => known(f._1))
+    val sizedLive = st.live.map(f => (f, st.sizes.getOrElse(f, -1L)))
     val next = st.gen + 1
-    commitDelta(fs, root, next, st.live ++ added, st.dead, added, Seq.empty,
+    commitDelta(fs, root, next, sizedLive ++ added, st.dead, added, Seq.empty,
       st.txns)
     next
   }
@@ -258,12 +280,15 @@ object Snapshot {
     val fs = fsFor(spark, root)
     val st = loadState(fs, root)
     val known = st.live.toSet ++ st.dead.map(_.path).toSet
-    val fresh = added.filterNot(known)
-    fresh.foreach { f =>
-      require(fs.exists(new Path(root, f)), s"commit of missing file $f")
+    // the existence check doubles as the size fetch (one RPC either way)
+    val fresh = added.filterNot(known).map { f =>
+      try (f, fs.getFileStatus(new Path(root, f)).getLen)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"commit of missing file $f") }
     }
+    val sizedLive = st.live.map(f => (f, st.sizes.getOrElse(f, -1L)))
     val next = st.gen + 1
-    commitDelta(fs, root, next, st.live ++ fresh, st.dead, fresh, Seq.empty,
+    commitDelta(fs, root, next, sizedLive ++ fresh, st.dead, fresh, Seq.empty,
       st.txns)
     next
   }
@@ -274,10 +299,10 @@ object Snapshot {
   def ingestCommitted(points: Dataset[DataPoint], root: String): Long = {
     val spark = points.sparkSession
     val fs = fsFor(spark, root)
-    val before = listDataFiles(fs, root).toSet
+    val before = listDataFiles(fs, root).map(_._1).toSet
     Ingest.ingestBatch(points, root)
-    val written = listDataFiles(fs, root).filterNot(before)
-    commit(spark, root, written)
+    val written = listDataFiles(fs, root).filterNot(f => before(f._1))
+    commit(spark, root, written.map(_._1))
   }
 
   /** Open a [[Committer]] — the cached single-committer handle whose
@@ -299,7 +324,7 @@ object Snapshot {
   final class Committer private[Snapshot] (spark: SparkSession, root: String) {
     private val fs = fsFor(spark, root)
     private var genV: Long = -1L
-    private val liveV = scala.collection.mutable.LinkedHashSet.empty[String]
+    private val liveV = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     private val deadV = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     private val txnsV = scala.collection.mutable.Map.empty[String, Long]
     private var sinceCkpt = 0
@@ -315,7 +340,8 @@ object Snapshot {
     def refresh(): Unit = {
       val st = loadState(fs, root)
       genV = st.gen
-      liveV.clear(); liveV ++= st.live
+      liveV.clear()
+      st.live.foreach(f => liveV(f) = st.sizes.getOrElse(f, -1L))
       deadV.clear(); st.dead.foreach(t => deadV(t.path) = t)
       txnsV.clear(); txnsV ++= st.txns
       val gens = manifestGens(fs, root)
@@ -338,11 +364,22 @@ object Snapshot {
     def commitAdded(added: Seq[String],
         checkpointEvery: Int = CheckpointEvery,
         retries: Int = 2,
-        txn: Option[(String, Long)] = None): Long = {
-      val fresh = added.filterNot(f => liveV.contains(f) || deadV.contains(f))
-      fresh.foreach { f =>
-        require(fs.exists(new Path(root, f)), s"commit of missing file $f")
-      }
+        txn: Option[(String, Long)] = None): Long =
+      commitSized(added.map(f => (f, -1L)), checkpointEvery, retries, txn)
+
+    private[Snapshot] def commitSized(added: Seq[(String, Long)],
+        checkpointEvery: Int, retries: Int,
+        txn: Option[(String, Long)]): Long = {
+      val fresh = added
+        .filterNot { case (f, _) => liveV.contains(f) || deadV.contains(f) }
+        .map { case (f, sz) =>
+          // the existence check doubles as the size fetch when the caller
+          // didn't already have it from a directory listing
+          if (sz >= 0) (f, sz)
+          else try (f, fs.getFileStatus(new Path(root, f)).getLen)
+          catch { case _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(s"commit of missing file $f") }
+        }
       val next = genV + 1
       try {
         if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
@@ -356,7 +393,7 @@ object Snapshot {
       } catch {
         case _: IllegalStateException if retries > 0 =>
           refresh() // another commit advanced the head; re-commit on top
-          return commitAdded(added, checkpointEvery, retries - 1, txn)
+          return commitSized(fresh, checkpointEvery, retries - 1, txn)
         case e: IllegalStateException =>
           throw new IllegalStateException(
             s"$root: generation $next collided repeatedly — concurrent " +
@@ -393,17 +430,17 @@ object Snapshot {
       val hours = points.toDF()
         .select(shardHourCol(col("timestamp")).as("h")).distinct()
         .collect().map(_.getLong(0))
-      def listHours(): Set[String] = hours.flatMap { h =>
+      def listHours(): Map[String, Long] = hours.flatMap { h =>
         val dir = new Path(root, s"shard_hour=$h")
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"shard_hour=$h/${f.getPath.getName}")
-      }.toSet
+          .map(f => (s"shard_hour=$h/${f.getPath.getName}", f.getLen))
+      }.toMap
       val before = listHours()
       Ingest.ingestBatch(points, root)
-      val written = (listHours() -- before).toVector
-      commitAdded(written, txn = txn)
+      val written = (listHours() -- before.keys).toVector
+      commitSized(written, CheckpointEvery, retries = 2, txn)
     }
   }
 
@@ -418,16 +455,39 @@ object Snapshot {
     * checkable per generation (r10 advisor: completion order across
     * concurrent clients is not commit order). */
   def readWithGen(spark: SparkSession, root: String): (Long, DataFrame) = {
-    val (gen, live, _) = latest(spark, root)
-    (gen, planOver(spark, root, live, gen))
+    val st = loadState(fsFor(spark, root), root)
+    (st.gen, planState(spark, root, st))
   }
 
-  private def planOver(spark: SparkSession, root: String,
-      live: Seq[String], gen: Long): DataFrame =
-    if (gen < 0) spark.read.parquet(root)
-    else if (live.isEmpty) spark.read.parquet(root).limit(0)
+  private def planState(spark: SparkSession, root: String,
+      st: LogState): DataFrame =
+    if (st.gen < 0) spark.read.parquet(root)
+    else if (st.live.isEmpty) spark.read.parquet(root).limit(0)
+    else if (st.live.forall(f => st.sizes.getOrElse(f, -1L) >= 0))
+      // every live file has a recorded size: plan straight from the log,
+      // ZERO filesystem calls (graft.sources.ManifestFileIndex — the
+      // explicit-file-list read below statuses every path on the driver,
+      // measured ~20 s at 100 k files / 100 k HEADs on an object store)
+      planFromLog(spark, root, st.live.map(f => (f, st.sizes(f))))
     else spark.read.option("basePath", root)
-      .parquet(live.map(f => s"$root/$f"): _*)
+      .parquet(st.live.map(f => s"$root/$f"): _*)
+
+  private def planFromLog(spark: SparkSession, root: String,
+      files: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val partitionSchema = StructType(Seq(
+      StructField("shard_hour", LongType, nullable = false)))
+    val index = new graft.sources.ManifestFileIndex(
+      new Path(root), files, partitionSchema)
+    // store files hold exactly the DataPoint columns (ingestBatch writes
+    // them; compactShard drops the partition column before writing)
+    val rel = HadoopFsRelation(index, partitionSchema,
+      graft.model.dataPointSchema, None, new ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, LogicalRelation(rel))
+  }
 
   /** Snapshot read + a reader lease on the planned generation: vacuum
     * retains every file this plan can touch until the lease is closed
@@ -435,13 +495,13 @@ object Snapshot {
     * any fixed grace window. */
   def pin(spark: SparkSession, root: String): (DataFrame, Lease) = {
     val fs = fsFor(spark, root)
-    val (gen, live, _) = latest(spark, root)
-    require(gen >= 0, s"no manifest at $root — nothing to pin")
+    val st = loadState(fs, root)
+    require(st.gen >= 0, s"no manifest at $root — nothing to pin")
     val dir = new Path(root, ManifestDir)
     val f = new Path(dir, s"lease-${java.util.UUID.randomUUID()}")
     val outS = fs.create(f, false)
-    try outS.write(gen.toString.getBytes("UTF-8")) finally outS.close()
-    (planOver(spark, root, live, gen), new Lease(gen, fs, f))
+    try outS.write(st.gen.toString.getBytes("UTF-8")) finally outS.close()
+    (planState(spark, root, st), new Lease(st.gen, fs, f))
   }
 
   /** Active leases as (gen, leaseFile, mtime). */
@@ -466,7 +526,7 @@ object Snapshot {
   def compactShard(spark: SparkSession, root: String, shardHour: Long,
       targetFiles: Int = 1): Long = {
     val fs = fsFor(spark, root)
-    val LogState(gen, live, dead, txns) = loadState(fs, root)
+    val LogState(gen, live, dead, txns, sizes) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root — commit() before compacting")
     val prefix = s"shard_hour=$shardHour/"
     val hourOld = live.filter(_.startsWith(prefix))
@@ -487,14 +547,15 @@ object Snapshot {
         val name = s"compact-$shardHour-${java.util.UUID.randomUUID()}.parquet"
         require(fs.rename(f.getPath, new Path(partDir, name)),
           s"could not move ${f.getPath} into $partDir")
-        s"shard_hour=$shardHour/$name"
+        (s"shard_hour=$shardHour/$name", f.getLen) // rename preserves length
       }
     fs.delete(tmp, true)
     val next = gen + 1
     val now = System.currentTimeMillis()
     val tombs = hourOld.map(Tombstone(next, now, _))
-    commitDelta(fs, root, next,
-      live.filterNot(_.startsWith(prefix)) ++ moved,
+    val keptSized = live.filterNot(_.startsWith(prefix))
+      .map(f => (f, sizes.getOrElse(f, -1L)))
+    commitDelta(fs, root, next, keptSized ++ moved,
       dead ++ tombs, moved, tombs, txns)
     next
   }
@@ -514,7 +575,7 @@ object Snapshot {
   def vacuum(spark: SparkSession, root: String, graceMs: Long = 0L,
       keepManifests: Int = 3, leaseTtlMs: Long = 24L * 3600000L): Long = {
     val fs = fsFor(spark, root)
-    val LogState(gen, live, dead, txns) = loadState(fs, root)
+    val LogState(gen, live, dead, txns, sizes) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root")
     val now = System.currentTimeMillis()
     val activeLeases = leases(fs, root).filter { case (_, p, mtime) =>
@@ -535,7 +596,8 @@ object Snapshot {
     // vacuum always writes a CHECKPOINT: purging tombstones is a
     // full-state rewrite, and it resets the replay chain for free.
     // Streaming-txn high-waters ride along — idempotence survives trims.
-    writeManifest(fs, root, gen + 1, live, remaining, txns)
+    writeManifest(fs, root, gen + 1,
+      live.map(f => (f, sizes.getOrElse(f, -1L))), remaining, txns)
     // Trim rule (log v2): a kept chain must START at a checkpoint, or
     // replay is impossible. Keep the newest `keepManifests` checkpoints
     // and every increment newer than the oldest kept checkpoint; delete

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] served ENTIRELY from the snapshot-manifest log — the
+  * Delta/Iceberg planning pattern (their logs record path + size for the
+  * same reason): the log already names every live file and its byte
+  * size, so building the scan needs ZERO filesystem calls. The stock
+  * explicit-file-list read statuses every path on the driver — measured
+  * ~20 s to PLAN a 100 k-file store locally, and on an object store
+  * that is 100 k HEAD round-trips per query.
+  *
+  * Isolation: Spark never re-lists anything through this index, so a
+  * concurrent writer's uncommitted files CANNOT leak into the scan —
+  * the same property the explicit file list had, without its O(files)
+  * planning cost.
+  *
+  * Partition pruning happens here (`listFiles` evaluates the pushed
+  * partition filters against each hour), so `shard_hour` predicates
+  * skip non-matching hours exactly as with a listed store. Fabricated
+  * `FileStatus` fields beyond (path, length): block size feeds split
+  * arithmetic (128 MB, the files' write-time row-group target) and
+  * mtime is 0 — neither affects parquet correctness.
+  */
+final class ManifestFileIndex(
+    root: Path,
+    files: Seq[(String, Long)], // (relpath `shard_hour=H/x.parquet`, bytes)
+    override val partitionSchema: StructType) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  private val byHour: Seq[(Long, Array[FileStatus])] = files
+    .map { case (rel, sz) =>
+      val hour = rel.substring(rel.indexOf('=') + 1, rel.indexOf('/')).toLong
+      (hour, new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(root, rel)))
+    }
+    .groupBy(_._1).toSeq
+    .map { case (h, fs) => (h, fs.map(_._2).toArray) }
+    .sortBy(_._1)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned =
+      if (partitionFilters.isEmpty) byHour
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partitionSchema.fieldIndex(a.name)
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        byHour.filter { case (h, _) => pred.eval(InternalRow(h)) }
+      }
+    pruned.map { case (h, fss) => PartitionDirectory(InternalRow(h), fss) }
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(f => new Path(root, f._1).toString).toArray
+
+  override def refresh(): Unit = () // immutable: a generation never changes
+
+  override def sizeInBytes: Long = files.map(_._2).sum
+}

@@ -300,6 +300,51 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshot.read(spark, store).count() == 350)
   }
 
+  test("manifest-planned reads: zero-FS-call plan equals the listed " +
+      "store, prunes shard_hour partitions, and sizeless legacy " +
+      "manifests fall back to the explicit-list read") {
+    val store = Files.createTempDirectory("graft_snapidx_").toString
+    (0 until 3).foreach(h => Ingest.ingestBatch(points(200, h, s"m$h"), store))
+    Snapshot.commit(spark, store)
+    val df = Snapshot.read(spark, store)
+    // the fast path plans via ManifestFileIndex
+    assert(df.queryExecution.analyzed.toString.contains("ManifestFileIndex") ||
+      df.queryExecution.executedPlan.toString.contains("ManifestFileIndex"),
+      "expected the manifest-planned scan on a size-recorded store")
+    // row-for-row equal to the stock directory read (no tombstones yet)
+    val plain = spark.read.parquet(store)
+    assert(df.count() == 600 &&
+      df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
+    // partition pruning: a shard_hour predicate scans ONE hour's file(s)
+    val pruned = df.filter(col("shard_hour") === baseMs / hourMs + 1)
+    assert(pruned.count() == 200)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\n")).mkString
+    assert(pruned.queryExecution.executedPlan
+      .toString.contains("PartitionFilters"), s"no partition filters: $scanned")
+    // values + schema survive (timestamp/value/metric + shard_hour)
+    assert(df.columns.toSet ==
+      Set("timestamp", "value", "metric", "shard_hour"))
+    // legacy (pre-size) manifest: rewrite the checkpoint without sizes —
+    // the reader must fall back to the explicit-file-list plan, same rows
+    val mdir = new java.io.File(s"$store/${Snapshot.ManifestDir}")
+    val ckpt = mdir.listFiles().filter(_.getName.startsWith("m"))
+      .maxBy(_.getName.stripPrefix("m").toLong)
+    val stripped = scala.io.Source.fromFile(ckpt).getLines().map { l =>
+      if (l.startsWith("live ")) "live " + l.drop(5).split(" ", 2).last
+      else l
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.write(ckpt.toPath, stripped.getBytes("UTF-8"))
+    // the local ChecksumFileSystem keeps a .crc sidecar; the raw rewrite
+    // above (simulating an old writer's file) must not trip it
+    new java.io.File(mdir, s".${ckpt.getName}.crc").delete()
+    val legacy = Snapshot.read(spark, store)
+    assert(!legacy.queryExecution.analyzed.toString.contains("ManifestFileIndex") &&
+      !legacy.queryExecution.executedPlan.toString.contains("ManifestFileIndex"))
+    assert(legacy.count() == 600 &&
+      legacy.exceptAll(plain).count() == 0)
+  }
+
   test("log v2 txn: ingestOnce skips re-delivered batches, and the " +
       "high-water survives restarts, maintenance checkpoints, and trims") {
     val store = Files.createTempDirectory("graft_snaptxn_").toString
