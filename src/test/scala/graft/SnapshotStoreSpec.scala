@@ -210,13 +210,18 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     val donor = hourDir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val orphan = new java.io.File(hourDir, "part-torn-orphan.parquet")
     java.nio.file.Files.copy(donor.toPath, orphan.toPath)
-    // the next exact-list ingest must NOT fold the orphan in
+    // the next exact-list ingest must NOT fold the orphan in — neither a
+    // batch into an untouched hour (trivially excluded by the r12
+    // hour-scoped diff) nor one into the orphan's OWN hour (present
+    // before the write, so the diff excludes it)
     Snapshot.ingestCommitted(points(300, 1, "cpu"), store)
     assert(Snapshot.read(spark, store).count() == 700)
-    assert(Ingest.readPoints(spark, store).count() == 700)
+    Snapshot.ingestCommitted(points(200, 0, "mem"), store)
+    assert(Snapshot.read(spark, store).count() == 900)
+    assert(Ingest.readPoints(spark, store).count() == 900)
     // adopt-everything commit() is the explicit opt-in that takes it
     Snapshot.commit(spark, store)
-    assert(Snapshot.read(spark, store).count() > 700)
+    assert(Snapshot.read(spark, store).count() > 900)
   }
 
   test("log v2: incremental commits replay exactly from the last " +
@@ -374,6 +379,108 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshot.read(spark, store).count() == 250)
     cm3.ingestOnce(points(100, 3, "d"), "app", 2L) // next batch applies
     assert(Snapshot.read(spark, store).count() == 350)
+  }
+
+  test("generation collision is detected ACROSS manifest spellings: a " +
+      "vacuum checkpoint (m<g>) racing a cached committer's increment " +
+      "(i<g>) is loud, and the default retry self-recovers") {
+    val store = Files.createTempDirectory("graft_snapx_").toString
+    val cm = Snapshot.committer(spark, store)
+    def hourFiles(h: Int): Seq[String] = {
+      val d = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + h}")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"shard_hour=${baseMs / hourMs + h}/${f.getName}").toSeq
+    }
+    Ingest.ingestBatch(points(100, 0, "a"), store)
+    cm.commitAdded(hourFiles(0)) // m0 (first commit checkpoints)
+    Ingest.ingestBatch(points(100, 1, "b"), store)
+    cm.commitAdded(hourFiles(1)) // i1
+    // maintenance commit the cached committer doesn't know about: vacuum
+    // always writes a CHECKPOINT — m2, a different SPELLING than the i2
+    // the stale committer is about to write. The r11 name-only guard
+    // never fired here; both gen-2 files landed and a pre-append vacuum
+    // checkpoint could silently drop the append (r11 advisor, high).
+    Snapshot.vacuum(spark, store, graceMs = 0L) // m2
+    Ingest.ingestBatch(points(100, 2, "c"), store)
+    intercept[IllegalStateException] {
+      cm.commitAdded(hourFiles(2), retries = 0)
+    }
+    assert(Snapshot.read(spark, store).count() == 200) // store uncorrupted
+    cm.commitAdded(hourFiles(2)) // default retries: refresh + re-commit
+    assert(Snapshot.read(spark, store).count() == 300)
+    val (g, _, _) = Snapshot.latest(spark, store)
+    assert(g == 3, s"expected the retried commit at gen 3, got $g")
+  }
+
+  test("equal-generation tie (a lost race on a non-atomic filesystem) " +
+      "replays checkpoint first, increment after: the increment's adds " +
+      "survive instead of being dropped by listing order") {
+    val store = Files.createTempDirectory("graft_snaptie_").toString
+    Ingest.ingestBatch(points(100, 0, "a"), store)
+    Snapshot.commit(spark, store) // m0
+    // hour-1 data that gen 1 SHOULD carry
+    Ingest.ingestBatch(points(100, 1, "b"), store)
+    val h1 = new java.io.File(s"$store/shard_hour=${baseMs / hourMs + 1}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (s"shard_hour=${baseMs / hourMs + 1}/${f.getName}", f.length))
+    val mdir = java.nio.file.Paths.get(store, Snapshot.ManifestDir)
+    // handcraft the lost race: i1 (the append) AND m1 (a maintenance
+    // checkpoint built from pre-append state — same content as m0) both
+    // on disk at generation 1. Deterministic replay order must be
+    // checkpoint-then-increment so the append is preserved.
+    val i1 = h1.map { case (f, sz) => s"add $sz $f" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(mdir.resolve("i1"), i1.getBytes("UTF-8"))
+    val m0 = new String(
+      java.nio.file.Files.readAllBytes(mdir.resolve("m0")), "UTF-8")
+    java.nio.file.Files.write(mdir.resolve("m1"), m0.getBytes("UTF-8"))
+    val (g, live, _) = Snapshot.latest(spark, store)
+    assert(g == 1)
+    h1.foreach { case (f, _) =>
+      assert(live.contains(f), s"increment add $f dropped by tie order") }
+    assert(Snapshot.read(spark, store).count() == 200)
+  }
+
+  test("vacuum sweeps stranded .tmp- commit files older than the lease " +
+      "TTL; a fresh (possibly in-flight) tmp stays") {
+    val store = Files.createTempDirectory("graft_snaptmp_").toString
+    Ingest.ingestBatch(points(100, 0, "a"), store)
+    Snapshot.commit(spark, store)
+    val mdir = new java.io.File(s"$store/${Snapshot.ManifestDir}")
+    val stale = new java.io.File(mdir, ".tmp-dead-writer")
+    val fresh = new java.io.File(mdir, ".tmp-in-flight")
+    java.nio.file.Files.write(stale.toPath, "add x".getBytes("UTF-8"))
+    java.nio.file.Files.write(fresh.toPath, "add y".getBytes("UTF-8"))
+    assert(stale.setLastModified(System.currentTimeMillis() - 7200000L))
+    Snapshot.vacuum(spark, store, graceMs = 0L, leaseTtlMs = 3600000L)
+    assert(!stale.exists(), "aged stranded tmp not swept")
+    assert(fresh.exists(), "in-flight tmp must not be taken")
+    assert(Snapshot.read(spark, store).count() == 100)
+  }
+
+  test("two sustained streaming writers (distinct appIds) interleave " +
+      "safely: every stale-cache commit recovers via one retry, nothing " +
+      "is lost, and both high-waters advance independently") {
+    val store = Files.createTempDirectory("graft_snapdual_").toString
+    val cmA = Snapshot.committer(spark, store)
+    val cmB = Snapshot.committer(spark, store)
+    // strict alternation — the serialized interleaving the HDFS/ABFS
+    // loud-failure contract supports (see Snapshot docs: instant-level
+    // races on S3A/local are excluded by the single-mid-commit rule).
+    // After each counterpart commit the other cache is stale, so EVERY
+    // commit from batch 1 on exercises the collision-retry path.
+    (0 until 6).foreach { i =>
+      cmA.ingestOnce(points(50, 2 * i, "a"), "appA", i.toLong)
+      cmB.ingestOnce(points(50, 2 * i + 1, "b"), "appB", i.toLong)
+    }
+    assert(Snapshot.read(spark, store).count() == 600)
+    val cm = Snapshot.committer(spark, store)
+    assert(cm.txnVersion("appA") == 5L && cm.txnVersion("appB") == 5L)
+    val (g, live, _) = Snapshot.latest(spark, store)
+    assert(g == 11, s"12 commits should land gens 0..11, got head $g")
+    assert(live.nonEmpty)
+    // re-delivery stays idempotent per app through the interleaving
+    cmA.ingestOnce(points(50, 0, "a"), "appA", 5L)
+    assert(Snapshot.read(spark, store).count() == 600)
   }
 
   test("log v2: Committer.ingest commits exactly its own files with a " +
