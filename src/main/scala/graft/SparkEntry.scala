@@ -220,6 +220,11 @@ object SparkEntry {
     "q_session_paths_blocked" -> ((s, dir) =>
       operators.Analytics.sessionPathsBlocked(Tables.events(s, dir),
         1800000000L, depth = 3, topK = 20)),
+    // measured-skew dispatch (r12, closing the adaptive family): plain vs
+    // blocked from the sampled hottest-user share, zero caller hints
+    "q_session_paths_adaptive" -> ((s, dir) =>
+      operators.Analytics.sessionPathsAdaptive(Tables.events(s, dir),
+        1800000000L, depth = 3, topK = 20)),
     // historian-style time-weighted mean over irregular samples
     "q_time_weighted_avg" -> ((s, dir) =>
       TimeSeries.timeWeightedAvg(Tables.events(s, dir))),
@@ -434,6 +439,10 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.nation(s, dir), "small", 1996, 500)),
     "q_transition_matrix" -> ((s, dir) =>
       operators.Analytics.transitionMatrix(Tables.events(s, dir))),
+    // measured-skew dispatch (r12): plain vs blocked-adjacency from the
+    // sampled hottest-user share, zero caller hints, bit-identical output
+    "q_transition_matrix_adaptive" -> ((s, dir) =>
+      operators.Analytics.transitionMatrixAdaptive(Tables.events(s, dir))),
     "q_lttb" -> ((s, dir) =>
       TimeSeries.lttb(Tables.events(s, dir), LttbOut)),
     "q_join_segment_revenue" -> ((s, dir) =>
@@ -1535,6 +1544,29 @@ object SparkEntry {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // the adaptive dispatcher picks plain or blocked — both bit-identical
+    // to the same path SQL, so the oracle is shared again
+    "q_session_paths_adaptive" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id, event_id, event_type, ts_us,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m),
+        |r AS (SELECT user_id, session_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id, session_id
+        |                                ORDER BY ts_us, event_id) AS rn
+        |      FROM s),
+        |p AS (SELECT user_id, session_id,
+        |             string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // mirror of TimeSeries.timeWeightedAvg: INTEGER cent·µs numerator
     // (a scale-2 decimal would double-round int128→double then /100),
     // same two-division chain
@@ -1841,6 +1873,21 @@ object SparkEntry {
         |FROM a
         |ORDER BY l_year""".stripMargin,
     "q_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |       CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+        |         AS prob
+        |FROM c""".stripMargin,
+    // the adaptive dispatcher picks plain or blocked-adjacency — both
+    // bit-identical to the same lead SQL, so the oracle is shared again
+    "q_transition_matrix_adaptive" ->
       """WITH t AS (
         |  SELECT event_type,
         |         lead(event_type) OVER (PARTITION BY user_id

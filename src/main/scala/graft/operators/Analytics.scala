@@ -575,17 +575,75 @@ object Analytics {
     * any engine. */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wTot = Window.partitionBy(col("from_type"))
-    events
+    pairsToMatrix(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("event_type").as("from_type"), col("to_type")))
+  }
+
+  /** (from, to) pair stream → counted, row-normalized matrix — shared by
+    * the plain and blocked transition builds so their outputs are
+    * bit-identical by construction (same count, same single long/long
+    * IEEE division over the tiny |types|² domain). */
+  private def pairsToMatrix(pairs: DataFrame): DataFrame = {
+    val wTot = Window.partitionBy(col("from_type"))
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total", sum(col("n")).over(wTot))
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("row_total").cast("double")).as("prob"))
   }
+
+  /** Skew-proof [[transitionMatrix]]: identical output, bounded window
+    * partitions — the [[TimeSeries.sessionizeBlocked]] treatment applied
+    * to ADJACENCY. The plain build's lead() runs one partition per user,
+    * so a hot user holding 90 % of events serializes 90 % of the pass on
+    * one task. Here the timeline is cut into `blockUs` blocks and
+    * adjacency decomposes EXACTLY into (a) within-block pairs — lead over
+    * `(user, block)`, hot-user parallelism = block count — and (b)
+    * cross-block pairs: each block's last event pairs with the user's
+    * next non-empty block's first event, built from one (first, last)
+    * summary row per (user, block) (the struct min/max carries the
+    * (ts, event_id) total order), so the stitch window is over
+    * block-level rows, never events. Default block: 1 hour. */
+  def transitionMatrixBlocked(events: DataFrame,
+      blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else 3600000000L
+    val e = events.select(col("user_id"), tsUs(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"))
+      .withColumn("blk", expr(s"ts_us div ${block}L"))
+    val wLocal = Window.partitionBy(col("user_id"), col("blk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val localPairs = e
+      .withColumn("to_type", lead(col("event_type"), 1).over(wLocal))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("blk"))
+    val boundaryPairs = e
+      .groupBy(col("user_id"), col("blk"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("last"))
+      .withColumn("next_first", lead(col("first"), 1).over(wUser))
+      .filter(col("next_first").isNotNull)
+      .select(col("last.event_type").as("from_type"),
+        col("next_first.event_type").as("to_type"))
+    pairsToMatrix(localPairs.unionByName(boundaryPairs))
+  }
+
+  /** Adaptive [[transitionMatrix]]: same measured-skew dispatch as
+    * [[TimeSeries.sessionizeAdaptive]] (see there for the threshold
+    * rationale) — plain on balanced users, the blocked adjacency
+    * decomposition when the sampled hottest-user share crosses
+    * `skewThreshold`. Bit-identical either way. */
+  def transitionMatrixAdaptive(events: DataFrame, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (TimeSeries.sampledMaxKeyShare(events, "user_id", sampleFraction)
+        >= skewThreshold)
+      transitionMatrixBlocked(events, blockUs)
+    else transitionMatrix(events)
 
   /** Top-k session-opening paths: the ordered sequence of the first
     * `depth` event types of every gap-delimited session (same gap rule

@@ -141,7 +141,14 @@ object StreamingIngest {
             state.remove()
             Iterator.single(ClosedSession(userId, s.start_us, s.last_us, s.n))
           } else {
-            val sorted = rows.map(_.ts_us).toSeq.sorted
+            // primitive array + in-place sort: the hot-key task of a
+            // 99%-one-key batch folds millions of rows alone, and the
+            // former boxed `toSeq.sorted` held ~24 bytes/row of boxed
+            // Longs + cons cells live through the sort (r12 skew probe);
+            // Array[Long] is 8 bytes/row and Arrays.sort is allocation-free
+            val sorted = { val b = Array.newBuilder[Long]
+              rows.foreach(r => b += r.ts_us); b.result() }
+            java.util.Arrays.sort(sorted)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { ts =>
@@ -351,7 +358,17 @@ object StreamingIngest {
           } else {
             var cur = state.getOption
             val out = Vector.newBuilder[ClosedInterval]
-            rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+            // in-place comparator sort: `toSeq.sortBy((ts, id))` allocated
+            // a boxed key TUPLE per row — on a 99%-one-key batch the hot
+            // task carries millions of rows, so per-row allocation is the
+            // skew bottleneck (r12 skew probe)
+            val arr = rows.toArray
+            java.util.Arrays.sort(arr,
+              (a: StateEventT, b: StateEventT) => {
+                val c = java.lang.Long.compare(a.ts_us, b.ts_us)
+                if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+              })
+            arr.foreach { r =>
               cur match {
                 // STALE row: older than the open interval's start (only
                 // possible via cross-batch reordering). Without this

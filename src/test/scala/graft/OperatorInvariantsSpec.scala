@@ -311,6 +311,49 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
         balanced, gapT, gapT + 1)).count() == 0)
   }
 
+  test("transitionMatrixBlocked/Adaptive are row-identical to the plain " +
+      "build on the corpus and on a block-boundary-straddling fixture") {
+    import spark.implicits._
+    // fixture: pairs that straddle block boundaries (block = 100 µs) —
+    // the cross-block stitch must contribute exactly the boundary pairs,
+    // including across an EMPTY intermediate block (u=1, 95 -> 310)
+    def fx(rows: Seq[(Long, Long, Long, String)]) = rows
+      .toDF("user_id", "event_id", "t_us", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val straddle = fx(Seq(
+      (0L, 0L, 10L, "a"), (0L, 1L, 95L, "b"),   // in-block pair a>b
+      (0L, 2L, 105L, "c"), (0L, 3L, 199L, "a"), // boundary b>c, local c>a
+      (0L, 4L, 201L, "b"),                      // boundary a>b
+      (1L, 5L, 95L, "x"), (1L, 6L, 310L, "y"),  // empty block between
+      (2L, 7L, 50L, "z")))                      // single event: no pairs
+    val plain = graft.operators.Analytics.transitionMatrix(straddle)
+    val blocked = graft.operators.Analytics.transitionMatrixBlocked(
+      straddle, blockUs = 100L)
+    assert(plain.exceptAll(blocked).count() == 0 &&
+      blocked.exceptAll(plain).count() == 0,
+      s"plain=${plain.collect().mkString(";")} " +
+        s"blocked=${blocked.collect().mkString(";")}")
+    // closed form: u0 has 4 adjacencies (a>b, b>c, c>a, a>b), u1 one
+    // (x>y), u2 none → 5 adjacencies over 4 distinct (from,to) rows
+    assert(plain.agg(sum("n")).collect()(0).getLong(0) == 5 &&
+      plain.count() == 4)
+    // adaptive: zero caller hints, bit-identical on BOTH dispatch sides
+    val skewed = fx((0L until 17L).map(i => (9L, i, i * 40L, s"e${i % 3}")) ++
+      (0L until 3L).map(i => (i, 17L + i, i * 3L, "e0")))
+    for (ev <- Seq(straddle, skewed)) {
+      val p = graft.operators.Analytics.transitionMatrix(ev)
+      val a = graft.operators.Analytics.transitionMatrixAdaptive(
+        ev, blockUs = 100L, sampleFraction = 1.0)
+      assert(p.exceptAll(a).count() == 0 && a.exceptAll(p).count() == 0)
+    }
+    // corpus: real events table, default (1 h) block
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val pc = graft.operators.Analytics.transitionMatrix(events)
+    val bc = graft.operators.Analytics.transitionMatrixBlocked(events)
+    assert(pc.exceptAll(bc).count() == 0 && bc.exceptAll(pc).count() == 0)
+  }
+
   test("sessionPathsBlocked is row-identical to sessionPaths on the corpus " +
       "and on a prefix-straddling fixture") {
     import spark.implicits._
