@@ -150,6 +150,22 @@ object SparkEntry {
       TimeSeries.counterRate(Tables.events(s, dir))),
     "q_cumsum" -> ((s, dir) =>
       TimeSeries.cumSum(Tables.events(s, dir))),
+    // measured-skew dispatch for the raw-event series family (r12):
+    // plain single-window vs blocked (bounded partitions + boundary
+    // repair) from the sampled hottest-SERIES share, bit-identical
+    // either way — oracles shared with the plain forms (adaptiveTwins)
+    "q_window_delta_adaptive" -> ((s, dir) =>
+      TimeSeries.windowDeltaAdaptive(Tables.events(s, dir))),
+    "q_moving_avg_adaptive" -> ((s, dir) =>
+      TimeSeries.movingAvgAdaptive(Tables.events(s, dir))),
+    "q_counter_rate_adaptive" -> ((s, dir) =>
+      TimeSeries.counterRateAdaptive(Tables.events(s, dir))),
+    "q_cumsum_adaptive" -> ((s, dir) =>
+      TimeSeries.cumSumAdaptive(Tables.events(s, dir))),
+    "q_time_weighted_avg_adaptive" -> ((s, dir) =>
+      TimeSeries.timeWeightedAvgAdaptive(Tables.events(s, dir))),
+    "q_availability_adaptive" -> ((s, dir) =>
+      TimeSeries.availabilityAdaptive(Tables.events(s, dir), 1800000000L)),
     "q_series_align" -> ((s, dir) =>
       TimeSeries.seriesAlign(Tables.events(s, dir), "purchase", "error")),
     "q_xcorr_lag" -> ((s, dir) =>
@@ -1008,7 +1024,21 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, one per [[queries]] key; column names/aliases match
     * the Spark output exactly (driver compare sorts columns by name). */
-  def oracleSql: Map[String, String] = Map(
+  /** The r12 series-family adaptive dispatchers are spec-pinned
+    * bit-identical to their plain forms, so their oracles are SHARED by
+    * reference (new name → plain name) instead of copying the SQL. */
+  private val adaptiveTwins = Map(
+    "q_window_delta_adaptive" -> "q_window_delta",
+    "q_moving_avg_adaptive" -> "q_moving_avg",
+    "q_counter_rate_adaptive" -> "q_counter_rate",
+    "q_cumsum_adaptive" -> "q_cumsum",
+    "q_time_weighted_avg_adaptive" -> "q_time_weighted_avg",
+    "q_availability_adaptive" -> "q_availability")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlBase ++ adaptiveTwins.map { case (k, v) => k -> oracleSqlBase(v) }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_range_scan" ->
       s"""SELECT event_id, epoch_us(ts) AS ts_us, value
          |FROM events

@@ -864,6 +864,231 @@ object TimeSeries {
       sessionizeBlocked(events, gapUs, blockUs)
     else sessionize(events, gapUs)
 
+  // ---------------------------------------------------------------------
+  // Blocked per-series window family (r12): the sessionizeBlocked
+  // treatment generalized to every raw-event series window. The plain
+  // forms partition by `event_type` — correct and one shuffle, but ONE
+  // window partition per series: a hot series holding 90 % of events
+  // serializes 90 % of the pass on one task (AQE cannot split a window
+  // partition). Each blocked form bounds partitions by (series, block)
+  // and repairs the boundary with block-SUMMARY rows (one per series per
+  // block), so hot-series parallelism = block count while outputs stay
+  // bit-identical (spec-pinned per op, corpus + adversarial fixtures).
+  // ---------------------------------------------------------------------
+
+  /** Adds `prev_<c>` (or `next_<c>`) = lag/lead(c, 1) over the per-series
+    * (ts_us, event_id) total order, computed with BOUNDED partitions:
+    * lag/lead within `(event_type, blk)` plus each block's edge row
+    * carried from the neighboring block via one summary row per
+    * (series, block) — the struct min/max carries the (ts_us, event_id)
+    * order, the block-level lag/lead window is over summary rows only,
+    * and the fix-up join is summary-sized (AQE broadcasts it). The edge
+    * row is identified by rank, not null-ness, so NULL data values carry
+    * correctly. Input must have `event_type`, `ts_us`, `event_id` and
+    * the `carry` columns. */
+  private def blockedNeighbor(e: DataFrame, carry: Seq[String], block: Long,
+      useLead: Boolean): DataFrame = {
+    val pre = if (useLead) "next_" else "prev_"
+    val wLocal = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wBlk = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+    val b = e.withColumn("blk", expr(s"ts_us div ${block}L"))
+    val withLocal = carry.foldLeft(b)((df, c) => df.withColumn(pre + c,
+      (if (useLead) lead(col(c), 1) else lag(col(c), 1)).over(wLocal)))
+      // the row whose neighbor lives in the adjacent block: the block's
+      // LAST row for lag (its prev is local), FIRST for lead — mark the
+      // opposite edge, the one with a missing local neighbor
+      .withColumn("_edge",
+        row_number().over(if (useLead) Window.partitionBy(col("event_type"),
+          col("blk")).orderBy(col("ts_us").desc, col("event_id").desc)
+        else wLocal) === 1)
+    val payload = (Seq("ts_us", "event_id") ++ carry).distinct
+    val summary = b.groupBy(col("event_type"), col("blk"))
+      .agg((if (useLead) min(struct(payload.map(col): _*))
+            else max(struct(payload.map(col): _*))).as("edge"))
+    val neighbor = summary
+      .withColumn("nedge",
+        (if (useLead) lead(col("edge"), 1) else lag(col("edge"), 1)).over(wBlk))
+      .filter(col("nedge").isNotNull)
+      .select(col("event_type") +: col("blk") +:
+        carry.map(c => col(s"nedge.$c").as(s"_carry_$c")): _*)
+    val joined = withLocal.join(neighbor, Seq("event_type", "blk"), "left")
+    carry.foldLeft(joined)((df, c) => df.withColumn(pre + c,
+      when(col("_edge"), col(s"_carry_$c")).otherwise(col(pre + c))))
+      .drop("_edge" +: carry.map(c => s"_carry_$c"): _*)
+  }
+  private val DefaultSeriesBlockUs = 3600000000L // 1 h
+
+  /** Skew-proof [[windowDelta]]: bit-identical, hot-series parallelism =
+    * block count (see the family note above). */
+  def windowDeltaBlocked(events: DataFrame, blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else DefaultSeriesBlockUs
+    val e = events.select(col("event_id"), col("event_type"),
+      tsUs(col("ts")).as("ts_us"), col("value"))
+    blockedNeighbor(e, Seq("ts_us", "value"), block, useLead = false)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"),
+        (col("value") - col("prev_value")).as("delta"),
+        (col("ts_us") - col("prev_ts_us")).as("ts_delta_us"))
+  }
+
+  /** Skew-proof [[counterRate]]: bit-identical (same reset rule, same
+    * exact-decimal accumulation — the carry only changes WHERE the lag
+    * is computed, never its value). */
+  def counterRateBlocked(events: DataFrame, blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else DefaultSeriesBlockUs
+    val e = events
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ts_us", tsUs(col("ts")))
+    blockedNeighbor(e, Seq("value"), block, useLead = false)
+      .withColumn("inc",
+        when(col("prev_value").isNull, lit(null).cast("double"))
+          .when(col("value") >= col("prev_value"),
+            col("value") - col("prev_value"))
+          .otherwise(col("value")))
+      .groupBy(col("event_type"),
+        tsUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        sum(col("inc").cast("decimal(18,2)")).cast("double").as("increase_sum"),
+        count(col("inc")).as("n_increases"))
+  }
+
+  /** Skew-proof [[timeWeightedAvg]]: the lead-shaped twin — each block's
+    * last row takes its holding interval from the NEXT block's first
+    * sample. Integer numerator unchanged, so bit-identical. */
+  def timeWeightedAvgBlocked(events: DataFrame, blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else DefaultSeriesBlockUs
+    val e = events.select(col("event_type"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      tsUs(col("ts")).as("ts_us"))
+    blockedNeighbor(e, Seq("ts_us"), block, useLead = true)
+      .withColumn("dur_us", col("next_ts_us") - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
+          sum(col("dur_us")).cast("double") / lit(100.0)).as("twa"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Skew-proof [[availability]]: same lead-shaped carry as
+    * [[timeWeightedAvgBlocked]]; all-integer sums, bit-identical. */
+  def availabilityBlocked(events: DataFrame, sloUs: Long,
+      blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else DefaultSeriesBlockUs
+    val e = events.select(col("event_type"), col("event_id"),
+      tsUs(col("ts")).as("ts_us"))
+    blockedNeighbor(e, Seq("ts_us"), block, useLead = true)
+      .withColumn("gap_us", col("next_ts_us") - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("gap_us")).as("max_gap_us"),
+        sum(when(col("gap_us") > sloUs, 1L).otherwise(0L)).as("n_breaches"),
+        (sum(least(col("gap_us"), lit(sloUs))).cast("double") /
+          sum(col("gap_us")).cast("double")).as("uptime"))
+  }
+
+  /** Skew-proof [[cumSum]]: per-(series, block) local running DECIMAL
+    * sums plus an exclusive per-series prefix of block totals (a window
+    * over one summary row per block, joined back summary-sized). Decimal
+    * addition is exact and associative, so the regrouping is
+    * bit-identical after the single double cast. */
+  def cumSumBlocked(events: DataFrame, blockUs: Long = 0L): DataFrame = {
+    val block = if (blockUs > 0L) blockUs else DefaultSeriesBlockUs
+    val e = events.select(col("event_id"), col("event_type"),
+      tsUs(col("ts")).as("ts_us"), col("value"))
+      .withColumn("blk", expr(s"ts_us div ${block}L"))
+    val wLocal = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = e.groupBy(col("event_type"), col("blk"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("blk_sum"))
+      .withColumn("carry", sum(col("blk_sum")).over(wPrev))
+      .select(col("event_type"), col("blk"), col("carry"))
+    e.withColumn("local_sum",
+        sum(col("value").cast("decimal(18,2)")).over(wLocal))
+      .join(carry, Seq("event_type", "blk"), "left")
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        (col("local_sum") + coalesce(col("carry"),
+          lit(0).cast("decimal(18,2)"))).cast("double").as("running_sum"))
+  }
+
+  /** Skew-proof [[movingAvg]]: a ROWS frame needs the previous `trailing`
+    * rows wherever they fall in time, so time blocks can't bound it.
+    * Instead rows get a dense per-series index from
+    * [[Analytics.distributedRank]] (range-repartition — itself
+    * skew-proof), blocks cut every `blockRows` indices, and each block's
+    * last `trailing` rows are GHOSTED into the next block: every real
+    * row's frame then sees exactly its true trailing predecessors (ghost
+    * duplication is `trailing` rows per block — bounded). Ghost rows
+    * feed frames but are never emitted. Bit-identical: same frame
+    * contents, same exact-decimal sum, same count. */
+  def movingAvgBlocked(events: DataFrame, trailing: Int = 59,
+      blockRows: Long = 0L): DataFrame = {
+    val bRows = if (blockRows > 0L) blockRows else 262144L
+    require(bRows > trailing, s"blockRows=$bRows must exceed trailing=$trailing")
+    val e = events.select(col("event_id"), col("event_type"),
+      tsUs(col("ts")).as("ts_us"), col("value"))
+    val ranked = Analytics.distributedRank(e, Seq("event_type"),
+      Seq(col("ts_us"), col("event_id")))
+      .withColumn("blk", expr(s"(rn - 1) div ${bRows}L"))
+    val ghosts = ranked.filter(expr(s"(rn - 1) % ${bRows}L >= ${bRows - trailing}L"))
+      .withColumn("blk", col("blk") + 1L).withColumn("_ghost", lit(1))
+    val w = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("rn")).rowsBetween(-trailing, Window.currentRow)
+    ranked.withColumn("_ghost", lit(0)).unionByName(ghosts)
+      .withColumn("moving_avg",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("_ghost") === 0)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("moving_avg"))
+  }
+
+  /** Measured-skew dispatch for the whole series family (the
+    * [[sessionizeAdaptive]] pattern on the `event_type` key): plain
+    * single-window forms on balanced series, the blocked forms when the
+    * sampled hottest-series share crosses `skewThreshold`. Bit-identical
+    * either way (spec-pinned per op). */
+  def windowDeltaAdaptive(events: DataFrame, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      windowDeltaBlocked(events, blockUs)
+    else windowDelta(events)
+
+  def counterRateAdaptive(events: DataFrame, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      counterRateBlocked(events, blockUs)
+    else counterRate(events)
+
+  def timeWeightedAvgAdaptive(events: DataFrame, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      timeWeightedAvgBlocked(events, blockUs)
+    else timeWeightedAvg(events)
+
+  def availabilityAdaptive(events: DataFrame, sloUs: Long, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      availabilityBlocked(events, sloUs, blockUs)
+    else availability(events, sloUs)
+
+  def cumSumAdaptive(events: DataFrame, blockUs: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      cumSumBlocked(events, blockUs)
+    else cumSum(events)
+
+  def movingAvgAdaptive(events: DataFrame, trailing: Int = 59,
+      blockRows: Long = 0L, sampleFraction: Double = 0.01,
+      skewThreshold: Double = 0.2): DataFrame =
+    if (sampledMaxKeyShare(events, "event_type", sampleFraction) >= skewThreshold)
+      movingAvgBlocked(events, trailing, blockRows)
+    else movingAvg(events, trailing)
+
   /** [[sessionize]] via Spark's NATIVE `session_window` operator — the
     * built-in (codegen'd `SessionWindowing` + merging state in streaming)
     * rather than the lag/cumsum island method. Merge semantics are

@@ -311,6 +311,69 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
         balanced, gapT, gapT + 1)).count() == 0)
   }
 
+  test("the blocked series-window family (delta/counterRate/twa/" +
+      "availability/cumSum/movingAvg) is row-identical to the plain " +
+      "forms on the corpus and on boundary-adversarial fixtures, and " +
+      "the adaptive dispatchers agree on BOTH sides of the threshold") {
+    import graft.operators.TimeSeries
+    def eq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$tag mismatch: plain=${a.count()} blocked=${b.count()} " +
+          s"diff=${a.exceptAll(b).take(3).mkString(";")}")
+    // fixture: block = 100 µs; series A straddles boundaries with a
+    // counter RESET exactly at a boundary (50.0 -> 2.0 across 95->105),
+    // an empty intermediate block (250 -> 460), and 2-decimal values;
+    // series B is a single event (no pairs/deltas anywhere); series C
+    // has two events in one block.
+    import spark.implicits._
+    val fx = Seq(
+      ("A", 0L, 10L, 1.25), ("A", 1L, 95L, 50.0),
+      ("A", 2L, 105L, 2.0), ("A", 3L, 199L, 2.5),
+      ("A", 4L, 201L, 7.75), ("A", 5L, 250L, 3.0), ("A", 6L, 460L, 9.0),
+      ("B", 7L, 130L, 4.0),
+      ("C", 8L, 20L, 1.0), ("C", 9L, 30L, 0.5))
+      .toDF("event_type", "event_id", "t_us", "value")
+      .select(col("event_type"), col("event_id"), col("value"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val corpus = graft.sources.Tables.events(spark, sf0001)
+    for ((ev, blockUs, tag) <- Seq((fx, 100L, "fx"),
+        (corpus, 3600000000L, "corpus"))) {
+      eq(TimeSeries.windowDelta(ev),
+        TimeSeries.windowDeltaBlocked(ev, blockUs), s"$tag windowDelta")
+      eq(TimeSeries.counterRate(ev),
+        TimeSeries.counterRateBlocked(ev, blockUs), s"$tag counterRate")
+      eq(TimeSeries.timeWeightedAvg(ev),
+        TimeSeries.timeWeightedAvgBlocked(ev, blockUs), s"$tag twa")
+      eq(TimeSeries.availability(ev, 50L),
+        TimeSeries.availabilityBlocked(ev, 50L, blockUs), s"$tag availability")
+      eq(TimeSeries.cumSum(ev),
+        TimeSeries.cumSumBlocked(ev, blockUs), s"$tag cumSum")
+      // trailing=3 on the fixture exercises frames spanning >1 block
+      // (and, with blockRows=4, a frame reaching only ghost rows)
+      val trail = if (tag == "fx") 3 else 59
+      val bRows = if (tag == "fx") 4L else 262144L
+      eq(TimeSeries.movingAvg(ev, trail),
+        TimeSeries.movingAvgBlocked(ev, trail, bRows), s"$tag movingAvg")
+    }
+    // adaptive: zero caller hints, bit-identical on BOTH dispatch sides —
+    // fx is balanced-ish (A=70%); force both branches via threshold
+    for (thr <- Seq(0.05, 0.99)) {
+      eq(TimeSeries.windowDelta(fx), TimeSeries.windowDeltaAdaptive(
+        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive d $thr")
+      eq(TimeSeries.counterRate(fx), TimeSeries.counterRateAdaptive(
+        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive c $thr")
+      eq(TimeSeries.timeWeightedAvg(fx), TimeSeries.timeWeightedAvgAdaptive(
+        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive t $thr")
+      eq(TimeSeries.availability(fx, 50L), TimeSeries.availabilityAdaptive(
+        fx, 50L, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive a $thr")
+      eq(TimeSeries.cumSum(fx), TimeSeries.cumSumAdaptive(
+        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive s $thr")
+      eq(TimeSeries.movingAvg(fx, 3), TimeSeries.movingAvgAdaptive(
+        fx, 3, 4L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive m $thr")
+    }
+  }
+
   test("transitionMatrixBlocked/Adaptive are row-identical to the plain " +
       "build on the corpus and on a block-boundary-straddling fixture") {
     import spark.implicits._
