@@ -36,8 +36,14 @@ import org.apache.spark.sql.functions._
   * in-place comparator sort. alertForStream already folds each row into
   * bounded per-hour state in O(1) with no batch materialization.
   *
-  * Usage: `StreamSkewProbe [sessionize|scd2|alert|all] [nRows]`
-  * (default: all 10M). Deterministic: `spark.range` generators, fixed
+  * Usage: `StreamSkewProbe [sessionize|scd2|alert|all] [nRows] [kill]`
+  * (default: all 10M). With `kill`, each stream is stopped from the
+  * probe thread the moment its first batch commits — mid-flight of a
+  * FAT hot-key batch — and restarted from the checkpoint; every
+  * closed-form assertion must hold ACROSS the kill (the
+  * [[AlertStreamProbe]] discipline, now under 99 % skew: the
+  * re-delivered batch replays the hot key's millions of rows against
+  * recovered state). Deterministic: `spark.range` generators, fixed
   * epochs.
   */
 object StreamSkewProbe {
@@ -71,6 +77,7 @@ object StreamSkewProbe {
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse("all")
     val n = if (args.length > 1) args(1).toLong else 10000000L
+    killMidRun = args.lift(2).contains("kill")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,8 +97,21 @@ object StreamSkewProbe {
     spark.stop()
   }
 
-  private def runAndReport(q: org.apache.spark.sql.streaming.StreamingQuery,
+  private var killMidRun = false
+
+  /** Start (and with `kill`, stop-after-first-commit then restart) the
+    * query, drain it, and report per-batch + task-skew telemetry. */
+  private def runAndReport(startQuery: () => org.apache.spark.sql.streaming.StreamingQuery,
       stats: TaskStats, tag: String): Unit = {
+    if (killMidRun) {
+      val q1 = startQuery()
+      while (q1.isActive && !q1.recentProgress.exists(_.numInputRows > 0))
+        Thread.sleep(50)
+      q1.stop() // interrupts whatever fat batch is mid-flight
+      println(s"$tag: KILL landed after batchId=" +
+        Option(q1.lastProgress).map(_.batchId).getOrElse(-1L))
+    }
+    val q = startQuery()
     val t0 = System.nanoTime()
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -152,7 +172,7 @@ object StreamSkewProbe {
       .write.mode("append").parquet(srcDir)
 
     val schema = spark.read.parquet(srcDir).schema
-    val q = StreamingIngest.sessionizeStream(
+    def startQuery() = StreamingIngest.sessionizeStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
         .parquet(srcDir).as[StreamingIngest.SessionEvent],
@@ -160,7 +180,7 @@ object StreamSkewProbe {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckDir)
       .format("parquet").option("path", outDir).start()
-    runAndReport(q, stats, "SESSIONIZE")
+    runAndReport(() => startQuery(), stats, "SESSIONIZE")
 
     val sink = spark.read.parquet(outDir)
     val hot = sink.filter(col("user_id") === 0L)
@@ -214,7 +234,7 @@ object StreamSkewProbe {
       .write.mode("append").parquet(srcDir)
 
     val schema = spark.read.parquet(srcDir).schema
-    val q = StreamingIngest.scd2Stream(
+    def startQuery() = StreamingIngest.scd2Stream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
         .parquet(srcDir).as[StreamingIngest.StateEvent],
@@ -222,7 +242,7 @@ object StreamSkewProbe {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckDir)
       .format("parquet").option("path", outDir).start()
-    runAndReport(q, stats, "SCD2")
+    runAndReport(() => startQuery(), stats, "SCD2")
 
     val sink = spark.read.parquet(outDir)
     val hot = sink.filter(col("user_id") === 0L)
@@ -275,7 +295,7 @@ object StreamSkewProbe {
       .write.mode("append").parquet(srcDir)
 
     val schema = spark.read.parquet(srcDir).schema
-    val q = StreamingIngest.alertForStream(
+    def startQuery() = StreamingIngest.alertForStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").option("latestFirst", "false")
         .parquet(srcDir).as[StreamingIngest.AlertEvent],
@@ -283,7 +303,7 @@ object StreamSkewProbe {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckDir)
       .format("parquet").option("path", outDir).start()
-    runAndReport(q, stats, "ALERT")
+    runAndReport(() => startQuery(), stats, "ALERT")
 
     val sink = spark.read.parquet(outDir)
     val h0 = (baseUs / hourUs) * hourUs
