@@ -12,9 +12,12 @@ object Probe {
     val Array(sfDir, repsS, names) = args
     val reps = repsS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // A/B knob for partition-count experiments (defaults to cores, the
+    // Bench convention): SPARK_GRAFT_SHUFFLE_PARTITIONS=256
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // same A/B knob as Bench: byte-targeted AQE coalescing

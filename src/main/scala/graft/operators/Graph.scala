@@ -862,11 +862,30 @@ object Graph {
     * (ra_fx, item_a, item_b) total order. */
   def resourceAllocation(interactions: DataFrame, maxDegree: Int,
       topK: Int): DataFrame = {
+    val spark = interactions.sparkSession
     val adj = ckptEdges(interactions.select(col("z"), col("s")).distinct()
       .repartition(col("z")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-    val w = adj.join(deg.filter(col("deg") <= maxDegree), Seq("z"))
+    val capped = deg.filter(col("deg") <= maxDegree)
+    // Count-gated fan-out partitioning (r12; the BroadcastNodeBudget
+    // pattern): the self-join's INPUT is edge-sized (~100 MB at 10 M
+    // edges) but its OUTPUT is the Σ C(deg,2) pair stream plus a
+    // per-task partial-agg hash table over (item_a, item_b) — both
+    // invisible to AQE, which sizes (or coalesces) the z-exchange by
+    // post-shuffle BYTES and so lands multi-million-pair hash tables on
+    // a handful of tasks (measured 24× at 10× data, 125 M pairs over 32
+    // tasks; 4× back with ~500 k pairs/task). The degree frame gives the
+    // pair volume EXACTLY, so size the exchange from it: explicit
+    // numPartitions also keeps AQE from re-coalescing the fan-out away.
+    val pairVol = Option(capped
+      .agg(expr("sum(deg * (deg - 1) div 2)")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val nParts = math.max(defaultParts,
+      math.min(4096L, pairVol / 500000L + 1L).toInt)
+    val w = adj.join(capped, Seq("z"))
       .select(col("z"), col("s"), expr(s"$RaFx div deg").as("wfx"))
+      .repartition(nParts, col("z"))
     val a = w.select(col("z"), col("s").as("item_a"), col("wfx"))
     val b = w.select(col("z"), col("s").as("item_b"))
     a.join(b, Seq("z")).filter(col("item_a") < col("item_b"))
