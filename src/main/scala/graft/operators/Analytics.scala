@@ -611,9 +611,33 @@ object Analytics {
   def transitionMatrixBlocked(events: DataFrame,
       blockUs: Long = 0L): DataFrame = {
     val block = if (blockUs > 0L) blockUs else 3600000000L
-    val e = events.select(col("user_id"), tsUs(col("ts")).as("ts_us"),
-      col("event_id"), col("event_type"))
-      .withColumn("blk", expr(s"ts_us div ${block}L"))
+    transitionOnBlocks(events
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("blk", expr(s"ts_us div ${block}L")))
+  }
+
+  /** Density-proof [[transitionMatrixBlocked]]: COUNT blocks on the
+    * per-user [[distributedRank]] index — a hot user whose events all
+    * land in one hour still gets ceil(rows/blockRows)-way adjacency
+    * parallelism (time blocks re-serialize that burst). Identical
+    * decomposition downstream, bit-identical output. */
+  def transitionMatrixBlockedRows(events: DataFrame,
+      blockRows: Long = 0L): DataFrame = {
+    val bRows = if (blockRows > 0L) blockRows else 262144L
+    transitionOnBlocks(distributedRank(
+        events.select(col("user_id"), tsUs(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .drop("off", "n")
+      .withColumn("blk", expr(s"(rn - 1) div ${bRows}L")))
+  }
+
+  /** Shared tail of the blocked transition builds: within-block
+    * adjacency plus the block-summary boundary stitch. Requires `blk`
+    * contiguous and ascending in the per-user (ts_us, event_id) order
+    * — true for time cuts and count cuts alike. */
+  private def transitionOnBlocks(e: DataFrame): DataFrame = {
     val wLocal = Window.partitionBy(col("user_id"), col("blk"))
       .orderBy(col("ts_us"), col("event_id"))
     val localPairs = e
@@ -633,17 +657,23 @@ object Analytics {
     pairsToMatrix(localPairs.unionByName(boundaryPairs))
   }
 
-  /** Adaptive [[transitionMatrix]]: same measured-skew dispatch as
-    * [[TimeSeries.sessionizeAdaptive]] (see there for the threshold
-    * rationale) — plain on balanced users, the blocked adjacency
-    * decomposition when the sampled hottest-user share crosses
-    * `skewThreshold`. Bit-identical either way. */
-  def transitionMatrixAdaptive(events: DataFrame, blockUs: Long = 0L,
-      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame =
-    if (TimeSeries.sampledMaxKeyShare(events, "user_id", sampleFraction)
-        >= skewThreshold)
-      transitionMatrixBlocked(events, blockUs)
-    else transitionMatrix(events)
+  /** Adaptive [[transitionMatrix]]: the r13 three-signal dispatch of
+    * [[TimeSeries.sessionizeAdaptive]] (see there for the rationale)
+    * on the user key — plain unless the hottest user is dominant and
+    * spans ≥ 2 count blocks; then the time-blocked adjacency (1 h
+    * blocks, so hours-per-block = 1) while the densest hour stays
+    * bounded, or the density-proof [[transitionMatrixBlockedRows]]
+    * past it. Bit-identical on every branch. */
+  def transitionMatrixAdaptive(events: DataFrame, blockRows: Long = 0L,
+      sampleFraction: Double = 0.01, skewThreshold: Double = 0.2): DataFrame = {
+    val bRows = if (blockRows > 0L) blockRows else 262144L
+    TimeSeries.blockDispatch(events, "user_id", bRows, sampleFraction,
+        skewThreshold) match {
+      case TimeSeries.DispatchPlain => transitionMatrix(events)
+      case TimeSeries.DispatchTime => transitionMatrixBlocked(events)
+      case TimeSeries.DispatchCount => transitionMatrixBlockedRows(events, bRows)
+    }
+  }
 
   /** Top-k session-opening paths: the ordered sequence of the first
     * `depth` event types of every gap-delimited session (same gap rule
@@ -699,12 +729,40 @@ object Analytics {
       topK: Int, blockUs: Long = 0L): DataFrame = {
     val block = if (blockUs > 0L) blockUs else 64L * gapUs
     require(block > gapUs, s"blockUs=$block must exceed gapUs=$gapUs")
-    val wLocal = Window.partitionBy(col("user_id"), col("blk"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val local = events
+    sessionPathsOnBlocks(events
       .select(col("user_id"), col("event_id"), col("event_type"),
         TimeSeries.tsUs(col("ts")).as("ts_us"))
-      .withColumn("blk", expr(s"ts_us div ${block}L"))
+      .withColumn("blk", expr(s"ts_us div ${block}L")), gapUs, depth, topK)
+  }
+
+  /** Density-proof [[sessionPathsBlocked]]: COUNT blocks on the
+    * per-user [[distributedRank]] index (see
+    * [[TimeSeries.sessionizeBlockedRows]] — same argument, and the
+    * stitch is block-scheme-agnostic). Bit-identical output; no
+    * `block > gap` precondition. */
+  def sessionPathsBlockedRows(events: DataFrame, gapUs: Long, depth: Int,
+      topK: Int, blockRows: Long = 0L): DataFrame = {
+    val bRows = if (blockRows > 0L) blockRows else 262144L
+    sessionPathsOnBlocks(distributedRank(
+        events.select(col("user_id"), col("event_id"), col("event_type"),
+          TimeSeries.tsUs(col("ts")).as("ts_us")),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .drop("off", "n")
+      .withColumnRenamed("rn", "grn")
+      .withColumn("blk", expr(s"(grn - 1) div ${bRows}L"))
+      .drop("grn"), gapUs, depth, topK)
+  }
+
+  /** Shared tail of the blocked path miners (the local-session `rn`
+    * below is per-session, so the global rank column must not survive
+    * into it — the count variant renames and drops it first). Requires
+    * `blk` contiguous and ascending in the per-user (ts_us, event_id)
+    * order. */
+  private def sessionPathsOnBlocks(e: DataFrame, gapUs: Long, depth: Int,
+      topK: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("user_id"), col("blk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val local = e
       .withColumn("new_s",
         when(lag(col("ts_us"), 1).over(wLocal).isNull ||
           col("ts_us") - lag(col("ts_us"), 1).over(wLocal) > gapUs, 1L)
@@ -748,18 +806,24 @@ object Analytics {
       .limit(topK)
   }
 
-  /** Adaptive [[sessionPaths]]: same measured-skew dispatch as
-    * [[TimeSeries.sessionizeAdaptive]] (see there for the threshold
-    * rationale) — plain on balanced keys, the blocked stitch when the
-    * sampled hottest-user share crosses `skewThreshold`. Bit-identical
-    * either way. */
+  /** Adaptive [[sessionPaths]]: the r13 three-signal dispatch of
+    * [[TimeSeries.sessionizeAdaptive]] (see there for the rationale) —
+    * plain, the time-blocked stitch (64×gap blocks, density-bounded),
+    * or the density-proof [[sessionPathsBlockedRows]]. Bit-identical
+    * on every branch. */
   def sessionPathsAdaptive(events: DataFrame, gapUs: Long, depth: Int,
-      topK: Int, blockUs: Long = 0L, sampleFraction: Double = 0.01,
-      skewThreshold: Double = 0.2): DataFrame =
-    if (TimeSeries.sampledMaxKeyShare(events, "user_id", sampleFraction)
-        >= skewThreshold)
-      sessionPathsBlocked(events, gapUs, depth, topK, blockUs)
-    else sessionPaths(events, gapUs, depth, topK)
+      topK: Int, blockRows: Long = 0L, sampleFraction: Double = 0.01,
+      skewThreshold: Double = 0.2): DataFrame = {
+    val bRows = if (blockRows > 0L) blockRows else 262144L
+    val hoursPerBlock = 64.0 * gapUs / 3600000000.0
+    TimeSeries.blockDispatch(events, "user_id", bRows, sampleFraction,
+        skewThreshold, hoursPerBlock) match {
+      case TimeSeries.DispatchPlain => sessionPaths(events, gapUs, depth, topK)
+      case TimeSeries.DispatchTime => sessionPathsBlocked(events, gapUs, depth, topK)
+      case TimeSeries.DispatchCount =>
+        sessionPathsBlockedRows(events, gapUs, depth, topK, bRows)
+    }
+  }
 
   /** Distributed global `row_number` within `partCols` over the strict
     * total order `orderCols`: range-repartition on (part, order), rank

@@ -289,10 +289,12 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(sBal - 0.25) < 1e-9 && math.abs(sSkw - 0.85) < 1e-9,
       s"shares: balanced=$sBal skewed=$sSkw")
     // zero caller hints: same call on both inputs, exact either way
+    // (blockRows = 2 keeps the r13 volume gate OPEN for the skewed
+    // input: hot user 17 rows >= 2*2)
     for (ev <- Seq(balanced, skewed)) {
       val plain = graft.operators.TimeSeries.sessionize(ev, gapT)
       val adaptive = graft.operators.TimeSeries.sessionizeAdaptive(
-        ev, gapT, blockUs = gapT + 1, sampleFraction = 1.0)
+        ev, gapT, blockRows = 2L, sampleFraction = 1.0)
       assert(plain.exceptAll(adaptive).count() == 0 &&
         adaptive.exceptAll(plain).count() == 0)
       val pa = graft.operators.Analytics.sessionPaths(
@@ -300,15 +302,71 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
         gapT, 3, 20)
       val aa = graft.operators.Analytics.sessionPathsAdaptive(
         ev.withColumn("event_type", concat(lit("e"), col("event_id") % 3)),
-        gapT, 3, 20, blockUs = gapT + 1, sampleFraction = 1.0)
+        gapT, 3, 20, blockRows = 2L, sampleFraction = 1.0)
       assert(pa.exceptAll(aa).count() == 0 && aa.exceptAll(pa).count() == 0)
     }
-    // threshold boundary: share exactly AT threshold goes blocked (>=)
+    // threshold boundary: share exactly AT threshold goes blocked (>=),
+    // and the count-block target is bit-identical to the time-block one
     assert(graft.operators.TimeSeries.sessionizeAdaptive(
-      balanced, gapT, blockUs = gapT + 1, sampleFraction = 1.0,
+      balanced, gapT, blockRows = 2L, sampleFraction = 1.0,
       skewThreshold = 0.25).exceptAll(
       graft.operators.TimeSeries.sessionizeBlocked(
         balanced, gapT, gapT + 1)).count() == 0)
+    // the r13 volume gate holds a dominant-but-small user on the plain
+    // plan (hot 17 rows < 2*blockRows): observable — the count-blocked
+    // plan carries joins (distributedRank offsets + ghost), plain none
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    assert(!hasJoin(graft.operators.TimeSeries.sessionizeAdaptive(
+      skewed, gapT, blockRows = 64L, sampleFraction = 1.0)), "gate closed")
+    assert(hasJoin(graft.operators.TimeSeries.sessionizeAdaptive(
+      skewed, gapT, blockRows = 2L, sampleFraction = 1.0)), "gate open")
+  }
+
+  test("the count-block session family (sessionizeBlockedRows / " +
+      "sessionPathsBlockedRows / transitionMatrixBlockedRows) is " +
+      "row-identical to the plain forms on the corpus and on tiny-block " +
+      "adversarial fixtures") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    def eq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$tag mismatch")
+    val gap = 1800000000L
+    eq(graft.operators.TimeSeries.sessionize(ev, gap),
+      graft.operators.TimeSeries.sessionizeBlockedRows(ev, gap, 16L),
+      "corpus sessionizeRows")
+    eq(graft.operators.Analytics.sessionPaths(ev, gap, 3, 20),
+      graft.operators.Analytics.sessionPathsBlockedRows(ev, gap, 3, 20, 16L),
+      "corpus sessionPathsRows")
+    eq(graft.operators.Analytics.transitionMatrix(ev),
+      graft.operators.Analytics.transitionMatrixBlockedRows(ev, 16L),
+      "corpus transitionRows")
+    // adversarial: the sessionize boundary fixture (exact-gap merges,
+    // same-ts duplicates, multi-block chains) under blockRows=2 — every
+    // session straddles count blocks; gap semantics must be untouched
+    val gapT = 10L
+    val ts = Seq(0L, gapT, 33L, 33L, 55L, 65L, 75L, 99L, 110L)
+    val fx = ts.zipWithIndex
+      .map { case (t, i) => (7L, i.toLong, t) }
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val p2 = graft.operators.TimeSeries.sessionize(fx, gapT)
+    val b2 = graft.operators.TimeSeries.sessionizeBlockedRows(fx, gapT, 2L)
+    assert(p2.exceptAll(b2).count() == 0 && b2.exceptAll(p2).count() == 0,
+      s"plain=${p2.collect().mkString(";")} rows=${b2.collect().mkString(";")}")
+    assert(p2.count() == 5)
+    val fxT = fx.withColumn("event_type", concat(lit("e"), col("event_id") % 3))
+    eq(graft.operators.Analytics.sessionPaths(fxT, gapT, 3, 20),
+      graft.operators.Analytics.sessionPathsBlockedRows(fxT, gapT, 3, 20, 2L),
+      "fx sessionPathsRows")
+    eq(graft.operators.Analytics.transitionMatrix(fxT),
+      graft.operators.Analytics.transitionMatrixBlockedRows(fxT, 2L),
+      "fx transitionRows")
   }
 
   test("the blocked series-window family (delta/counterRate/twa/" +
@@ -355,23 +413,101 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       val bRows = if (tag == "fx") 4L else 262144L
       eq(TimeSeries.movingAvg(ev, trail),
         TimeSeries.movingAvgBlocked(ev, trail, bRows), s"$tag movingAvg")
+      // r13 COUNT-block (density-proof) twins: bRows=2 on the fixture
+      // forces a partial final block (A has 7 rows -> 3 full blocks +
+      // 1), single-row series B (no ghosts at all), and every edge
+      // kind; 64 on the 1000-row corpus gives several blocks/series
+      val cRows = if (tag == "fx") 2L else 64L
+      eq(TimeSeries.windowDelta(ev),
+        TimeSeries.windowDeltaBlockedRows(ev, cRows), s"$tag windowDeltaRows")
+      eq(TimeSeries.counterRate(ev),
+        TimeSeries.counterRateBlockedRows(ev, cRows), s"$tag counterRateRows")
+      eq(TimeSeries.timeWeightedAvg(ev),
+        TimeSeries.timeWeightedAvgBlockedRows(ev, cRows), s"$tag twaRows")
+      eq(TimeSeries.availability(ev, 50L),
+        TimeSeries.availabilityBlockedRows(ev, 50L, cRows),
+        s"$tag availabilityRows")
+      eq(TimeSeries.cumSum(ev),
+        TimeSeries.cumSumBlockedRows(ev, cRows), s"$tag cumSumRows")
     }
     // adaptive: zero caller hints, bit-identical on BOTH dispatch sides —
-    // fx is balanced-ish (A=70%); force both branches via threshold
+    // fx is balanced-ish (A=70%); force both branches via threshold.
+    // blockRows=2 keeps the r13 volume gate OPEN (hot rows 7 >= 2*2) so
+    // thr=0.05 really takes the blocked branch.
     for (thr <- Seq(0.05, 0.99)) {
       eq(TimeSeries.windowDelta(fx), TimeSeries.windowDeltaAdaptive(
-        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive d $thr")
+        fx, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive d $thr")
       eq(TimeSeries.counterRate(fx), TimeSeries.counterRateAdaptive(
-        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive c $thr")
+        fx, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive c $thr")
       eq(TimeSeries.timeWeightedAvg(fx), TimeSeries.timeWeightedAvgAdaptive(
-        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive t $thr")
+        fx, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive t $thr")
       eq(TimeSeries.availability(fx, 50L), TimeSeries.availabilityAdaptive(
-        fx, 50L, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive a $thr")
+        fx, 50L, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive a $thr")
       eq(TimeSeries.cumSum(fx), TimeSeries.cumSumAdaptive(
-        fx, 100L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive s $thr")
-      eq(TimeSeries.movingAvg(fx, 3), TimeSeries.movingAvgAdaptive(
-        fx, 3, 4L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive m $thr")
+        fx, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive s $thr")
+      eq(TimeSeries.movingAvg(fx, 1), TimeSeries.movingAvgAdaptive(
+        fx, 1, 2L, sampleFraction = 1.0, skewThreshold = thr), s"adaptive m $thr")
     }
+  }
+
+  test("the r13 adaptive volume gate: a dominant-but-small series stays " +
+      "on the plain plan; crossing 2x blockRows flips to blocked; the " +
+      "probe stats are exact at fraction 1.0") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // series A: 7 of 10 rows (share 0.7, rows 7)
+    val fx = Seq(
+      ("A", 0L, 10L, 1.25), ("A", 1L, 95L, 50.0),
+      ("A", 2L, 105L, 2.0), ("A", 3L, 199L, 2.5),
+      ("A", 4L, 201L, 7.75), ("A", 5L, 250L, 3.0), ("A", 6L, 460L, 9.0),
+      ("B", 7L, 130L, 4.0),
+      ("C", 8L, 20L, 1.0), ("C", 9L, 30L, 0.5))
+      .toDF("event_type", "event_id", "t_us", "value")
+      .select(col("event_type"), col("event_id"), col("value"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val (share, hotRows) = TimeSeries.sampledKeyStats(fx, "event_type", 1.0)
+    assert(math.abs(share - 0.7) < 1e-9 && math.abs(hotRows - 7.0) < 1e-9,
+      s"stats: share=$share hotRows=$hotRows")
+    // the dispatch choice is OBSERVABLE in the plan: plain has no join;
+    // the TIME-blocked form carries exactly the summary neighbor join;
+    // the COUNT-blocked form adds distributedRank's offsets join (2)
+    def nJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // share 0.7 >= 0.05 but 7 < 2*4: volume gate holds it on plain
+    assert(nJoins(TimeSeries.windowDeltaAdaptive(
+      fx, 4L, sampleFraction = 1.0, skewThreshold = 0.05)) == 0, "gate closed")
+    // 7 >= 2*3 and all rows inside ONE hour (densest hour 7 > 3):
+    // the burst shape -> COUNT blocks. 3 joins: the ghost join plus the
+    // rank-offsets broadcast join appearing under BOTH the local and
+    // the ghost branch (they re-derive rn from the checkpointed
+    // exchange; the offsets frame is tiny either way)
+    assert(nJoins(TimeSeries.windowDeltaAdaptive(
+      fx, 3L, sampleFraction = 1.0, skewThreshold = 0.05)) == 3, "count branch")
+    // share below threshold never goes blocked, whatever the volume
+    assert(nJoins(TimeSeries.windowDeltaAdaptive(
+      fx, 3L, sampleFraction = 1.0, skewThreshold = 0.75)) == 0, "share gate")
+    // density branch: the same dominant series SPREAD one row per hour
+    // (densest hour 1 <= 3) -> TIME blocks, the cheap fix (one join)
+    val spread = Seq(
+      ("A", 0L, 0L, 1.25), ("A", 1L, 1L, 50.0), ("A", 2L, 2L, 2.0),
+      ("A", 3L, 3L, 2.5), ("A", 4L, 4L, 7.75), ("A", 5L, 5L, 3.0),
+      ("A", 6L, 6L, 9.0), ("B", 7L, 1L, 4.0), ("C", 8L, 0L, 1.0),
+      ("C", 9L, 2L, 0.5))
+      .toDF("event_type", "event_id", "hour", "value")
+      .select(col("event_type"), col("event_id"), col("value"),
+        timestamp_micros(col("hour") * 3600000000L).as("ts"))
+    assert(nJoins(TimeSeries.windowDeltaAdaptive(
+      spread, 3L, sampleFraction = 1.0, skewThreshold = 0.05)) == 1,
+      "time branch")
+    // and the dispatch signal itself, exact at fraction 1.0
+    val (shS, rowsS, hourS) =
+      TimeSeries.sampledKeyDensityStats(spread, "event_type", 1.0)
+    assert(math.abs(shS - 0.7) < 1e-9 && math.abs(rowsS - 7.0) < 1e-9 &&
+      math.abs(hourS - 1.0) < 1e-9, s"density stats: $shS $rowsS $hourS")
+    val (_, _, hourB) = TimeSeries.sampledKeyDensityStats(fx, "event_type", 1.0)
+    assert(math.abs(hourB - 7.0) < 1e-9, s"burst densest hour: $hourB")
   }
 
   test("transitionMatrixBlocked/Adaptive are row-identical to the plain " +
@@ -406,8 +542,10 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       (0L until 3L).map(i => (i, 17L + i, i * 3L, "e0")))
     for (ev <- Seq(straddle, skewed)) {
       val p = graft.operators.Analytics.transitionMatrix(ev)
+      // blockRows = 2 keeps the r13 volume gate open for the skewed
+      // input (hot user 17 rows >= 2*2)
       val a = graft.operators.Analytics.transitionMatrixAdaptive(
-        ev, blockUs = 100L, sampleFraction = 1.0)
+        ev, blockRows = 2L, sampleFraction = 1.0)
       assert(p.exceptAll(a).count() == 0 && a.exceptAll(p).count() == 0)
     }
     // corpus: real events table, default (1 h) block
