@@ -105,39 +105,97 @@ object Bench {
       if (backToBack)
         for (name <- names; r <- -warmups until reps) yield (r, name)
       else for (r <- -warmups until reps; name <- names) yield (r, name)
-    var lastRep = Int.MinValue
-    for ((r, name) <- order) {
-      if (!backToBack && r != lastRep) {
-        lastRep = r; repLoads += osBean.getSystemLoadAverage
-      }
-      // snapshot the persisted-RDD ids BEFORE the query, and release only
-      // the DELTA after: drops each query's leftover localCheckpoints
-      // (at sf1+ the accumulated pins from 189 queries eat the heap)
-      // without touching blocks persisted outside this query — a blanket
-      // unpersist would make any intentionally shared cache silently
-      // recompute, and a still-referenced localCheckpoint unrecoverable
+
+    // One honest timed execution of a declared query; returns
+    // (seconds, 1-min load at start) or None on failure.
+    //
+    // HONEST evaluation (r11): Dataset.count() wraps the plan in
+    // Aggregate(count(1)) and lets Catalyst prune every unreferenced
+    // projection — bare-Project queries (q_token_count, q_lang_id,
+    // q_quality_score, …) measured scan+count only (PLANS.md r9
+    // dissection). Consuming the planned RDD's UnsafeRows instead
+    // forces every output column of the query AS DECLARED to be
+    // computed, with zero driver collection. Per-query numbers from
+    // r11 on are therefore NOT comparable with <=r10 for the
+    // bare-Project text family (growth ratios remain comparable).
+    //
+    // Persisted-RDD hygiene: snapshot the ids BEFORE the query, release
+    // only the DELTA after — drops each query's leftover
+    // localCheckpoints (at sf1+ the accumulated pins from 200+ queries
+    // eat the heap) without touching blocks persisted outside this
+    // query; a blanket unpersist would make any intentionally shared
+    // cache silently recompute.
+    def runOnce(name: String): Option[(Double, Double)] = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
-      try {
-        // HONEST evaluation (r11): Dataset.count() wraps the plan in
-        // Aggregate(count(1)) and lets Catalyst prune every unreferenced
-        // projection — bare-Project queries (q_token_count, q_lang_id,
-        // q_quality_score, …) measured scan+count only (PLANS.md r9
-        // dissection). Consuming the planned RDD's UnsafeRows instead
-        // forces every output column of the query AS DECLARED to be
-        // computed, with zero driver collection. Per-query numbers from
-        // r11 on are therefore NOT comparable with <=r10 for the
-        // bare-Project text family (growth ratios remain comparable).
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        if (r >= 0) // warmup passes (r < 0) execute but never record
-          timed(name) =
-            ((System.nanoTime() - t0) / 1e9, load) :: timed.getOrElse(name, Nil)
-      } catch { case _: Throwable => () }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          true
+        } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = false) }
+      if (ok) Some((dt, load)) else None
     }
+
+    var lastGroup: Any = null
+    for ((r, name) <- order) {
+      // one load sample per interleaved PASS, or per QUERY GROUP in
+      // backtoback mode (pre-r13 backtoback emitted an empty array while
+      // bench_reps implied passes ran — a misleading telemetry gap); the
+      // *_kind marker below says which one the artifact carries
+      val group: Any = if (backToBack) name else r
+      if (group != lastGroup) {
+        lastGroup = group; repLoads += osBean.getSystemLoadAverage
+      }
+      runOnce(name).foreach { case (dt, load) =>
+        if (r >= 0) // warmup passes (r < 0) execute but never record
+          timed(name) = (dt, load) :: timed.getOrElse(name, Nil)
+      }
+    }
+
+    // r13 LOAD-GATED RETRY: the headline min is only as clean as the
+    // quietest rep, and a throttle window long enough to cover every
+    // interleaved rep of a query still poisons it (r12 driver: 277 s
+    // vs the 199/217 s same-commit calibration pair; q_triangles 23.1 s
+    // with ALL rep loads 2.7-6.8). Any query whose load at its min rep
+    // exceeds the gate (~host-cores/8) gets re-timed in up to
+    // SPARK_GRAFT_BENCH_RETRIES extra passes, each entered only after
+    // the CURRENT load has fallen to/below the gate (bounded wait, so a
+    // persistently busy host degrades to the old behavior instead of
+    // stalling) — the per-query min then absorbs the clean rep, and the
+    // artifact records who needed retrying.
+    val loadGate = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE").map(_.toDouble)
+      .getOrElse((Runtime.getRuntime.availableProcessors() / 8.0).max(2.0))
+    val maxRetryPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val retried = scala.collection.mutable.Map.empty[String, Int]
+    def minLoadOf(name: String): Double =
+      timed.get(name).filter(_.nonEmpty).map(_.minBy(_._1)._2).getOrElse(-1.0)
+    var retryPass = 0
+    var waitBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_MS", "120000").toLong
+    var retryStop = false
+    while (retryPass < maxRetryPasses && !retryStop) {
+      val flagged = names.filter(n => minLoadOf(n) > loadGate)
+      if (flagged.isEmpty) retryStop = true
+      else {
+        while (osBean.getSystemLoadAverage > loadGate && waitBudgetMs > 0) {
+          Thread.sleep(10000L); waitBudgetMs -= 10000L
+        }
+        if (osBean.getSystemLoadAverage > loadGate) retryStop = true
+        else flagged.foreach { n =>
+          runOnce(n).foreach { t =>
+            timed(n) = t :: timed.getOrElse(n, Nil)
+            retried(n) = retried.getOrElse(n, 0) + 1
+          }
+        }
+        retryPass += 1
+      }
+    }
+
     // Headline statistic is the per-query MIN (r11 judge: the driver's
     // suite medians read 2.4x over a back-to-back rerun of identical
     // code — host contention poisons medians; after 2 warmups the min of
@@ -213,9 +271,18 @@ object Bench {
     val repLoadsJson = repLoads
       .map(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
+    val retriedJson = retried.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // bench_schema 2 (r13): `queries`/`value` carry per-query MINIMA —
+    // machine-readable marker for the r12 semantics change (pre-r12
+    // artifacts carried medians under the same keys), per ADVICE r12.
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""headline_stat":"min","bench_schema":2,""" +
       s""""queries_median":$qsMed,"total_median":${fmt(totalMed)},""" +
       s""""queries_load":$qsLoad,"bench_reps":$reps,"bench_warmups":$warmups,""" +
+      s""""load_gate":${"%.2f".formatLocal(java.util.Locale.ROOT, loadGate)},""" +
+      s""""retried":$retriedJson,""" +
+      s""""load_avg_per_pass_kind":"${if (backToBack) "query_group" else "pass"}",""" +
       s""""load_avg_per_pass":$repLoadsJson,""" +
       s""""load_avg":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg)},""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
