@@ -499,4 +499,156 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshot.read(spark, store).count() == 700)
     assert(Ingest.readPoints(spark, store).count() == 700)
   }
+
+  test("a NON-DETERMINISTIC batch is pinned to one evaluation: the hour " +
+      "probe and the write see the same rows, nothing is quarantined " +
+      "(r12 ADVICE medium)") {
+    val store = Files.createTempDirectory("graft_snapnd_").toString
+    // every evaluation pass advances a shared counter; a SECOND pass
+    // over this dataset lands in hour 1 instead of hour 0, so without
+    // the evaluation pin touchedHours (pass 1: hour 0) and ingestBatch
+    // (pass 2: hour 1) would disagree and the commit would quarantine
+    // the whole batch as orphans
+    SnapshotEvalShift.n.set(0L)
+    val base = baseMs
+    val hr = hourMs
+    val nd = spark.range(100).repartition(1).map { i =>
+      val k = SnapshotEvalShift.n.incrementAndGet()
+      val hour = if (k > 100L) 1L else 0L
+      DataPoint(base + hour * hr + i, i.toDouble, "nd")
+    }
+    Snapshot.ingestCommitted(nd, store)
+    assert(Snapshot.read(spark, store).count() == 100,
+      s"pin failed: evaluations=${SnapshotEvalShift.n.get() / 100}")
+    // same guarantee on the sustained Committer path
+    SnapshotEvalShift.n.set(0L)
+    val nd2 = spark.range(100).repartition(1).map { i =>
+      val k = SnapshotEvalShift.n.incrementAndGet()
+      val hour = if (k > 100L) 3L else 2L
+      DataPoint(base + hour * hr + i, i.toDouble, "nd2")
+    }
+    Snapshot.committer(spark, store).ingest(nd2)
+    assert(Snapshot.read(spark, store).count() == 200)
+    // a dataset the CALLER persisted is left persisted (the pin only
+    // manages its own cache)
+    val pre = points(10, 4, "pre").persist()
+    Snapshot.committer(spark, store).ingest(pre)
+    assert(pre.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "caller's persist was dropped")
+    pre.unpersist()
+    assert(Snapshot.read(spark, store).count() == 210)
+  }
+
+  test("caller-supplied touched hours skip the probe job: exact commit, " +
+      "superset hints safe, ingestOnce txn semantics intact") {
+    val store = Files.createTempDirectory("graft_snaphint_").toString
+    val h0 = baseMs / hourMs
+    val cm = Snapshot.committer(spark, store)
+    cm.ingest(points(200, 0, "cpu"), Seq(h0))
+    assert(Snapshot.read(spark, store).count() == 200)
+    // superset hint: extra hours (one empty, one existing-untouched) are
+    // harmless — only this batch's files are committed
+    cm.ingest(points(100, 1, "mem"), Seq(h0, h0 + 1, h0 + 7))
+    assert(Snapshot.read(spark, store).count() == 300)
+    // the streaming fast path: hint + re-delivered batch still skips
+    cm.ingestOnce(points(50, 2, "c"), "appH", 0L, Seq(h0 + 2))
+    assert(Snapshot.read(spark, store).count() == 350)
+    cm.ingestOnce(points(50, 2, "c"), "appH", 0L, Seq(h0 + 2))
+    assert(Snapshot.read(spark, store).count() == 350)
+    // one-shot overload
+    Snapshot.ingestCommitted(points(25, 3, "d"), store, Seq(h0 + 3))
+    assert(Snapshot.read(spark, store).count() == 375)
+  }
+
+  test("S3-class lost rename race: the mock racy FS silently overwrites " +
+      "a same-generation commit without a guard; with LockLeaseGuard " +
+      "the race is LOUD and the retry recovers BOTH commits; a stale " +
+      "crashed-holder lock is taken over after its TTL") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.racy.impl", classOf[RacyFs].getName)
+    def mkStore(tag: String): String = {
+      val local = Files.createTempDirectory(s"graft_racy_${tag}_").toString
+      val hourDir = new java.io.File(s"$local/shard_hour=0")
+      hourDir.mkdirs()
+      Seq("a", "b").foreach { nm =>
+        java.nio.file.Files.write(
+          new java.io.File(hourDir, s"$nm.parquet").toPath,
+          "x".getBytes("UTF-8"))
+      }
+      s"racy://$local"
+    }
+    // UNGUARDED on the racy FS: A passes the existence check, stalls in
+    // the check+rename window (latch); B commits the same generation;
+    // A's rename then OVERWRITES B's manifest — the silent loss the
+    // single-mid-commit contract documents
+    val r1 = mkStore("raw")
+    val cmA = Snapshot.committer(spark, r1)
+    val cmB = Snapshot.committer(spark, r1)
+    val (arrived, release) = RacyFs.arm()
+    var aErr: Option[Throwable] = None
+    val tA = new Thread(() => {
+      try { cmA.commitAdded(Seq("shard_hour=0/a.parquet"), retries = 0); () }
+      catch { case e: Throwable => aErr = Some(e) }
+    })
+    tA.start()
+    assert(arrived.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "victim never reached the rename window")
+    cmB.commitAdded(Seq("shard_hour=0/b.parquet"), retries = 0)
+    release.countDown()
+    tA.join(30000)
+    RacyFs.disarm()
+    assert(aErr.isEmpty, s"overwriting rename should 'succeed': $aErr")
+    val (g1, live1, _) = Snapshot.latest(spark, r1)
+    assert(g1 == 0 && live1.toSet == Set("shard_hour=0/a.parquet"),
+      s"expected B's commit silently lost on the racy FS, got gen=$g1 $live1")
+    // GUARDED: same racy FS, same double-commit — the guard serializes
+    // the window, the loser sees the winner's manifest (LOUD), and the
+    // committer's refresh-retry lands it at the next generation
+    val r2 = mkStore("guarded")
+    Snapshot.setCommitGuard(r2, new Snapshot.LockLeaseGuard())
+    try {
+      val cmC = Snapshot.committer(spark, r2)
+      val cmD = Snapshot.committer(spark, r2)
+      var cErr: Option[Throwable] = None
+      val tC = new Thread(() => {
+        try { cmC.commitAdded(Seq("shard_hour=0/a.parquet")); () }
+        catch { case e: Throwable => cErr = Some(e) }
+      })
+      tC.start()
+      cmD.commitAdded(Seq("shard_hour=0/b.parquet"))
+      tC.join(30000)
+      assert(cErr.isEmpty, s"guarded commit failed: $cErr")
+      val (g2, live2, _) = Snapshot.latest(spark, r2)
+      assert(g2 == 1 && live2.toSet ==
+        Set("shard_hour=0/a.parquet", "shard_hour=0/b.parquet"),
+        s"guarded race lost a commit: gen=$g2 $live2")
+      // lock released after both commits
+      val fs = new org.apache.hadoop.fs.Path(r2)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$r2/${Snapshot.ManifestDir}/commit.lock")))
+    } finally Snapshot.clearCommitGuard(r2)
+    // TTL takeover: a crashed holder's stale lock must not block forever
+    val r3 = mkStore("ttl")
+    Snapshot.setCommitGuard(r3, new Snapshot.LockLeaseGuard(ttlMs = 200L))
+    try {
+      val fs = new org.apache.hadoop.fs.Path(r3)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val mdir = new org.apache.hadoop.fs.Path(s"$r3/${Snapshot.ManifestDir}")
+      fs.mkdirs(mdir)
+      val lock = new org.apache.hadoop.fs.Path(mdir, "commit.lock")
+      val out = fs.create(lock, false)
+      out.write("dead-holder 0".getBytes("UTF-8")); out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+      val cmE = Snapshot.committer(spark, r3)
+      assert(cmE.commitAdded(Seq("shard_hour=0/a.parquet")) == 0L)
+      assert(!fs.exists(lock), "takeover left the lock behind")
+    } finally Snapshot.clearCommitGuard(r3)
+  }
+}
+
+/** Shared evaluation counter for the non-determinism pin spec (top-level
+  * so executor-thread closures in local mode all see one instance). */
+private[graft] object SnapshotEvalShift {
+  val n = new java.util.concurrent.atomic.AtomicLong(0L)
 }
