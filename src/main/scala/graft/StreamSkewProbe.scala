@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   * in-place comparator sort. alertForStream already folds each row into
   * bounded per-hour state in O(1) with no batch materialization.
   *
-  * Usage: `StreamSkewProbe [sessionize|scd2|alert|all] [nRows] [kill]`
-  * (default: all 10M). With `kill`, each stream is stopped from the
+  * Usage: `StreamSkewProbe [sessionize|scd2|alert|warm|fatcold|all]
+  * [nRows] [kill]` (default: all 10M). `warm` = r13 axis 2 (32 warm
+  * keys, full-occupancy balance on local[32]); `fatcold` = r13 axis 3
+  * (1 hot key + 1 M cold state rows — RocksDB compaction under a fat
+  * working set). With `kill`, each stream is stopped from the
   * probe thread the moment its first batch commits — mid-flight of a
   * FAT hot-key batch — and restarted from the checkpoint; every
   * closed-form assertion must hold ACROSS the kill (the
@@ -93,6 +96,12 @@ object StreamSkewProbe {
     if (op == "all" || op == "sessionize") sessionize(spark, stats, n)
     if (op == "all" || op == "scd2") scd2(spark, stats, n)
     if (op == "all" || op == "alert") alert(spark, stats, n)
+    // r13 second + third skew axes (r12 verdict #6): many-warm-keys
+    // full-occupancy balance, and a FAT cold working set under skew
+    if (op == "all" || op == "warm") {
+      sessionizeWarm(spark, stats, n); scd2Warm(spark, stats, n)
+    }
+    if (op == "all" || op == "fatcold") sessionizeFatCold(spark, stats, n)
     org.apache.spark.sql.GraftColumnBridge.stopStateStores()
     spark.stop()
   }
@@ -260,6 +269,171 @@ object StreamSkewProbe {
     assert(hotCount == hotN - 1 && hotExact == hotN - 1)
     assert(coldOk == nCold && total == hotN - 1 + nCold)
     println(s"SCD2 OK at $n rows, 99% one key")
+  }
+
+  /** MANY-WARM-KEYS sessionizer (r13 axis 2): 32 keys × n/32 rows — on
+    * local[32] every core folds one key's batch slice, the
+    * full-occupancy BALANCE point the 99 %-one-key axis cannot see
+    * (there the bound is one core; here it is the scheduler + state
+    * store under 32 concurrently fat groups). Same per-key session
+    * script as the hot axis: 1 ms spacing, a 120 s jump every `sessLen`
+    * events. Closed form: every key emits ceil(perKey/sessLen) sessions
+    * whose n_events sum to perKey; the flush key stays open. */
+  private def sessionizeWarm(spark: SparkSession, stats: TaskStats, n: Long): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val keys = 32L
+    val perKey = n / keys
+    val sessLen = (perKey + 7L) / 8L
+    val sessPerKey = (perKey + sessLen - 1) / sessLen
+    val srcDir = Files.createTempDirectory("graft_warmsess_src_").toString
+    val ckDir = Files.createTempDirectory("graft_warmsess_ck_").toString
+    val outDir = Files.createTempDirectory("graft_warmsess_out_").toString
+    // 4 chunk files in per-key-time order; each micro-batch carries a
+    // fat slice of EVERY key (32 concurrently hot groups)
+    val chunks = 4
+    (0 until chunks).foreach { c =>
+      val lo = perKey * c / chunks; val hi = perKey * (c + 1) / chunks
+      spark.range(lo * keys, hi * keys).select(
+        (col("id") % keys).as("user_id"),
+        (lit(baseUs) + (col("id") / keys) * 1000L +
+          expr(s"(id div ${keys}L) div ${sessLen}L") * 120000000L).as("ts_us"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    Seq((-1L, baseUs + 90L * 24L * hourUs)).toDF("user_id", "ts_us")
+      .write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    def startQuery() = StreamingIngest.sessionizeStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir).as[StreamingIngest.SessionEvent],
+      gapUs = 60L * 1000000L, watermark = "48 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", outDir).start()
+    runAndReport(() => startQuery(), stats, "WARMSESS")
+
+    val sink = spark.read.parquet(outDir)
+    val perKeyOk = sink.filter(col("user_id") >= 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("s"), sum("n_events").as("e"))
+      .filter(col("s") === sessPerKey && col("e") === perKey).count()
+    val total = sink.count()
+    println(s"WARMSESS expected: keys=$keys sessions/key=$sessPerKey " +
+      s"events/key=$perKey total=${keys * sessPerKey}")
+    println(s"WARMSESS got:      keys_exact=$perKeyOk total=$total")
+    assert(perKeyOk == keys && total == keys * sessPerKey)
+    println(s"WARMSESS OK at $n rows, $keys warm keys (full occupancy)")
+  }
+
+  /** MANY-WARM-KEYS SCD2 (r13 axis 2): 32 keys × n/32 rows alternating
+    * A/B at 1 ms spacing — every key closes perKey−1 exactly-1 ms
+    * intervals, and every core carries one fat group's fold AND its
+    * emission volume (~n total closed intervals through the sink). */
+  private def scd2Warm(spark: SparkSession, stats: TaskStats, n: Long): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val keys = 32L
+    val perKey = n / keys
+    val srcDir = Files.createTempDirectory("graft_warmscd2_src_").toString
+    val ckDir = Files.createTempDirectory("graft_warmscd2_ck_").toString
+    val outDir = Files.createTempDirectory("graft_warmscd2_out_").toString
+    val chunks = 4
+    (0 until chunks).foreach { c =>
+      val lo = perKey * c / chunks; val hi = perKey * (c + 1) / chunks
+      spark.range(lo * keys, hi * keys).select(
+        (col("id") % keys).as("user_id"),
+        (col("id") / keys).as("event_id"),
+        when((col("id") / keys) % 2L === 0L, "A").otherwise("B").as("state_type"),
+        (lit(baseUs) + (col("id") / keys) * 1000L).as("ts_us"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    Seq((-1L, 0L, "A", baseUs + 90L * 24L * hourUs))
+      .toDF("user_id", "event_id", "state_type", "ts_us")
+      .write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    def startQuery() = StreamingIngest.scd2Stream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir).as[StreamingIngest.StateEvent],
+      watermark = "48 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", outDir).start()
+    runAndReport(() => startQuery(), stats, "WARMSCD2")
+
+    val sink = spark.read.parquet(outDir)
+    val perKeyOk = sink.filter(col("user_id") >= 0L &&
+        col("valid_to_us") - col("valid_from_us") === 1000L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === perKey - 1L).count()
+    val total = sink.count()
+    println(s"WARMSCD2 expected: keys=$keys closed/key=${perKey - 1} " +
+      s"total=${keys * (perKey - 1)}")
+    println(s"WARMSCD2 got:      keys_exact=$perKeyOk total=$total")
+    assert(perKeyOk == keys && total == keys * (perKey - 1))
+    println(s"WARMSCD2 OK at $n rows, $keys warm keys")
+  }
+
+  /** FAT-COLD-STATE sessionizer (r13 axis 3): ONE hot key plus 1 M cold
+    * keys with one open session each — the state store carries a ~1 M-row
+    * working set (RocksDB memtable flush + compaction pressure) WHILE the
+    * hot key's fold serializes on one core. Closed form: hot emits
+    * ceil(hotN/sessLen) sessions summing to hotN; every cold key exactly
+    * one 1-event session once the flush advances the watermark. */
+  private def sessionizeFatCold(spark: SparkSession, stats: TaskStats, n: Long): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val nCold = math.min(1000000L, n / 10L)
+    val hotN = n - nCold
+    val sessLen = (hotN + 7L) / 8L
+    val hotSessions = (hotN + sessLen - 1) / sessLen
+    val srcDir = Files.createTempDirectory("graft_fatsess_src_").toString
+    val ckDir = Files.createTempDirectory("graft_fatsess_ck_").toString
+    val outDir = Files.createTempDirectory("graft_fatsess_out_").toString
+    // cold keys FIRST so the fat state set exists before the hot chunks
+    // fold on top of it
+    spark.range(1L, nCold + 1L).select(
+      col("id").as("user_id"),
+      (lit(baseUs) + (col("id") % 3600L) * 1000L).as("ts_us"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val chunks = 4
+    (0 until chunks).foreach { c =>
+      val lo = hotN * c / chunks; val hi = hotN * (c + 1) / chunks
+      spark.range(lo, hi).select(
+        lit(0L).as("user_id"),
+        (lit(baseUs) + col("id") * 1000L +
+          expr(s"id div ${sessLen}L") * 120000000L).as("ts_us"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    Seq((-1L, baseUs + 90L * 24L * hourUs)).toDF("user_id", "ts_us")
+      .write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    def startQuery() = StreamingIngest.sessionizeStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir).as[StreamingIngest.SessionEvent],
+      gapUs = 60L * 1000000L, watermark = "48 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", outDir).start()
+    runAndReport(() => startQuery(), stats, "FATCOLD")
+
+    val sink = spark.read.parquet(outDir)
+    val hot = sink.filter(col("user_id") === 0L)
+      .agg(count(lit(1)), sum("n_events")).collect()(0)
+    val coldOk = sink.filter(col("user_id") > 0L && col("n_events") === 1L).count()
+    val total = sink.count()
+    println(s"FATCOLD expected: hot_sessions=$hotSessions hot_events=$hotN " +
+      s"cold=$nCold total=${hotSessions + nCold}")
+    println(s"FATCOLD got:      hot_sessions=${hot.getLong(0)} " +
+      s"hot_events=${hot.getLong(1)} cold_ok=$coldOk total=$total")
+    assert(hot.getLong(0) == hotSessions && hot.getLong(1) == hotN)
+    assert(coldOk == nCold && total == hotSessions + nCold)
+    println(s"FATCOLD OK at $n rows, 1 hot key + $nCold cold state rows")
   }
 
   /** 99%-one-series alert-for: the hot series carries `0.99n` samples

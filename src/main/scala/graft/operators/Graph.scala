@@ -859,7 +859,17 @@ object Graph {
     * per-pair weight is negligible and their pair fan-out is the one
     * quadratic risk; same observable-cap pattern as the n-gram DF cap).
     * Returns the `topK` pairs by exact fixed-point score with a
-    * (ra_fx, item_a, item_b) total order. */
+    * (ra_fx, item_a, item_b) total order.
+    *
+    * CONSTRUCTION-TIME ACTIONS (r12 ADVICE): this function runs two
+    * eager jobs before the returned plan ever executes — `ckptEdges`
+    * materializes the deduped adjacency, and the pair-volume gate
+    * below runs one tiny aggregate over the degree frame. The second
+    * cannot be deferred: the fan-out exchange's partition count is a
+    * PLAN-time property (AQE re-sizes by bytes, which is exactly the
+    * signal that's blind here), so it must be known when the plan is
+    * built. Callers should hold the returned DataFrame instead of
+    * re-calling for the same input — each call repeats both jobs. */
   def resourceAllocation(interactions: DataFrame, maxDegree: Int,
       topK: Int): DataFrame = {
     val spark = interactions.sparkSession

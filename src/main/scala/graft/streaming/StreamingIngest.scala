@@ -358,10 +358,11 @@ object StreamingIngest {
           } else {
             var cur = state.getOption
             val out = Vector.newBuilder[ClosedInterval]
-            // in-place comparator sort: `toSeq.sortBy((ts, id))` allocated
-            // a boxed key TUPLE per row — on a 99%-one-key batch the hot
-            // task carries millions of rows, so per-row allocation is the
-            // skew bottleneck (r12 skew probe)
+            // allocation-REDUCED comparator sort (the row objects still
+            // exist; what's gone is the per-row boxed key TUPLE that
+            // `toSeq.sortBy((ts, id))` built) — on a 99%-one-key batch
+            // the hot task carries millions of rows, so per-row key
+            // allocation was the skew bottleneck (r12 skew probe)
             val arr = rows.toArray
             java.util.Arrays.sort(arr,
               (a: StateEventT, b: StateEventT) => {
