@@ -1294,10 +1294,21 @@ object TimeSeries {
     * blocks span more than one hour (sessionize's 64×gap blocks): the
     * densest block is conservatively ≤ densest-hour × hours-per-block.
     * All branches are bit-identical (spec-pinned per op), so dispatch
-    * affects performance only, never results. */
+    * affects performance only, never results.
+    *
+    * Costs, honestly: the probe is ONE job scanning two columns of a
+    * sample — ~0.25 s of scheduling floor on a small corpus, and a
+    * 2-column columnar scan at scale (cheap next to the operator's own
+    * full scan + shuffle). Frames whose PLAN-STATS size cannot even
+    * hold two blocks at 1 byte/row skip the probe entirely (zero extra
+    * jobs): total bytes < 2×blockRows ⇒ total rows < 2×blockRows ⇒ the
+    * volume gate would pick plain anyway — a pure statistics read, no
+    * action. */
   private[graft] def blockDispatch(events: DataFrame, key: String,
       bRows: Long, sampleFraction: Double, skewThreshold: Double,
       hoursPerBlock: Double = 1.0): BlockDispatch = {
+    val bytes = events.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(2L) * BigInt(bRows)) return DispatchPlain
     val (share, hotRows, hotHour) =
       sampledKeyDensityStats(events, key, sampleFraction)
     if (share < skewThreshold || hotRows < 2.0 * bRows) DispatchPlain
