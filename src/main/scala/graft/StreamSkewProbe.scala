@@ -296,7 +296,7 @@ object StreamSkewProbe {
       val lo = perKey * c / chunks; val hi = perKey * (c + 1) / chunks
       spark.range(lo * keys, hi * keys).select(
         (col("id") % keys).as("user_id"),
-        (lit(baseUs) + (col("id") / keys) * 1000L +
+        (lit(baseUs) + expr(s"id div ${keys}L") * 1000L +
           expr(s"(id div ${keys}L) div ${sessLen}L") * 120000000L).as("ts_us"))
         .coalesce(1).write.mode("append").parquet(srcDir)
     }
@@ -344,9 +344,10 @@ object StreamSkewProbe {
       val lo = perKey * c / chunks; val hi = perKey * (c + 1) / chunks
       spark.range(lo * keys, hi * keys).select(
         (col("id") % keys).as("user_id"),
-        (col("id") / keys).as("event_id"),
-        when((col("id") / keys) % 2L === 0L, "A").otherwise("B").as("state_type"),
-        (lit(baseUs) + (col("id") / keys) * 1000L).as("ts_us"))
+        expr(s"id div ${keys}L").as("event_id"),
+        when(expr(s"(id div ${keys}L) % 2") === 0L, "A")
+          .otherwise("B").as("state_type"),
+        (lit(baseUs) + expr(s"id div ${keys}L") * 1000L).as("ts_us"))
         .coalesce(1).write.mode("append").parquet(srcDir)
     }
     Seq((-1L, 0L, "A", baseUs + 90L * 24L * hourUs))
