@@ -560,6 +560,36 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshot.read(spark, store).count() == 375)
   }
 
+  test("the hours hint saves the per-batch probe job (counted via " +
+      "SparkListener): hinted ingest runs strictly fewer jobs") {
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val store = Files.createTempDirectory("graft_snapjobs_").toString
+      val cm = Snapshot.committer(spark, store)
+      cm.ingest(points(100, 0, "w")) // warm: manifest creation, codegen
+      def countJobs(body: => Unit): Int = {
+        // drain stragglers from the previous block, then count
+        Thread.sleep(1500); counter.n.set(0)
+        body
+        Thread.sleep(1500); counter.n.get
+      }
+      val unhinted = countJobs { cm.ingest(points(100, 1, "x")); () }
+      val hinted = countJobs {
+        cm.ingest(points(100, 2, "y"), Seq(baseMs / hourMs + 2)); ()
+      }
+      assert(hinted < unhinted,
+        s"hint saved no job: unhinted=$unhinted hinted=$hinted")
+      assert(Snapshot.read(spark, store).count() == 300)
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("S3-class lost rename race: the mock racy FS silently overwrites " +
       "a same-generation commit without a guard; with LockLeaseGuard " +
       "the race is LOUD and the retry recovers BOTH commits; a stale " +
