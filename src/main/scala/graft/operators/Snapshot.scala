@@ -228,10 +228,18 @@ object Snapshot {
     * checkpoint so restarts can recognize an already-committed batch.
     * `sizes` maps each live path to its recorded byte size (−1 when a
     * legacy manifest line carried none) — what lets a reader PLAN from
-    * the log alone, zero filesystem calls (see [[ManifestFileIndex]]). */
+    * the log alone, zero filesystem calls (see [[ManifestFileIndex]]).
+    * `zmaps` are per-file timestamp ZONE MAPS (`zmap <tsMin> <tsMax>
+    * <relpath>` lines, epoch-ms, r13): the Delta data-skipping stats —
+    * recorded once at commit time (one parquet footer read per NEW file,
+    * O(batch)), they let the planner prune files WITHIN an hour on a
+    * pushed timestamp predicate without touching any footer at read
+    * time. Files without a recorded range (legacy commits, stats
+    * disabled) are simply never pruned — skipping is always
+    * conservative. */
   private[graft] final case class LogState(gen: Long, live: Vector[String],
       dead: Vector[Tombstone], txns: Map[String, Long],
-      sizes: Map[String, Long])
+      sizes: Map[String, Long], zmaps: Map[String, (Long, Long)])
 
   /** `<size> <relpath>` or legacy `<relpath>` (size −1). Relpaths always
     * start with `shard_hour=`, never a bare integer, so the split is
@@ -251,7 +259,8 @@ object Snapshot {
   private[graft] def loadState(fs: FileSystem, root: String): LogState = {
     val gens = manifestGens(fs, root)
     if (gens.isEmpty)
-      return LogState(-1L, Vector.empty, Vector.empty, Map.empty, Map.empty)
+      return LogState(-1L, Vector.empty, Vector.empty, Map.empty, Map.empty,
+        Map.empty)
     // replay chain: newest checkpoint ≤ max gen, then every increment after
     val fromIdx = gens.lastIndexWhere(_._3)
     require(fromIdx >= 0,
@@ -259,6 +268,7 @@ object Snapshot {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dead = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val zmaps = scala.collection.mutable.Map.empty[String, (Long, Long)]
     gens.drop(fromIdx).foreach { case (gen, p, _, mtime) =>
       readLines(fs, p).foreach { l =>
         if (l.startsWith("live ")) { val (f, sz) = parseSized(l.drop(5)); live(f) = sz }
@@ -267,6 +277,12 @@ object Snapshot {
           val t = parseTombstone(l.drop(5), gen, mtime)
           live -= t.path
           dead(t.path) = t
+          zmaps -= t.path
+        } else if (l.startsWith("zmap ")) l.drop(5).split(" ", 3) match {
+          case Array(a, b, path) if a.toLongOption.isDefined &&
+              b.toLongOption.isDefined =>
+            zmaps(path) = (a.toLong, b.toLong)
+          case _ => () // malformed stat line: skip (stats are advisory)
         } else if (l.startsWith("txn ")) l.drop(4).split(" ", 2) match {
           case Array(app, v) if v.toLongOption.isDefined =>
             // versions are monotone per app; keep the max defensively
@@ -276,7 +292,7 @@ object Snapshot {
       }
     }
     LogState(gens.last._1, live.keysIterator.toVector, dead.values.toVector,
-      txns.toMap, live.toMap)
+      txns.toMap, live.toMap, zmaps.toMap)
   }
 
   /** (gen, live, dead) of the latest committed state; gen −1 when none. */
@@ -340,14 +356,24 @@ object Snapshot {
   private def sizedBody(f: (String, Long)): String =
     if (f._2 >= 0) s"${f._2} ${f._1}" else f._1
 
+  /** `zmap <tsMin> <tsMax> <relpath>` lines for the files in `paths`
+    * that have a recorded range. Emitted alongside the live/add lines
+    * they describe; a file with no entry simply carries no stats. */
+  private def zmapLines(paths: Seq[String],
+      zmaps: Map[String, (Long, Long)]): Seq[String] =
+    paths.sorted.flatMap(p =>
+      zmaps.get(p).map { case (a, b) => s"zmap $a $b $p" })
+
   /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state,
     * plus every app's streaming-txn high-water (idempotence must survive
-    * chain trims). */
+    * chain trims) and every live file's timestamp zone map. */
   private def writeManifest(fs: FileSystem, root: String, gen: Long,
       live: Seq[(String, Long)], dead: Seq[Tombstone],
-      txns: Map[String, Long] = Map.empty): Unit =
+      txns: Map[String, Long] = Map.empty,
+      zmaps: Map[String, (Long, Long)] = Map.empty): Unit =
     writeLog(fs, root, s"m$gen",
       (live.sortBy(_._1).map(f => "live " + sizedBody(f)) ++
+        zmapLines(live.map(_._1), zmaps) ++
         dead.sortBy(_.path).map(t => s"dead ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
         txns.toSeq.sortBy(_._1).map { case (app, v) => s"txn $app $v" })
         .mkString("", "\n", "\n"))
@@ -355,12 +381,15 @@ object Snapshot {
   /** Incremental commit `i<gen>` (log v2): only this commit's delta —
     * `add <size> <relpath>` joins the live set, `tomb <gen> <ts>
     * <relpath>` kills a live file, `txn <app> <version>` advances a
-    * streaming-txn high-water. O(delta) bytes instead of O(table files). */
+    * streaming-txn high-water, `zmap` records an added file's timestamp
+    * range. O(delta) bytes instead of O(table files). */
   private def writeIncrement(fs: FileSystem, root: String, gen: Long,
       adds: Seq[(String, Long)], tombs: Seq[Tombstone],
-      txn: Option[(String, Long)] = None): Unit =
+      txn: Option[(String, Long)] = None,
+      zmaps: Map[String, (Long, Long)] = Map.empty): Unit =
     writeLog(fs, root, s"i$gen",
       (adds.sortBy(_._1).map(f => "add " + sizedBody(f)) ++
+        zmapLines(adds.map(_._1), zmaps) ++
         tombs.sortBy(_.path).map(t => s"tomb ${t.gen} ${t.tombstonedAtMs} ${t.path}") ++
         txn.map { case (app, v) => s"txn $app $v" }.toSeq)
         .mkString("", "\n", "\n"))
@@ -369,6 +398,62 @@ object Snapshot {
     * incremental commits, bounding every reader's replay chain to one
     * checkpoint + at most this many (small) increments. */
   val CheckpointEvery = 64
+
+  /** Commit-time stat collection toggle (`spark.graft.commitStats` sys
+    * prop / `SPARK_GRAFT_COMMIT_STATS` env, default on). Off trades the
+    * per-new-file footer read at COMMIT time for no file skipping at
+    * READ time — a latency-critical micro-batch sink can disable it and
+    * let the next compaction's commit restore the stats. Read per call
+    * so tests (and a live sink) can flip it. */
+  private def statsEnabled: Boolean =
+    sys.props.get("spark.graft.commitStats")
+      .orElse(sys.env.get("SPARK_GRAFT_COMMIT_STATS"))
+      .forall(_.toBoolean)
+
+  /** Timestamp (epoch-ms) min/max of one store file, from its parquet
+    * FOOTER — the write-time row-group stats parquet already maintains,
+    * hoisted into the manifest so readers never pay the footer IO. None
+    * when any row group lacks stats or the read fails (a file without a
+    * zone map is never pruned — stats stay advisory, absence is safe). */
+  private def tsRangeOf(fs: FileSystem, root: String,
+      rel: String): Option[(Long, Long)] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        // every row group must contribute a valid INT64 range, or the
+        // file gets no zone map at all (partial stats cannot be safe)
+        val ranges = r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == "timestamp")
+            .map(_.getStatistics)
+            .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
+            .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, z: java.lang.Long) =>
+                Some((a.longValue, z.longValue))
+              case _ => None // not the store's INT64 layout
+            })
+        }
+        if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+        else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+      } finally r.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"zone-map stat read failed for $root/$rel — committing without " +
+            s"stats (file will not be skippable): $e")
+        None
+    }
+
+  /** Zone maps for this commit's NEW files — one footer read each,
+    * O(batch), skipped entirely when stats are disabled. */
+  private def zmapsFor(fs: FileSystem, root: String,
+      files: Seq[String]): Map[String, (Long, Long)] =
+    if (!statsEnabled || files.isEmpty) Map.empty
+    else files.flatMap(f => tsRangeOf(fs, root, f).map(f -> _)).toMap
 
   /** Write gen as an increment, or as a full checkpoint when the replay
     * chain is due for one (every `checkpointEvery` commits, and always
@@ -379,13 +464,14 @@ object Snapshot {
       adds: Seq[(String, Long)], tombs: Seq[Tombstone],
       txns: Map[String, Long] = Map.empty,
       txn: Option[(String, Long)] = None,
-      checkpointEvery: Int = CheckpointEvery): Unit = {
+      checkpointEvery: Int = CheckpointEvery,
+      zmaps: Map[String, (Long, Long)] = Map.empty): Unit = {
     val gens = manifestGens(fs, root)
     val idx = gens.lastIndexWhere(_._3)
     val sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
     if (gens.isEmpty || sinceCkpt + 1 >= checkpointEvery)
-      writeManifest(fs, root, gen, live, dead, txns ++ txn)
-    else writeIncrement(fs, root, gen, adds, tombs, txn)
+      writeManifest(fs, root, gen, live, dead, txns ++ txn, zmaps)
+    else writeIncrement(fs, root, gen, adds, tombs, txn, zmaps)
   }
 
   /** Adopt-everything commit: fold ANY unknown directory file into the
@@ -402,7 +488,7 @@ object Snapshot {
     val sizedLive = st.live.map(f => (f, st.sizes.getOrElse(f, -1L)))
     val next = st.gen + 1
     commitDelta(fs, root, next, sizedLive ++ added, st.dead, added, Seq.empty,
-      st.txns)
+      st.txns, zmaps = st.zmaps ++ zmapsFor(fs, root, added.map(_._1)))
     next
   }
 
@@ -431,7 +517,7 @@ object Snapshot {
     val sizedLive = st.live.map(f => (f, st.sizes.getOrElse(f, -1L)))
     val next = st.gen + 1
     commitDelta(fs, root, next, sizedLive ++ fresh, st.dead, fresh, Seq.empty,
-      st.txns)
+      st.txns, zmaps = st.zmaps ++ zmapsFor(fs, root, fresh.map(_._1)))
     next
   }
 
@@ -528,6 +614,7 @@ object Snapshot {
     private val liveV = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     private val deadV = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     private val txnsV = scala.collection.mutable.Map.empty[String, Long]
+    private val zmapsV = scala.collection.mutable.Map.empty[String, (Long, Long)]
     private var sinceCkpt = 0
     refresh()
 
@@ -545,6 +632,7 @@ object Snapshot {
       st.live.foreach(f => liveV(f) = st.sizes.getOrElse(f, -1L))
       deadV.clear(); st.dead.foreach(t => deadV(t.path) = t)
       txnsV.clear(); txnsV ++= st.txns
+      zmapsV.clear(); zmapsV ++= st.zmaps
       val gens = manifestGens(fs, root)
       val idx = gens.lastIndexWhere(_._3)
       sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
@@ -581,14 +669,18 @@ object Snapshot {
           catch { case _: java.io.FileNotFoundException =>
             throw new IllegalArgumentException(s"commit of missing file $f") }
         }
+      // one footer read per NEW file (skipped when stats are disabled);
+      // the rare collision-retry path re-reads them — O(batch), not worth
+      // a second code path
+      val freshZ = zmapsFor(fs, root, fresh.map(_._1))
       val next = genV + 1
       try {
         if (genV < 0 || sinceCkpt + 1 >= checkpointEvery) {
           writeManifest(fs, root, next, liveV.toVector ++ fresh,
-            deadV.values.toVector, txnsV.toMap ++ txn)
+            deadV.values.toVector, txnsV.toMap ++ txn, zmapsV.toMap ++ freshZ)
           sinceCkpt = 0
         } else {
-          writeIncrement(fs, root, next, fresh, Seq.empty, txn)
+          writeIncrement(fs, root, next, fresh, Seq.empty, txn, freshZ)
           sinceCkpt += 1
         }
       } catch {
@@ -601,6 +693,7 @@ object Snapshot {
               "committer violating the single-committer contract?", e)
       }
       liveV ++= fresh
+      zmapsV ++= freshZ
       txn.foreach { case (app, v) => txnsV(app) = v }
       genV = next
       next
@@ -699,20 +792,23 @@ object Snapshot {
       // every live file has a recorded size: plan straight from the log,
       // ZERO filesystem calls (graft.sources.ManifestFileIndex — the
       // explicit-file-list read below statuses every path on the driver,
-      // measured ~20 s at 100 k files / 100 k HEADs on an object store)
-      planFromLog(spark, root, st.live.map(f => (f, st.sizes(f))))
+      // measured ~20 s at 100 k files / 100 k HEADs on an object store).
+      // The log's zone maps ride along: a pushed timestamp predicate
+      // prunes FILES within an hour before any footer is opened.
+      planFromLog(spark, root, st.live.map(f => (f, st.sizes(f))), st.zmaps)
     else spark.read.option("basePath", root)
       .parquet(st.live.map(f => s"$root/$f"): _*)
 
   private def planFromLog(spark: SparkSession, root: String,
-      files: Seq[(String, Long)]): DataFrame = {
+      files: Seq[(String, Long)],
+      zmaps: Map[String, (Long, Long)]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val partitionSchema = StructType(Seq(
       StructField("shard_hour", LongType, nullable = false)))
     val index = new graft.sources.ManifestFileIndex(
-      new Path(root), files, partitionSchema)
+      new Path(root), files, partitionSchema, zmaps)
     // store files hold exactly the DataPoint columns (ingestBatch writes
     // them; compactShard drops the partition column before writing)
     val rel = HadoopFsRelation(index, partitionSchema,
@@ -758,7 +854,7 @@ object Snapshot {
   def compactShard(spark: SparkSession, root: String, shardHour: Long,
       targetFiles: Int = 1): Long = {
     val fs = fsFor(spark, root)
-    val LogState(gen, live, dead, txns, sizes) = loadState(fs, root)
+    val LogState(gen, live, dead, txns, sizes, zmaps) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root — commit() before compacting")
     val prefix = s"shard_hour=$shardHour/"
     val hourOld = live.filter(_.startsWith(prefix))
@@ -787,8 +883,11 @@ object Snapshot {
     val tombs = hourOld.map(Tombstone(next, now, _))
     val keptSized = live.filterNot(_.startsWith(prefix))
       .map(f => (f, sizes.getOrElse(f, -1L)))
+    // compacted files are timestamp-sorted, so their footer ranges are
+    // the tightest this hour will ever have — refresh the zone maps
     commitDelta(fs, root, next, keptSized ++ moved,
-      dead ++ tombs, moved, tombs, txns)
+      dead ++ tombs, moved, tombs, txns,
+      zmaps = (zmaps -- hourOld) ++ zmapsFor(fs, root, moved.map(_._1)))
     next
   }
 
@@ -807,7 +906,7 @@ object Snapshot {
   def vacuum(spark: SparkSession, root: String, graceMs: Long = 0L,
       keepManifests: Int = 3, leaseTtlMs: Long = 24L * 3600000L): Long = {
     val fs = fsFor(spark, root)
-    val LogState(gen, live, dead, txns, sizes) = loadState(fs, root)
+    val LogState(gen, live, dead, txns, sizes, zmaps) = loadState(fs, root)
     require(gen >= 0, s"no manifest at $root")
     val now = System.currentTimeMillis()
     val activeLeases = leases(fs, root).filter { case (_, p, mtime) =>
@@ -829,7 +928,7 @@ object Snapshot {
     // full-state rewrite, and it resets the replay chain for free.
     // Streaming-txn high-waters ride along — idempotence survives trims.
     writeManifest(fs, root, gen + 1,
-      live.map(f => (f, sizes.getOrElse(f, -1L))), remaining, txns)
+      live.map(f => (f, sizes.getOrElse(f, -1L))), remaining, txns, zmaps)
     // Trim rule (log v2): a kept chain must START at a checkpoint, or
     // replay is impossible. Keep the newest `keepManifests` checkpoints
     // and every increment newer than the oldest kept checkpoint; delete

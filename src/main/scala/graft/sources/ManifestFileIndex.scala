@@ -2,9 +2,9 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
 /** A [[FileIndex]] served ENTIRELY from the snapshot-manifest log — the
   * Delta/Iceberg planning pattern (their logs record path + size for the
@@ -20,33 +20,95 @@ import org.apache.spark.sql.types.StructType
   * planning cost.
   *
   * Partition pruning happens here (`listFiles` evaluates the pushed
-  * partition filters against each hour), so `shard_hour` predicates
-  * skip non-matching hours exactly as with a listed store. Fabricated
-  * `FileStatus` fields beyond (path, length): block size feeds split
-  * arithmetic (128 MB, the files' write-time row-group target) and
-  * mtime is 0 — neither affects parquet correctness.
+  * partition filters against each hour), and so does FILE skipping
+  * (r13): `tsRanges` carries the manifest's per-file timestamp zone
+  * maps, so a pushed `timestamp` predicate drops every file whose
+  * recorded [min, max] cannot overlap the predicate's bounds — the
+  * Delta data-skipping move. Without it, a 5-minute range scan over an
+  * hour holding thousands of micro-batch files plans ALL of them and
+  * leans on per-file parquet footer stats to skip — one footer IO per
+  * file per query, which on an object store is the same O(files)
+  * round-trip bill the manifest exists to avoid. Skipping is
+  * conservative: only files whose recorded range PROVABLY misses every
+  * possibly-matching timestamp are dropped; files without a recorded
+  * range are always kept. Fabricated `FileStatus` fields beyond
+  * (path, length): block size feeds split arithmetic (128 MB, the
+  * files' write-time row-group target) and mtime is 0 — neither
+  * affects parquet correctness.
   */
 final class ManifestFileIndex(
     root: Path,
     files: Seq[(String, Long)], // (relpath `shard_hour=H/x.parquet`, bytes)
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    tsRanges: Map[String, (Long, Long)] = Map.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  private val byHour: Seq[(Long, Array[FileStatus])] = files
-    .map { case (rel, sz) =>
-      // loud on a corrupt/foreign manifest line instead of a mis-parse:
-      // this index only knows the store's fixed `shard_hour=H/f.parquet`
-      // layout (r11 judge note)
-      require(rel.startsWith("shard_hour=") && rel.indexOf('/') > 0,
-        s"manifest relpath '$rel' is not shard_hour=H/<file> — corrupt log?")
-      val hour = rel.substring(rel.indexOf('=') + 1, rel.indexOf('/')).toLong
-      (hour, new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L,
-        new Path(root, rel)))
+  private val byHour: Seq[(Long, Array[(FileStatus, Option[(Long, Long)])])] =
+    files
+      .map { case (rel, sz) =>
+        // loud on a corrupt/foreign manifest line instead of a mis-parse:
+        // this index only knows the store's fixed `shard_hour=H/f.parquet`
+        // layout (r11 judge note)
+        require(rel.startsWith("shard_hour=") && rel.indexOf('/') > 0,
+          s"manifest relpath '$rel' is not shard_hour=H/<file> — corrupt log?")
+        val hour = rel.substring(rel.indexOf('=') + 1, rel.indexOf('/')).toLong
+        (hour, (new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L,
+          new Path(root, rel)): FileStatus, tsRanges.get(rel)))
+      }
+      .groupBy(_._1).toSeq
+      .map { case (h, fs) => (h, fs.map(_._2).toArray) }
+      .sortBy(_._1)
+
+  /** The data column the zone maps describe (the store's epoch-ms
+    * `timestamp`, LongType — model.dataPointSchema). */
+  private val TsCol = "timestamp"
+
+  private object TsAttr {
+    def unapply(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == TsCol
+      case _ => false
     }
-    .groupBy(_._1).toSeq
-    .map { case (h, fs) => (h, fs.map(_._2).toArray) }
-    .sortBy(_._1)
+  }
+
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  /** Tightest CLOSED interval [lo, hi] of timestamps any matching row
+    * could carry, from the pushed data-filter conjuncts. Unrecognized
+    * predicates contribute nothing (stay conservative); strict bounds
+    * saturate rather than wrap at the Long extremes. */
+  private def tsBounds(filters: Seq[Expression]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    def dec(v: Long): Long = if (v == Long.MinValue) v else v - 1
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case GreaterThan(TsAttr(), TsLit(v)) => lo = lo.max(inc(v))
+      case GreaterThanOrEqual(TsAttr(), TsLit(v)) => lo = lo.max(v)
+      case LessThan(TsAttr(), TsLit(v)) => hi = hi.min(dec(v))
+      case LessThanOrEqual(TsAttr(), TsLit(v)) => hi = hi.min(v)
+      case EqualTo(TsAttr(), TsLit(v)) => lo = lo.max(v); hi = hi.min(v)
+      case EqualTo(TsLit(v), TsAttr()) => lo = lo.max(v); hi = hi.min(v)
+      case GreaterThan(TsLit(v), TsAttr()) => hi = hi.min(dec(v))
+      case GreaterThanOrEqual(TsLit(v), TsAttr()) => hi = hi.min(v)
+      case LessThan(TsLit(v), TsAttr()) => lo = lo.max(inc(v))
+      case LessThanOrEqual(TsLit(v), TsAttr()) => lo = lo.max(v)
+      case In(TsAttr(), vs) if vs.nonEmpty &&
+          vs.forall(TsLit.unapply(_).isDefined) =>
+        val longs = vs.map(TsLit.unapply(_).get)
+        lo = lo.max(longs.min); hi = hi.min(longs.max)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    (lo, hi)
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -61,7 +123,19 @@ final class ManifestFileIndex(
         val pred = Predicate.createInterpreted(bound)
         byHour.filter { case (h, _) => pred.eval(InternalRow(h)) }
       }
-    pruned.map { case (h, fss) => PartitionDirectory(InternalRow(h), fss) }
+    val (lo, hi) = tsBounds(dataFilters)
+    val skipped =
+      if (lo == Long.MinValue && hi == Long.MaxValue) // no usable bound
+        pruned.map { case (h, fss) => (h, fss.map(_._1)) }
+      else pruned.map { case (h, fss) =>
+        (h, fss.collect {
+          // keep: no recorded range (never prune blind), or overlap
+          case (st, None) => st
+          case (st, Some((mn, mx))) if mx >= lo && mn <= hi => st
+        })
+      }
+    skipped.filter(_._2.nonEmpty)
+      .map { case (h, fss) => PartitionDirectory(InternalRow(h), fss) }
   }
 
   override def inputFiles: Array[String] =
