@@ -50,6 +50,7 @@ object SnapshotScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("plan")) return planMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
+    if (args.headOption.contains("zmap")) return zmapMain(args.drop(1))
     val baseFiles = args(0).toInt
     val nCommits = args(1).toInt
     val perCommit = if (args.length > 2) args(2).toInt else 4
@@ -233,6 +234,89 @@ object SnapshotScaleProbe {
         f"rowsAgree=${rows == rowsLegacy}")
       val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new Path(root), true)
+    }
+    spark.stop()
+  }
+
+  /** `SnapshotScaleProbe zmap [counts]` — zone-map axis (r13): a
+    * heavily-written hour holding `n` micro-batch files with contiguous
+    * disjoint timestamp slices (repartitionByRange gives each file its
+    * range, as a real per-batch append does). Measures (a) commit wall
+    * with stats on vs off — the per-new-file footer-read bill the writer
+    * pays once; (b) for a 300 s and a 5 s mid-hour range query: files
+    * PLANNED (FileSourceScanExec numFiles) and count() wall, zone-mapped
+    * vs blind store. The planned-file ratio is the read-amplification
+    * win; locally the wall gain is per-file open overhead, on an object
+    * store it is one GET per skipped file per query. */
+  private def zmapMain(args: Array[String]): Unit = {
+    val counts = args.headOption.getOrElse("120,480,2880")
+      .split(",").map(_.trim.toInt).toSeq
+    val rowsPerFile = 1000
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("snapshot-zmap-probe")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val hourBase = 1700000000000L - (1700000000000L % 3600000L)
+
+    def buildStore(n: Int, stats: Boolean): (String, Double) = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"snapzmap_${n}_$stats").toString
+      val total = n.toLong * rowsPerFile
+      val df = spark.range(total).select(
+        (lit(hourBase) + graft.model.floorDivCol(col("id") * 3600000L, total))
+          .as("timestamp"),
+        col("id").cast("double").as("value"),
+        lit("cpu").as("metric"))
+      // one file per range-partition — each owns a contiguous ts slice,
+      // exactly what per-micro-batch appends produce
+      import spark.implicits._
+      graft.operators.Ingest.ingestBatch(
+        df.repartitionByRange(n, col("timestamp"))
+          .as[graft.model.DataPoint], root)
+      if (!stats) sys.props("spark.graft.commitStats") = "false"
+      val t0 = System.nanoTime()
+      Snapshot.commit(spark, root)
+      val wall = (System.nanoTime() - t0) / 1e6
+      sys.props.remove("spark.graft.commitStats")
+      (root, wall)
+    }
+
+    def query(root: String, fromMs: Long, toMs: Long): (Long, Double, Long) = {
+      // min of 3: (files planned, count wall ms, rows)
+      val runs = (0 until 3).map { _ =>
+        val df = Snapshot.read(spark, root)
+          .filter(col("timestamp").between(hourBase + fromMs, hourBase + toMs))
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        val wall = (System.nanoTime() - t0) / 1e6
+        val files = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+        (files, wall, rows)
+      }
+      runs.minBy(_._2)
+    }
+
+    counts.foreach { n =>
+      val (rootZ, commitZ) = buildStore(n, stats = true)
+      val (rootB, commitB) = buildStore(n, stats = false)
+      Seq(("q300s", 1800000L, 2099999L), ("q5s", 1800000L, 1804999L))
+        .foreach { case (tag, a, b) =>
+          val (fz, wz, rz) = query(rootZ, a, b)
+          val (fb, wb, rb) = query(rootB, a, b)
+          println(f"SNAPZMAP files=$n $tag plannedZ=$fz plannedBlind=$fb " +
+            f"wallZ=$wz%.1fms wallBlind=$wb%.1fms rowsAgree=${rz == rb} " +
+            f"commitStatsMs=$commitZ%.0f commitBlindMs=$commitB%.0f")
+        }
+      val fs = new Path(rootZ).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(rootZ), true)
+      fs.delete(new Path(rootB), true)
     }
     spark.stop()
   }

@@ -55,6 +55,38 @@ object Graph {
   private def ckptEdges(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Width for an edge checkpoint that per-iteration scans + map-side
+    * aggregations will read (r13): the configured shuffle-partition
+    * default is a per-CORE convention, so it FIXES per-task row volume
+    * × data size — at 10× edges every iteration's partial-agg hash map
+    * folds 10× rows per task and spills (measured: q_pagerank sf10
+    * 282 s at 32 parts → 67.6 s at 256; the per-iteration e2⋈crate
+    * scan and the groupBy(dst) partial agg both run at e2's width).
+    * Sized from the EXACT edge count the caller just materialized —
+    * the same count-gating pattern as [[resourceAllocation]]'s
+    * pair-volume exchange — at ~1 M edge rows per task, capped at
+    * 4096. Never below the session default (small graphs keep the
+    * cheap plan). */
+  private def edgeParts(spark: SparkSession, edgeCount: Long): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, edgeCount / 1000000L + 1L).toInt)
+
+  /** Re-exchange an already-checkpointed edge frame to [[edgeParts]]
+    * width when the count warrants it, releasing the narrow original;
+    * below the threshold the input is returned untouched (zero extra
+    * work at small scale — the count on a checkpoint is ~free). */
+  private def widenEdges(e: DataFrame, key: Column): (DataFrame, Long) = {
+    val spark = e.sparkSession
+    val m = e.count()
+    val wide = edgeParts(spark, m)
+    if (wide <= spark.sessionState.conf.numShufflePartitions) (e, m)
+    else {
+      val w = ckptEdges(e.repartition(wide, key))
+      release(e)
+      (w, m)
+    }
+  }
+
   /** Undirected customer↔supplier co-transaction graph from the order
     * lineage: node ids are disjoint (customer 2k, supplier 2k+1), each
     * relationship contributes both directed edges, multi-edges collapse. */
@@ -107,7 +139,11 @@ object Graph {
     // the edges would sort 10⁷ rows just to attach a per-node count).
     // outdeg lives in a NODE-sized frame aggregated straight off the
     // cached blocks — groupBy(src) reuses the partitioning, no exchange.
-    val e2 = ckptEdges(eRaw.repartition(col("src")))
+    // Width is count-gated (r13, [[edgeParts]]): every iteration scans
+    // e2 and partial-aggs at ITS width, so a default-width checkpoint
+    // spills per iteration once per-task volume outgrows memory.
+    val (e2, _) = widenEdges(
+      ckptEdges(eRaw.repartition(col("src"))), col("src"))
     val outdeg = e2.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     // symmetric: src alone spans V, and it's exactly outdeg's key set —
@@ -195,7 +231,9 @@ object Graph {
     require(sources.nonEmpty, "personalized PageRank needs a seed set")
     val s = sources.distinct
     val eRaw = edges.select(col("src"), col("dst"))
-    val e2 = ckptEdges(eRaw.repartition(col("src")))
+    // count-gated width, as in [[pageRank]] (r13)
+    val (e2, _) = widenEdges(
+      ckptEdges(eRaw.repartition(col("src"))), col("src"))
     val outdeg = e2.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodesDf = e2.select(col("src").as("node"))
@@ -519,8 +557,17 @@ object Graph {
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val du = deg.select(col("node").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    // count-gated broadcast for the orientation's two degree attaches
+    // (r13): |V| is exact off the checkpointed deg frame, and the 10 MB
+    // estimator default flips these joins to sort-merge — two SORTS of
+    // the full edge frame — a few million nodes too early (the same
+    // flip the r9 kCore/pageRank fix closed for the iterative loops;
+    // measured here as part of q_triangles' super-linear sf10 growth)
+    val nV = deg.count()
+    def maybeB(v: DataFrame): DataFrame =
+      if (nV <= BroadcastNodeBudget) v.hint("broadcast") else v
+    val du = maybeB(deg.select(col("node").as("u"), col("deg").as("du")))
+    val dv = maybeB(deg.select(col("node").as("v"), col("deg").as("dv")))
     val firstU = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
     // oriented edge set is reused three times (both wedge legs + the
@@ -785,10 +832,18 @@ object Graph {
     val pairs = ckptEdges(pairsIn.select(col("u"), col("v")))
     val deg = pairs.select(col("u").as("node"))
       .unionByName(pairs.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // count-gated broadcast (r13): with both degree attaches broadcast,
+    // the whole moment pass is one scan of the symmetric edge frame into
+    // a map-side partial agg — no |E| exchange, no |E| sort. The 10 MB
+    // estimator flipped both joins to sort-merge at sf10 (~1.6 M nodes):
+    // measured 126.7 s → re-measured after this gate (PLANS.md r13).
+    val nV = deg.count()
+    def maybeB(v: DataFrame): DataFrame =
+      if (nV <= BroadcastNodeBudget) v.hint("broadcast") else v
     val e = symmetricEdges(pairs)
-    val dx = deg.select(col("node").as("src"), col("deg").as("dx"))
-    val dy = deg.select(col("node").as("dst"), col("deg").as("dy"))
+    val dx = maybeB(deg.select(col("node").as("src"), col("deg").as("dx")))
+    val dy = maybeB(deg.select(col("node").as("dst"), col("deg").as("dy")))
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     e.join(dx, Seq("src")).join(dy, Seq("dst"))
       .agg(

@@ -143,6 +143,34 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec {
     assert(filesScanned(q4) == 1 && q4.count() == 100)
   }
 
+  test("the streaming snapshot sink records zone maps per micro-batch " +
+      "commit; the store prunes from them") {
+    val store = Files.createTempDirectory("graft_zm6_").toString
+    val ckpt = Files.createTempDirectory("graft_zm6_ck_").toString
+    val src = Files.createTempDirectory("graft_zm6_src_").toString
+    // two files = two micro-batches (maxFilesPerTrigger=1), disjoint ts
+    slice(0L, 899999L).write.parquet(s"$src/b0")
+    slice(900000L, 1799999L).write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(graft.model.dataPointSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .as[DataPoint]
+    graft.streaming.StreamingIngest
+      .snapshotSinkStream(stream, store, ckpt, appId = "zm6")
+      .awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val st = Snapshot.loadState(fs, store)
+    assert(st.live.nonEmpty && st.zmaps.keySet == st.live.toSet,
+      "every streamed file should carry a zone map")
+    val q = Snapshot.read(spark, store)
+      .filter(ts.between(baseMs, baseMs + 899999L))
+    assert(q.count() == 100)
+    assert(filesScanned(q) < st.live.size,
+      "the ts predicate should skip at least one streamed file")
+  }
+
   test("pruning composes with hour partition pruning and ignores " +
       "non-timestamp predicates") {
     val store = Files.createTempDirectory("graft_zm5_").toString
