@@ -287,12 +287,14 @@ object SnapshotScaleProbe {
     }
 
     def query(root: String, fromMs: Long, toMs: Long): (Long, Double, Long) = {
-      // min of 3: (files planned, count wall ms, rows)
+      // min of 3: (files planned, scan wall ms, rows). toRdd.count()
+      // drives THIS plan (df.count() would build its own QueryExecution
+      // and leave these metrics untouched)
       val runs = (0 until 3).map { _ =>
         val df = Snapshot.read(spark, root)
           .filter(col("timestamp").between(hourBase + fromMs, hourBase + toMs))
         val t0 = System.nanoTime()
-        val rows = df.count()
+        val rows = df.queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e6
         val files = df.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec =>
