@@ -1304,13 +1304,55 @@ object TimeSeries {
     * jobs): total bytes < 2×blockRows ⇒ total rows < 2×blockRows ⇒ the
     * volume gate would pick plain anyway — a pure statistics read, no
     * action. */
+  /** Session-scoped memo of the three-signal probe STATS (r14, the r13
+    * verdict's top item: every adaptive dispatch paid the ~0.25 s probe
+    * job even when plain wins). Keyed on the CANONICALIZED logical plan
+    * of the probed frame plus the probe parameters, so a repeated
+    * dispatch over the same source (the dominant shape: a dashboard
+    * re-running the same adaptive query, or a bench rep) reads the
+    * memoized stats with ZERO jobs. Stats, not decisions, are memoized —
+    * thresholds still apply per call, so the same frame dispatches
+    * correctly under different skewThreshold/blockRows arguments (the
+    * invariant specs exercise exactly that). Staleness (data mutated
+    * under an identical plan, e.g. files rewritten at the same path) can
+    * only mis-DISPATCH, never mis-ANSWER: every branch is bit-identical
+    * (spec-pinned), so a stale entry costs performance, not correctness —
+    * the same contract plan-stats-driven optimizers (CBO, AQE estimates)
+    * already accept. Bounded at [[ProbeMemoMax]] entries (clear-all on
+    * overflow: plans hash to ints, entries are 3 doubles — the bound is
+    * defensive, not load-bearing). */
+  private val ProbeMemoMax = 512
+  private val probeStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, String, Double, Long), (Double, Double, Double)]()
+
+  private[graft] def memoProbeSize: Int = probeStatsMemo.size
+  private[graft] def memoProbeClear(): Unit = probeStatsMemo.clear()
+
+  private[graft] def memoizedKeyDensityStats(df: DataFrame, key: String,
+      fraction: Double, seed: Long = 42L): (Double, Double, Double) = {
+    val plan = df.queryExecution.optimizedPlan
+    // semanticHash + schema string: the int hash alone could collide two
+    // distinct plans (perf-only harm, but cheap to harden against)
+    val memoKey = (plan.semanticHash(), plan.schema.catalogString,
+      key, fraction, seed)
+    if (probeStatsMemo.size > ProbeMemoMax) probeStatsMemo.clear()
+    probeStatsMemo.computeIfAbsent(memoKey,
+      _ => sampledKeyDensityStats(df, key, fraction, seed))
+  }
+
   private[graft] def blockDispatch(events: DataFrame, key: String,
       bRows: Long, sampleFraction: Double, skewThreshold: Double,
       hoursPerBlock: Double = 1.0): BlockDispatch = {
+    // zero-job gate 1: plan-stats BYTES cannot even hold two blocks of
+    // ROWS at 1 byte/row (bytes ≥ rows always) ⇒ the volume gate would
+    // pick plain anyway — a pure statistics read, no probe
     val bytes = events.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(2L) * BigInt(bRows)) return DispatchPlain
+    // zero-job gate 2 (r14): the probe stats memo — repeat dispatches
+    // over the same source skip the sampled job entirely
     val (share, hotRows, hotHour) =
-      sampledKeyDensityStats(events, key, sampleFraction)
+      memoizedKeyDensityStats(events, key, sampleFraction)
     if (share < skewThreshold || hotRows < 2.0 * bRows) DispatchPlain
     else if (hotHour * math.max(1.0, hoursPerBlock) <= bRows) DispatchTime
     else DispatchCount

@@ -325,6 +325,62 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
       skewed, gapT, blockRows = 2L, sampleFraction = 1.0)), "gate open")
   }
 
+  test("r14 probe-stats memo: a repeat blockDispatch over the same frame " +
+      "runs ZERO jobs, serves the same decision, and still picks blocked " +
+      "for the skewed frame; thresholds apply per call over memoized stats") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val gapT = 10L
+    def fx(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("user_id", "event_id", "t_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("t_us")).as("ts"))
+    val skewed = fx((0L until 17L).map(i => (9L, i, i * (gapT + 2))) ++
+      (0L until 3L).map(i => (i, 17L + i, i * 3)))
+    val balanced = fx(for (u <- 0L until 4L; i <- 0L until 5L)
+      yield (u, u * 5 + i, i * (gapT + 2)))
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    TimeSeries.memoProbeClear()
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      def countJobs[A](body: => A): (A, Int) = {
+        Thread.sleep(1200); counter.n.set(0)
+        val r = body
+        Thread.sleep(1200); (r, counter.n.get)
+      }
+      val (d1, jobs1) = countJobs(
+        TimeSeries.blockDispatch(skewed, "user_id", 2L, 1.0, 0.2))
+      val (d2, jobs2) = countJobs(
+        TimeSeries.blockDispatch(skewed, "user_id", 2L, 1.0, 0.2))
+      assert(jobs1 >= 1, "first dispatch must run the probe job")
+      assert(jobs2 == 0, s"repeat dispatch ran $jobs2 jobs — memo miss")
+      assert(d1 == d2 && d1 != TimeSeries.DispatchPlain,
+        s"skewed frame must stay blocked on the memoized path ($d1 vs $d2)")
+      // thresholds are applied per call OVER the memoized stats: the same
+      // frame flips to plain at a threshold above its 0.85 share, zero jobs
+      val (dHigh, jobsHigh) = countJobs(
+        TimeSeries.blockDispatch(skewed, "user_id", 2L, 1.0, 0.9))
+      assert(dHigh == TimeSeries.DispatchPlain && jobsHigh == 0,
+        s"threshold must re-apply over memoized stats ($dHigh, $jobsHigh jobs)")
+      // a different frame is a different memo entry — fresh probe
+      // (balanced max share is 0.25, so 0.3 dispatches plain)
+      val (dBal, jobsBal) = countJobs(
+        TimeSeries.blockDispatch(balanced, "user_id", 2L, 1.0, 0.3))
+      assert(dBal == TimeSeries.DispatchPlain && jobsBal >= 1,
+        s"distinct frame must probe fresh ($dBal, $jobsBal jobs)")
+      assert(TimeSeries.memoProbeSize >= 2)
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      TimeSeries.memoProbeClear()
+    }
+  }
+
   test("the count-block session family (sessionizeBlockedRows / " +
       "sessionPathsBlockedRows / transitionMatrixBlockedRows) is " +
       "row-identical to the plain forms on the corpus and on tiny-block " +
