@@ -278,12 +278,15 @@ object SnapshotScaleProbe {
       graft.operators.Ingest.ingestBatch(
         df.repartitionByRange(n, col("timestamp"))
           .as[graft.model.DataPoint], root)
+      // try/finally (ADVICE r13): a throwing commit must not leave the
+      // JVM-global prop set, silently disabling stats for the process
       if (!stats) sys.props("spark.graft.commitStats") = "false"
-      val t0 = System.nanoTime()
-      Snapshot.commit(spark, root)
-      val wall = (System.nanoTime() - t0) / 1e6
-      sys.props.remove("spark.graft.commitStats")
-      (root, wall)
+      try {
+        val t0 = System.nanoTime()
+        Snapshot.commit(spark, root)
+        val wall = (System.nanoTime() - t0) / 1e6
+        (root, wall)
+      } finally sys.props.remove("spark.graft.commitStats")
     }
 
     def query(root: String, fromMs: Long, toMs: Long): (Long, Double, Long) = {
@@ -293,6 +296,26 @@ object SnapshotScaleProbe {
       val runs = (0 until 3).map { _ =>
         val df = Snapshot.read(spark, root)
           .filter(col("timestamp").between(hourBase + fromMs, hourBase + toMs))
+        val t0 = System.nanoTime()
+        val rows = df.queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e6
+        val files = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+        (files, wall, rows)
+      }
+      runs.minBy(_._2)
+    }
+
+    // r14: value-band query — the value zone maps' payoff axis. The
+    // probe store's value column is the global row id, so file i owns
+    // values [i·rowsPerFile, (i+1)·rowsPerFile): a k-file band is a
+    // direct read-amplification measurement for alert-shaped filters.
+    def queryV(root: String, lo: Double, hi: Double): (Long, Double, Long) = {
+      val runs = (0 until 3).map { _ =>
+        val df = Snapshot.read(spark, root)
+          .filter(col("value").between(lo, hi))
         val t0 = System.nanoTime()
         val rows = df.queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e6
@@ -315,6 +338,17 @@ object SnapshotScaleProbe {
           println(f"SNAPZMAP files=$n $tag plannedZ=$fz plannedBlind=$fb " +
             f"wallZ=$wz%.1fms wallBlind=$wb%.1fms rowsAgree=${rz == rb} " +
             f"commitStatsMs=$commitZ%.0f commitBlindMs=$commitB%.0f")
+        }
+      // a 2-file value band mid-corpus, and a sub-file band
+      val total = n.toLong * rowsPerFile
+      Seq(("v2files", (total / 2).toDouble,
+            (total / 2 + 2L * rowsPerFile - 1).toDouble),
+          ("v100rows", (total / 2).toDouble, (total / 2 + 99).toDouble))
+        .foreach { case (tag, lo, hi) =>
+          val (fz, wz, rz) = queryV(rootZ, lo, hi)
+          val (fb, wb, rb) = queryV(rootB, lo, hi)
+          println(f"SNAPZMAP files=$n $tag plannedZ=$fz plannedBlind=$fb " +
+            f"wallZ=$wz%.1fms wallBlind=$wb%.1fms rowsAgree=${rz == rb}")
         }
       val fs = new Path(rootZ).getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new Path(rootZ), true)

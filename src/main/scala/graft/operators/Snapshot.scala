@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.DataPoint
+import graft.sources.FileZoneStats
 
 /** Snapshot isolation for the hour-partitioned store — the minimal
   * manifest log that makes SERVE-WHILE-COMPACT safe on a plain
@@ -229,17 +230,20 @@ object Snapshot {
     * `sizes` maps each live path to its recorded byte size (−1 when a
     * legacy manifest line carried none) — what lets a reader PLAN from
     * the log alone, zero filesystem calls (see [[ManifestFileIndex]]).
-    * `zmaps` are per-file timestamp ZONE MAPS (`zmap <tsMin> <tsMax>
-    * <relpath>` lines, epoch-ms, r13): the Delta data-skipping stats —
-    * recorded once at commit time (one parquet footer read per NEW file,
-    * O(batch)), they let the planner prune files WITHIN an hour on a
-    * pushed timestamp predicate without touching any footer at read
-    * time. Files without a recorded range (legacy commits, stats
-    * disabled) are simply never pruned — skipping is always
-    * conservative. */
+    * `zmaps` are per-file ZONE MAPS: timestamp range (`zmap <tsMin>
+    * <tsMax> <relpath>` lines, epoch-ms, r13) extended in r14 with the
+    * VALUE range and row count (`zmap3 <tsMin> <tsMax> <vMinBits>
+    * <vMaxBits> <rows> <relpath>`, value bounds as raw IEEE-754 bits so
+    * the text log round-trips doubles exactly) — the Delta data-skipping
+    * stat set, recorded once at commit time (one parquet footer read per
+    * NEW file, O(batch)). They let the planner prune files WITHIN an
+    * hour on pushed timestamp AND value predicates without touching any
+    * footer at read time. Files without recorded stats (legacy commits,
+    * stats disabled) are simply never pruned — skipping is always
+    * conservative, and legacy `zmap` lines replay as ts-only stats. */
   private[graft] final case class LogState(gen: Long, live: Vector[String],
       dead: Vector[Tombstone], txns: Map[String, Long],
-      sizes: Map[String, Long], zmaps: Map[String, (Long, Long)])
+      sizes: Map[String, Long], zmaps: Map[String, FileZoneStats])
 
   /** `<size> <relpath>` or legacy `<relpath>` (size −1). Relpaths always
     * start with `shard_hour=`, never a bare integer, so the split is
@@ -268,7 +272,7 @@ object Snapshot {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dead = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    val zmaps = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val zmaps = scala.collection.mutable.Map.empty[String, FileZoneStats]
     gens.drop(fromIdx).foreach { case (gen, p, _, mtime) =>
       readLines(fs, p).foreach { l =>
         if (l.startsWith("live ")) { val (f, sz) = parseSized(l.drop(5)); live(f) = sz }
@@ -279,9 +283,18 @@ object Snapshot {
           dead(t.path) = t
           zmaps -= t.path
         } else if (l.startsWith("zmap ")) l.drop(5).split(" ", 3) match {
+          // legacy r13 ts-only stats: replay as a ts-only zone map
           case Array(a, b, path) if a.toLongOption.isDefined &&
               b.toLongOption.isDefined =>
-            zmaps(path) = (a.toLong, b.toLong)
+            zmaps(path) = FileZoneStats(a.toLong, b.toLong)
+          case _ => () // malformed stat line: skip (stats are advisory)
+        } else if (l.startsWith("zmap3 ")) l.drop(6).split(" ", 6) match {
+          case Array(a, b, vm, vx, n, path)
+              if Seq(a, b, vm, vx, n).forall(_.toLongOption.isDefined) =>
+            zmaps(path) = FileZoneStats(a.toLong, b.toLong,
+              Some((java.lang.Double.longBitsToDouble(vm.toLong),
+                java.lang.Double.longBitsToDouble(vx.toLong))),
+              Some(n.toLong))
           case _ => () // malformed stat line: skip (stats are advisory)
         } else if (l.startsWith("txn ")) l.drop(4).split(" ", 2) match {
           case Array(app, v) if v.toLongOption.isDefined =>
@@ -356,13 +369,20 @@ object Snapshot {
   private def sizedBody(f: (String, Long)): String =
     if (f._2 >= 0) s"${f._2} ${f._1}" else f._1
 
-  /** `zmap <tsMin> <tsMax> <relpath>` lines for the files in `paths`
-    * that have a recorded range. Emitted alongside the live/add lines
-    * they describe; a file with no entry simply carries no stats. */
+  /** Zone-map lines for the files in `paths` that have recorded stats:
+    * `zmap3 <tsMin> <tsMax> <vMinBits> <vMaxBits> <rows> <relpath>` when
+    * the full r14 stat set is known, the legacy ts-only `zmap` line
+    * otherwise. Emitted alongside the live/add lines they describe; a
+    * file with no entry simply carries no stats. */
   private def zmapLines(paths: Seq[String],
-      zmaps: Map[String, (Long, Long)]): Seq[String] =
+      zmaps: Map[String, FileZoneStats]): Seq[String] =
     paths.sorted.flatMap(p =>
-      zmaps.get(p).map { case (a, b) => s"zmap $a $b $p" })
+      zmaps.get(p).map {
+        case FileZoneStats(a, b, Some((vm, vx)), Some(n)) =>
+          s"zmap3 $a $b ${java.lang.Double.doubleToRawLongBits(vm)} " +
+            s"${java.lang.Double.doubleToRawLongBits(vx)} $n $p"
+        case FileZoneStats(a, b, _, _) => s"zmap $a $b $p"
+      })
 
   /** Full-snapshot checkpoint `m<gen>`: the complete live + dead state,
     * plus every app's streaming-txn high-water (idempotence must survive
@@ -370,7 +390,7 @@ object Snapshot {
   private def writeManifest(fs: FileSystem, root: String, gen: Long,
       live: Seq[(String, Long)], dead: Seq[Tombstone],
       txns: Map[String, Long] = Map.empty,
-      zmaps: Map[String, (Long, Long)] = Map.empty): Unit =
+      zmaps: Map[String, FileZoneStats] = Map.empty): Unit =
     writeLog(fs, root, s"m$gen",
       (live.sortBy(_._1).map(f => "live " + sizedBody(f)) ++
         zmapLines(live.map(_._1), zmaps) ++
@@ -386,7 +406,7 @@ object Snapshot {
   private def writeIncrement(fs: FileSystem, root: String, gen: Long,
       adds: Seq[(String, Long)], tombs: Seq[Tombstone],
       txn: Option[(String, Long)] = None,
-      zmaps: Map[String, (Long, Long)] = Map.empty): Unit =
+      zmaps: Map[String, FileZoneStats] = Map.empty): Unit =
     writeLog(fs, root, s"i$gen",
       (adds.sortBy(_._1).map(f => "add " + sizedBody(f)) ++
         zmapLines(adds.map(_._1), zmaps) ++
@@ -408,15 +428,28 @@ object Snapshot {
   private def statsEnabled: Boolean =
     sys.props.get("spark.graft.commitStats")
       .orElse(sys.env.get("SPARK_GRAFT_COMMIT_STATS"))
-      .forall(_.toBoolean)
+      .forall { v =>
+        // tolerant parse (ADVICE r13): String.toBoolean throws on "0"/
+        // "off"/typos, failing every COMMIT just to disable stats. Only
+        // recognizable negatives disable; anything else stays on (warned).
+        val off = Set("false", "0", "off", "no").contains(v.trim.toLowerCase)
+        if (!off && !v.trim.equalsIgnoreCase("true"))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"unrecognized commitStats toggle '$v' — treating as enabled")
+        !off
+      }
 
-  /** Timestamp (epoch-ms) min/max of one store file, from its parquet
-    * FOOTER — the write-time row-group stats parquet already maintains,
-    * hoisted into the manifest so readers never pay the footer IO. None
-    * when any row group lacks stats or the read fails (a file without a
-    * zone map is never pruned — stats stay advisory, absence is safe). */
-  private def tsRangeOf(fs: FileSystem, root: String,
-      rel: String): Option[(Long, Long)] =
+  /** Zone-map stats of one store file, from its parquet FOOTER — the
+    * write-time row-group stats parquet already maintains, hoisted into
+    * the manifest so readers never pay the footer IO. The timestamp
+    * (epoch-ms) range is required: None when any row group lacks it or
+    * the read fails (a file without a zone map is never pruned — stats
+    * stay advisory, absence is safe). The VALUE range and row count
+    * (r14) ride along when available: value stats are dropped if any
+    * row group lacks them or carries a NaN bound (NaN cannot prove a
+    * skip), leaving a ts-only zone map. */
+  private def statsOf(fs: FileSystem, root: String,
+      rel: String): Option[FileZoneStats] =
     try {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -424,21 +457,36 @@ object Snapshot {
         HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
       try {
         import scala.jdk.CollectionConverters._
+        def colRange[T](name: String)(
+            pick: PartialFunction[(Any, Any), (T, T)]): Seq[Option[(T, T)]] =
+          r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == name)
+              .map(_.getStatistics)
+              .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
+              .flatMap(st =>
+                pick.lift((st.genericGetMin: Any, st.genericGetMax: Any)))
+          }
         // every row group must contribute a valid INT64 range, or the
         // file gets no zone map at all (partial stats cannot be safe)
-        val ranges = r.getFooter.getBlocks.asScala.map { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == "timestamp")
-            .map(_.getStatistics)
-            .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
-            .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, z: java.lang.Long) =>
-                Some((a.longValue, z.longValue))
-              case _ => None // not the store's INT64 layout
-            })
+        val tsRanges = colRange[Long]("timestamp") {
+          case (a: java.lang.Long, z: java.lang.Long) =>
+            (a.longValue, z.longValue) // the store's INT64 layout
         }
-        if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-        else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+        if (tsRanges.isEmpty || tsRanges.exists(_.isEmpty)) None
+        else {
+          val ts = (tsRanges.map(_.get._1).min, tsRanges.map(_.get._2).max)
+          val vRanges = colRange[Double]("value") {
+            case (a: java.lang.Double, z: java.lang.Double)
+                if !a.isNaN && !z.isNaN =>
+              (a.doubleValue, z.doubleValue)
+          }
+          val v =
+            if (vRanges.isEmpty || vRanges.exists(_.isEmpty)) None
+            else Some((vRanges.map(_.get._1).min, vRanges.map(_.get._2).max))
+          val rows = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          Some(FileZoneStats(ts._1, ts._2, v, Some(rows)))
+        }
       } finally r.close()
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -449,11 +497,30 @@ object Snapshot {
     }
 
   /** Zone maps for this commit's NEW files — one footer read each,
-    * O(batch), skipped entirely when stats are disabled. */
+    * O(batch), skipped entirely when stats are disabled. Footer reads go
+    * through a bounded thread pool (ADVICE r13): serial reads cost ~8 ms
+    * each, so adopting a large pre-existing store (100k files) paid
+    * O(table) sequential round-trips — exactly the RPC bill the manifest
+    * exists to avoid. 16 concurrent readers bound the memory while
+    * overlapping the latency (local disk AND object-store RPCs). */
   private def zmapsFor(fs: FileSystem, root: String,
-      files: Seq[String]): Map[String, (Long, Long)] =
+      files: Seq[String]): Map[String, FileZoneStats] =
     if (!statsEnabled || files.isEmpty) Map.empty
-    else files.flatMap(f => tsRangeOf(fs, root, f).map(f -> _)).toMap
+    else if (files.lengthCompare(2) < 0)
+      files.flatMap(f => statsOf(fs, root, f).map(f -> _)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.length, 16))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = files.map { f =>
+          new java.util.concurrent.Callable[Option[(String, FileZoneStats)]] {
+            override def call() = statsOf(fs, root, f).map(f -> _)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+      } finally pool.shutdown()
+    }
 
   /** Write gen as an increment, or as a full checkpoint when the replay
     * chain is due for one (every `checkpointEvery` commits, and always
@@ -465,7 +532,7 @@ object Snapshot {
       txns: Map[String, Long] = Map.empty,
       txn: Option[(String, Long)] = None,
       checkpointEvery: Int = CheckpointEvery,
-      zmaps: Map[String, (Long, Long)] = Map.empty): Unit = {
+      zmaps: Map[String, FileZoneStats] = Map.empty): Unit = {
     val gens = manifestGens(fs, root)
     val idx = gens.lastIndexWhere(_._3)
     val sinceCkpt = if (idx < 0) 0 else gens.length - 1 - idx
@@ -614,7 +681,7 @@ object Snapshot {
     private val liveV = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     private val deadV = scala.collection.mutable.LinkedHashMap.empty[String, Tombstone]
     private val txnsV = scala.collection.mutable.Map.empty[String, Long]
-    private val zmapsV = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    private val zmapsV = scala.collection.mutable.Map.empty[String, FileZoneStats]
     private var sinceCkpt = 0
     refresh()
 
@@ -801,7 +868,7 @@ object Snapshot {
 
   private def planFromLog(spark: SparkSession, root: String,
       files: Seq[(String, Long)],
-      zmaps: Map[String, (Long, Long)]): DataFrame = {
+      zmaps: Map[String, FileZoneStats]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -863,7 +930,13 @@ object Snapshot {
     spark.read.option("basePath", root)
       .parquet(hourOld.map(f => s"$root/$f"): _*)
       .drop("shard_hour")
-      .repartition(targetFiles).sortWithinPartitions(col("timestamp"))
+      // range-partition on timestamp (ADVICE r13): hash repartition spread
+      // every compacted file across the whole hour, so the refreshed zone
+      // maps were correct but could never prune WITHIN the hour — range
+      // partitioning gives each compacted file a disjoint contiguous
+      // timestamp slice, so intra-hour skipping survives compaction
+      .repartitionByRange(targetFiles, col("timestamp"))
+      .sortWithinPartitions(col("timestamp"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("parquet.writer.version", "v2")
@@ -883,8 +956,9 @@ object Snapshot {
     val tombs = hourOld.map(Tombstone(next, now, _))
     val keptSized = live.filterNot(_.startsWith(prefix))
       .map(f => (f, sizes.getOrElse(f, -1L)))
-    // compacted files are timestamp-sorted, so their footer ranges are
-    // the tightest this hour will ever have — refresh the zone maps
+    // compacted files own disjoint contiguous timestamp slices (range
+    // partitioning above) and are sorted within each, so their refreshed
+    // zone maps partition the hour — short ranges keep pruning to ~1 file
     commitDelta(fs, root, next, keptSized ++ moved,
       dead ++ tombs, moved, tombs, txns,
       zmaps = (zmaps -- hourOld) ++ zmapsFor(fs, root, moved.map(_._1)))

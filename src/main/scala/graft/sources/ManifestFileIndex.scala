@@ -4,7 +4,18 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+
+/** Per-file zone-map stats carried by the snapshot manifest (r13 added
+  * the timestamp range; r14 extends with the VALUE range and the row
+  * count — the Delta data-skipping stat set). `value`/`rows` are None
+  * for files committed by older manifests or whose footers lacked
+  * usable stats; absence always means "keep the file" (conservative).
+  * Value ranges with any NaN in the footer are rejected at collection
+  * time (NaN compares false against everything — a NaN-polluted range
+  * cannot prove a file skippable). */
+final case class FileZoneStats(tsMin: Long, tsMax: Long,
+    value: Option[(Double, Double)] = None, rows: Option[Long] = None)
 
 /** A [[FileIndex]] served ENTIRELY from the snapshot-manifest log — the
   * Delta/Iceberg planning pattern (their logs record path + size for the
@@ -40,11 +51,11 @@ final class ManifestFileIndex(
     root: Path,
     files: Seq[(String, Long)], // (relpath `shard_hour=H/x.parquet`, bytes)
     override val partitionSchema: StructType,
-    tsRanges: Map[String, (Long, Long)] = Map.empty) extends FileIndex {
+    stats: Map[String, FileZoneStats] = Map.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  private val byHour: Seq[(Long, Array[(FileStatus, Option[(Long, Long)])])] =
+  private val byHour: Seq[(Long, Array[(FileStatus, Option[FileZoneStats])])] =
     files
       .map { case (rel, sz) =>
         // loud on a corrupt/foreign manifest line instead of a mis-parse:
@@ -54,7 +65,7 @@ final class ManifestFileIndex(
           s"manifest relpath '$rel' is not shard_hour=H/<file> — corrupt log?")
         val hour = rel.substring(rel.indexOf('=') + 1, rel.indexOf('/')).toLong
         (hour, (new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L,
-          new Path(root, rel)): FileStatus, tsRanges.get(rel)))
+          new Path(root, rel)): FileStatus, stats.get(rel)))
       }
       .groupBy(_._1).toSeq
       .map { case (h, fs) => (h, fs.map(_._2).toArray) }
@@ -110,6 +121,55 @@ final class ManifestFileIndex(
     (lo, hi)
   }
 
+  /** The value column the r14 value zone maps describe. */
+  private val VCol = "value"
+
+  private object VAttr {
+    def unapply(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == VCol
+      case _ => false
+    }
+  }
+
+  private object VLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      // NaN never bounds anything: a NaN literal compares false against
+      // every row, so the whole predicate matches nothing — but proving
+      // that is the planner's job, not a file-skipping stat's
+      case Literal(v: Double, DoubleType) if !v.isNaN => Some(v)
+      case _ => None
+    }
+  }
+
+  /** CLOSED conservative interval [lo, hi] of values any matching row
+    * could carry. Strict double bounds stay closed (a file whose max is
+    * exactly the `>` literal survives — conservative, never wrong);
+    * unrecognized predicates contribute nothing. */
+  private def vBounds(filters: Seq[Expression]): (Double, Double) = {
+    var lo = Double.NegativeInfinity
+    var hi = Double.PositiveInfinity
+    def visit(e: Expression): Unit = e match {
+      case And(l, r) => visit(l); visit(r)
+      case GreaterThan(VAttr(), VLit(v)) => lo = lo.max(v)
+      case GreaterThanOrEqual(VAttr(), VLit(v)) => lo = lo.max(v)
+      case LessThan(VAttr(), VLit(v)) => hi = hi.min(v)
+      case LessThanOrEqual(VAttr(), VLit(v)) => hi = hi.min(v)
+      case EqualTo(VAttr(), VLit(v)) => lo = lo.max(v); hi = hi.min(v)
+      case EqualTo(VLit(v), VAttr()) => lo = lo.max(v); hi = hi.min(v)
+      case GreaterThan(VLit(v), VAttr()) => hi = hi.min(v)
+      case GreaterThanOrEqual(VLit(v), VAttr()) => hi = hi.min(v)
+      case LessThan(VLit(v), VAttr()) => lo = lo.max(v)
+      case LessThanOrEqual(VLit(v), VAttr()) => lo = lo.max(v)
+      case In(VAttr(), vs) if vs.nonEmpty &&
+          vs.forall(VLit.unapply(_).isDefined) =>
+        val ds = vs.map(VLit.unapply(_).get)
+        lo = lo.max(ds.min); hi = hi.min(ds.max)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    (lo, hi)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pruned =
@@ -124,14 +184,22 @@ final class ManifestFileIndex(
         byHour.filter { case (h, _) => pred.eval(InternalRow(h)) }
       }
     val (lo, hi) = tsBounds(dataFilters)
+    val (vLo, vHi) = vBounds(dataFilters)
+    val tsBound = lo != Long.MinValue || hi != Long.MaxValue
+    val vBound = vLo != Double.NegativeInfinity || vHi != Double.PositiveInfinity
     val skipped =
-      if (lo == Long.MinValue && hi == Long.MaxValue) // no usable bound
+      if (!tsBound && !vBound) // no usable bound on either stat column
         pruned.map { case (h, fss) => (h, fss.map(_._1)) }
       else pruned.map { case (h, fss) =>
         (h, fss.collect {
-          // keep: no recorded range (never prune blind), or overlap
+          // keep: no recorded stats (never prune blind), or the recorded
+          // ranges overlap EVERY bounded dimension (a file is skippable
+          // the moment ONE dimension provably misses)
           case (st, None) => st
-          case (st, Some((mn, mx))) if mx >= lo && mn <= hi => st
+          case (st, Some(z))
+              if (z.tsMax >= lo && z.tsMin <= hi) &&
+                z.value.forall { case (mn, mx) => mx >= vLo && mn <= vHi } =>
+            st
         })
       }
     skipped.filter(_._2.nonEmpty)

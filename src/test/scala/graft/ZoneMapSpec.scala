@@ -117,14 +117,77 @@ class ZoneMapSpec extends AnyFunSuite with SparkSpec {
     assert(st.live.size == 2)
     assert(st.zmaps.keySet == st.live.toSet,
       "post-vacuum checkpoint must carry stats for exactly the live files")
-    // compaction hash-partitions rows across the 2 files, so each spans
-    // most of the hour — but BOTH ranges must still bound their file:
+    // r14 (ADVICE r13): compaction RANGE-partitions rows on timestamp, so
+    // the 2 compacted files own disjoint contiguous slices of the hour —
+    // intra-hour skipping survives compaction (hash partitioning spread
+    // every file across the whole hour, defeating the refreshed stats)
+    val q1 = Snapshot.read(spark, store).filter(ts < baseMs + 900000L)
+    assert(filesScanned(q1) == 1 && q1.count() == 100,
+      "a quarter-hour query on the compacted layout must hit one file")
     // a predicate outside every recorded range scans zero files
     val none = Snapshot.read(spark, store).filter(ts > baseMs + 3599999L)
     none.collect()
     assert(none.count() == 0)
     val counts = Snapshot.read(spark, store)
     assert(counts.count() == 400)
+  }
+
+  /** `n` points in hour 0, ts in [baseMs+lo, baseMs+hi], value in
+    * [vbase, vbase+n-1] — distinct per-file VALUE ranges for the r14
+    * value zone maps. */
+  private def vslice(lo: Long, hi: Long, vbase: Double, n: Int = 100) = {
+    require(hi > lo && hi < hourMs)
+    spark.range(n).select(
+      (lit(baseMs + lo) + floor(col("id") * lit(hi - lo) / lit(n - 1)))
+        .cast("long").as("timestamp"),
+      (lit(vbase) + col("id").cast("double")).as("value"),
+      lit("cpu").as("metric")).as[DataPoint].repartition(1)
+  }
+
+  test("r14 value zone maps: a pushed value predicate skips files whose " +
+      "recorded [min, max] provably misses; composes with ts pruning; " +
+      "strict-bound and blind-file conservatism hold") {
+    val store = Files.createTempDirectory("graft_zmv_").toString
+    // four single-file commits: disjoint ts quarters AND value bands
+    Snapshot.ingestCommitted(vslice(0L, 899999L, 0.0), store)
+    Snapshot.ingestCommitted(vslice(900000L, 1799999L, 100.0), store)
+    Snapshot.ingestCommitted(vslice(1800000L, 2699999L, 200.0), store)
+    Snapshot.ingestCommitted(vslice(2700000L, 3599999L, 300.0), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val st = Snapshot.loadState(fs, store)
+    assert(st.zmaps.size == 4 &&
+      st.zmaps.values.forall(z => z.value.isDefined && z.rows == Some(100L)),
+      s"every commit should record value range + row count: ${st.zmaps}")
+    def v = col("value")
+    // top band → one file
+    val hi = Snapshot.read(spark, store).filter(v >= 300.0)
+    assert(filesScanned(hi) == 1 && hi.count() == 100)
+    // interior band → one file
+    val mid = Snapshot.read(spark, store).filter(v.between(150.0, 160.0))
+    assert(filesScanned(mid) == 1 && mid.count() == 11)
+    // equality → one file
+    val eq = Snapshot.read(spark, store).filter(v === 250.0)
+    assert(filesScanned(eq) == 1 && eq.count() == 1)
+    // strict bound lands EXACTLY on a file's max: closed-interval
+    // conservatism keeps that file (4 scanned), rows still exact
+    val strict = Snapshot.read(spark, store).filter(v > 99.0)
+    assert(filesScanned(strict) == 4 && strict.count() == 300)
+    // ts AND value prune compose: quarter-2 ts range + top value band
+    // provably miss every file — zero rows, and no file survives both
+    val both = Snapshot.read(spark, store)
+      .filter(ts.between(baseMs + 900000L, baseMs + 1799999L) && v >= 300.0)
+    assert(both.count() == 0)
+    assert(filesScanned(
+      Snapshot.read(spark, store).filter(ts >= baseMs + 2700000L && v >= 300.0))
+      == 1)
+    // a blind file (stats disabled) is never pruned by a value predicate
+    sys.props("spark.graft.commitStats") = "false"
+    try Snapshot.ingestCommitted(vslice(0L, 899999L, 400.0), store)
+    finally sys.props.remove("spark.graft.commitStats")
+    val hi2 = Snapshot.read(spark, store).filter(v >= 300.0)
+    assert(filesScanned(hi2) == 2 && hi2.count() == 200,
+      "blind file must be scanned; value-banded file still pruned")
   }
 
   test("Committer increments carry zone maps; a replayed reader prunes " +
