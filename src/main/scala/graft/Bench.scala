@@ -141,6 +141,22 @@ object Bench {
       if (ok) Some((dt, load)) else None
     }
 
+    // r14 CANARY (r13 verdict #5): loadavg-invisible host throttling — a
+    // uniformly ~1.4x slower window with normal load — poisoned 2/3 of
+    // the r13 calibration runs and the load gate cannot see it. A fixed
+    // tiny data-independent query timed at the start of every pass gives
+    // the artifact a machine-readable throttle series: canary wall is
+    // pure compute (no IO, no shuffle), so drift of the per-pass canary
+    // against the run's canary floor IS host slowdown. ~100 ms per pass,
+    // outside every query timer.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(16000000L).selectExpr("sum(id * id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm the canary's own codegen outside the series
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     var lastGroup: Any = null
     for ((r, name) <- order) {
       // one load sample per interleaved PASS, or per QUERY GROUP in
@@ -150,6 +166,7 @@ object Bench {
       val group: Any = if (backToBack) name else r
       if (group != lastGroup) {
         lastGroup = group; repLoads += osBean.getSystemLoadAverage
+        canaries += canaryOnce()
       }
       runOnce(name).foreach { case (dt, load) =>
         if (r >= 0) // warmup passes (r < 0) execute but never record
@@ -273,6 +290,16 @@ object Bench {
       .mkString("[", ",", "]")
     val retriedJson = retried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // canary series + flags: a pass whose canary exceeds 1.35x the run's
+    // canary floor sat in a throttled host window — its reps are suspect
+    // even when loadavg looked clean. Purely diagnostic: the headline
+    // stays the per-query min, which the OTHER (clean) passes defend.
+    val canaryFloor = if (canaries.isEmpty) -1.0 else canaries.min
+    val canaryFlagged = canaries.zipWithIndex
+      .collect { case (c, i) if canaryFloor > 0 && c > 1.35 * canaryFloor => i }
+    val canaryJson = canaries
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     // bench_schema 2 (r13): `queries`/`value` carry per-query MINIMA —
     // machine-readable marker for the r12 semantics change (pre-r12
     // artifacts carried medians under the same keys), per ADVICE r12.
@@ -284,6 +311,9 @@ object Bench {
       s""""retried":$retriedJson,""" +
       s""""load_avg_per_pass_kind":"${if (backToBack) "query_group" else "pass"}",""" +
       s""""load_avg_per_pass":$repLoadsJson,""" +
+      s""""canary_per_pass":$canaryJson,""" +
+      s""""canary_floor":${fmt(canaryFloor)},""" +
+      s""""canary_flagged_passes":${canaryFlagged.mkString("[", ",", "]")},""" +
       s""""load_avg":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg)},""" +
       s""""ingest_pps":${(nPoints / ingestSec).round},""" +
       s""""bytes_per_point":${"%.2f".format(storeBytes.toDouble / nPoints)},""" +
