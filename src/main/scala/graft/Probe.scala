@@ -158,6 +158,15 @@ object Probe {
             lit("sym"), col("n_chars") + 2)))
           .toDF("doc_id", "token_class", "n")
       }),
+      // iteration-count attribution for the Lloyd refinement (r14 #6):
+      // iters=1 runs zero refinement steps (seed + final agg only), so
+      // (itersN − iters1)/(N−1) isolates the per-step cost
+      "_ivf_iters1" -> ((s, dir) =>
+        graft.operators.Similarity.ivfRefinedCentroidRows(
+          graft.sources.Tables.embeddings(s, dir), 8, 1)),
+      "_ivf_iters3" -> ((s, dir) =>
+        graft.operators.Similarity.ivfRefinedCentroidRows(
+          graft.sources.Tables.embeddings(s, dir), 8, 3)),
       "_dd_hash" -> ((s, dir) =>
         graft.operators.Graph.partCoPurchasePairs(
           graft.sources.Tables.lineitem(s, dir))),

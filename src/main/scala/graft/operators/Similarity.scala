@@ -176,22 +176,21 @@ object Similarity {
       iters: Int): Array[(Long, Array[Double])] = {
     var cents = ivfSeedCentroids(embeddings, nCentroids)
     val dims = cents.headOption.map(_._2.length).getOrElse(0)
-    // every Lloyd step re-assigns the SAME corpus column — cache the
-    // one-column projection once instead of rescanning the source per
-    // iteration (the assignment itself depends on the step's centroids
-    // and cannot be reused, but the input rows can)
-    val corpus = embeddings.select(col("embedding")).cache()
     for (_ <- 0 until iters) {
       // one hash aggregation with `dims` long sum slots — the same shape
       // that made simhash fast: map-side partials collapse to ONE row per
       // cluster, so the shuffle moves |clusters| rows of (dims) longs
       // (the earlier posexplode formulation shuffled dims × |corpus| rows —
-      // the wrong shape at corpus scale). Cold-start note: each iteration
-      // codegen-compiles a fresh aggregate class (the centroid literals
-      // change), which dominates wall time at toy scale — one-off training
-      // cost that amortizes; warm, this path measures ~1.5× faster than
-      // the exploded one at sf0.1
-      val rows = corpus
+      // the wrong shape at corpus scale). r14: the corpus is deliberately
+      // NOT cached — every step (and [[ivfRefinedCentroidRows]]'s final
+      // pass) then shares ONE plan shape (parquet scan → project → agg),
+      // so the `dims`-slot aggregate codegen-compiles ONCE per session
+      // (centroid literals ride the codegen references array, not the
+      // generated source) instead of once per distinct input shape, and
+      // no cache materialization cost is paid. At training scale caching
+      // a corpus-sized frame is wrong anyway (guide §5: execution memory
+      // pressure); the 100 TB path stays offline k-means||.
+      val rows = embeddings
         .select(clusterIdCol(cents).as("cid"), asDouble(col("embedding")).as("v"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), fxSums(dims): _*)
@@ -205,7 +204,6 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cid, w) => (cid, means.getOrElse(cid, w)) }
     }
-    corpus.unpersist(blocking = false)
     cents
   }
 
