@@ -21,11 +21,26 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   * quiesced store.
   *
   * `ServingUnderWriteProbe [perClient] [writerBatches]` (defaults 30, 20).
+  *
+  * `ServingUnderWriteProbe dual [perClient] [writerBatches]` (r14,
+  * verdict #7): TWO sustained committer threads — the same cached
+  * [[graft.operators.Snapshot.Committer]] path the streaming snapshot
+  * sink drives — race appends into disjoint hours under the bundled
+  * [[graft.operators.Snapshot.LockLeaseGuard]], while the same 16
+  * clients serve. The local FS is exactly the S3-class hazard surface
+  * (rename overwrites, no atomic existence guard), so dual committers
+  * here exercise the lease path for real: every generation collision
+  * must surface LOUDLY inside the guard and recover via refresh-retry.
+  * Checks (beyond the single-writer mode's): every committed generation
+  * unique (zero lost/duplicate commits), final rows = seeded + BOTH
+  * writers' batches, zero serving dips.
   */
 object ServingUnderWriteProbe {
   def main(args: Array[String]): Unit = {
-    val perClient = args.headOption.map(_.toInt).getOrElse(30)
-    val writerBatches = args.lift(1).map(_.toInt).getOrElse(20)
+    val dual = args.headOption.contains("dual")
+    val num = if (dual) args.drop(1) else args
+    val perClient = num.headOption.map(_.toInt).getOrElse(30)
+    val writerBatches = num.lift(1).map(_.toInt).getOrElse(20)
     val clients = 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -167,37 +182,113 @@ object ServingUnderWriteProbe {
     // Compaction/vacuum are stateless committers, so they deliberately
     // stale the Committer's cache — the next append's generation
     // collides and must self-recover via refresh-retry, live.
+    // Dual mode: a SECOND sustained committer races into disjoint hours
+    // under the LockLeaseGuard — the S3-class concurrent-committer
+    // deployment shape, exercised on the rename-overwriting local FS.
+    if (dual)
+      operators.Snapshot.setCommitGuard(store,
+        new operators.Snapshot.LockLeaseGuard())
     @volatile var writerDone = false
-    val writer = new Thread(() => {
-      val cm = operators.Snapshot.committer(spark, store)
-      (0 until writerBatches).foreach { i =>
-        cm.ingest(points(50000L, 10 + i, "cpu"))
-        refreshView()
-        if (i == writerBatches / 2) {
-          val t0 = System.nanoTime()
-          operators.Snapshot.compactShard(spark, store, baseMs / hourMs, 4)
-          // grace-window vacuum: commits a checkpoint, deletes nothing
-          // (every tombstone is seconds old) — in-flight readers keep
-          // their files; the real delete happens after the drain below
-          val del = operators.Snapshot.vacuum(spark, store, graceMs = 3600000L)
-          refreshView()
-          println(f"SERVEWRITE snapshot compaction+vacuum of hour0 took " +
-            f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4, " +
-            s"old files tombstoned, vacuum_deleted=$del expected 0)")
-          assert(del == 0L, "grace-window vacuum deleted under live readers")
+    val committedGens = new ConcurrentLinkedQueue[Long]()
+    // Staged append for CONCURRENT writers: two Spark jobs writing the
+    // same output path race Hadoop's shared `_temporary/0` staging dir
+    // (job A's commit sweeps it while job B's tasks still write —
+    // measured TASK_WRITE_FAILED here, not a manifest race at all). A
+    // real multi-writer deployment therefore stages each batch in a
+    // writer-private directory and moves the finished files in; the
+    // MANIFEST commit is then the only shared step — exactly the window
+    // the LockLeaseGuard serializes. Single-writer deployments keep the
+    // direct ingest path.
+    def stagedIngest(cm: operators.Snapshot.Committer,
+        pts: org.apache.spark.sql.Dataset[graft.model.DataPoint]): Long = {
+      // write under a fresh SUBPATH — createTempDirectory pre-creates
+      // its dir and the parquet writer refuses an existing output path
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dualstage_").toString + "/out"
+      pts.toDF()
+        .withColumn("shard_hour",
+          graft.model.shardHourCol(col("timestamp")))
+        .sortWithinPartitions(col("shard_hour"), col("timestamp"))
+        .write.option("compression", "zstd")
+        .option("parquet.writer.version", "v2")
+        .partitionBy("shard_hour").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val rels = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard_hour="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map { f =>
+              val rel = s"${d.getPath.getName}/stage-${java.util.UUID.randomUUID()}.parquet"
+              val target = new org.apache.hadoop.fs.Path(store, rel)
+              fs.mkdirs(target.getParent)
+              require(fs.rename(f.getPath, target), s"move ${f.getPath} failed")
+              rel
+            }
         }
-      }
-      writerDone = true
-    })
-    writer.start()
-    val (under, d1) = drive("underwrite")
-    writer.join()
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // retries sized to SUSTAINED dual contention: the default 2 covers
+      // the single-writer + one-maintenance interleaving; two committers
+      // in a tight loop can lose the (loud, guard-serialized) generation
+      // race 3+ times in a row — each retry refreshes to the new head,
+      // so the bound is about patience, not correctness
+      cm.commitAdded(rels, retries = 10)
+    }
+    def writerThread(hourBase: Int, maintenance: Boolean): Thread =
+      new Thread(() => {
+        val cm = operators.Snapshot.committer(spark, store)
+        (0 until writerBatches).foreach { i =>
+          val batch = points(50000L, hourBase + i, "cpu")
+          committedGens.add(
+            if (dual) stagedIngest(cm, batch) else cm.ingest(batch))
+          refreshView()
+          if (maintenance && i == writerBatches / 2) {
+            val t0 = System.nanoTime()
+            // compaction/vacuum are ONE-SHOT committers (no cached-state
+            // retry loop of their own): under a concurrent appender their
+            // generation race is loud (guard-serialized) and the caller
+            // retries the whole call — each attempt re-reads the log, so
+            // a retry is always correct, just repeated work
+            def retrying[A](n: Int)(body: => A): A =
+              try body catch {
+                case _: IllegalStateException if n > 0 =>
+                  Thread.sleep(200L); retrying(n - 1)(body)
+              }
+            retrying(10)(
+              operators.Snapshot.compactShard(spark, store, baseMs / hourMs, 4))
+            // grace-window vacuum: commits a checkpoint, deletes nothing
+            // (every tombstone is seconds old) — in-flight readers keep
+            // their files; the real delete happens after the drain below
+            val del = retrying(10)(
+              operators.Snapshot.vacuum(spark, store, graceMs = 3600000L))
+            refreshView()
+            println(f"SERVEWRITE snapshot compaction+vacuum of hour0 took " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s (65 files -> 4, " +
+              s"old files tombstoned, vacuum_deleted=$del expected 0)")
+            assert(del == 0L, "grace-window vacuum deleted under live readers")
+          }
+        }
+        writerDone = true
+      })
+    val writers =
+      if (dual) Seq(writerThread(10, maintenance = true),
+        writerThread(300, maintenance = false))
+      else Seq(writerThread(10, maintenance = true))
+    writers.foreach(_.start())
+    val (under, d1) = drive(if (dual) "dualwrite" else "underwrite")
+    writers.foreach(_.join())
     // final audits through the DEFAULT entry points (manifest-aware r11)
     val finalRows = operators.Ingest.readPoints(spark, store).count()
+    import scala.jdk.CollectionConverters._
+    val gens = committedGens.asScala.toVector.sorted
     println(s"SERVEWRITE final rows=$finalRows dips_underwrite=$d1 " +
-      s"writer_done_before_clients=${writerDone}")
+      s"writer_done_before_clients=${writerDone} " +
+      s"commits=${gens.length} distinct_gens=${gens.distinct.length}")
     assert(d1 == 0, s"$d1 count dips under write load")
-    assert(finalRows == seeded + writerBatches * 50000L)
+    assert(gens.distinct.length == gens.length,
+      "two commits landed on the SAME generation — a lost/overwritten commit")
+    assert(finalRows == seeded + writers.length * writerBatches * 50000L)
     // two-phase delete completes once queries drain: vacuum, then one
     // more client burst on the vacuumed store
     val deleted = operators.Snapshot.vacuum(spark, store, graceMs = 0L)
