@@ -19,7 +19,11 @@ object Explain {
       println(s"==== $q ====")
       val df = SparkEntry.queries(q.trim)(spark, dir)
       if (exec) {
-        df.count()
+        // drive THIS QueryExecution (df.count() builds its own, leaving
+        // the printed plan unexecuted — isFinalPlan stays false and the
+        // printed strategies are the STATIC guesses, not AQE's choices;
+        // the r13 zone-map probe hit the identical trap)
+        df.queryExecution.toRdd.count()
         println(df.queryExecution.executedPlan.toString)
       } else df.explain("formatted")
     }

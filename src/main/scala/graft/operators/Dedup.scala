@@ -524,26 +524,64 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Candidate-pair cap under which the edit-distance attach path
+    * broadcasts the (ids-only) candidate frame: 2 M pairs ≈ 64 MB built —
+    * the same conservative scale the driver union-find gate uses. */
+  val EditAttachBroadcastGate = 2000000L
+
   /** Edit-distance near-dup — character-level verification on top of the
     * simhash pigeonhole candidates: a pair survives iff its exact
     * Levenshtein distance is within `maxDist`. The O(len²) DP only ever
-    * runs on candidate pairs (never corpus²), and the candidate texts
-    * arrive via two doc_id equi-joins — the same candidates-only
-    * discipline as the MinHash verifier. Spark's `levenshtein` and the
-    * oracle engine's agree exactly (standard unit-cost DP). */
+    * runs on candidate pairs (never corpus²). Spark's `levenshtein` and
+    * the oracle engine's agree exactly (standard unit-cost DP).
+    *
+    * r14 (the r13 verdict's predicted cliff, confirmed at sf10): the old
+    * two bare doc-table attach joins planned as SortMergeJoin — the
+    * CORPUS TEXT table shuffled+sorted by doc_id TWICE for a handful of
+    * candidate pairs (estimator-blind: the candidate side's size is
+    * unknowable statically, and unlike the MinHash verifier there was no
+    * semi-join prefilter for AQE to rescue). Now the candidate frame is
+    * materialized once (localCheckpoint — small by design, pigeonhole
+    * candidates only) which makes its count EXACT; under the gate the
+    * attach path broadcasts the id-only frames so the corpus is never
+    * shuffled: texts arrive via a broadcast semi-join (candidate texts
+    * only) and the pair frame broadcasts into the first attach. Past the
+    * gate it degrades to the old shuffled shape (same rows) — degrade,
+    * not die, the r13 gate convention. Every branch emits identical
+    * rows; the oracle pins them. */
   def editDistancePairs(docs: DataFrame, maxHamming: Int,
       maxDist: Int): DataFrame =
-    simhashNearDupPairs(docs, maxHamming)
-      .join(docs.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
-        "doc_id_1")
-      .join(docs.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
-        "doc_id_2")
+    editDistancePairsGated(docs, maxHamming, maxDist, EditAttachBroadcastGate)
+
+  private[graft] def editDistancePairsGated(docs: DataFrame, maxHamming: Int,
+      maxDist: Int, gate: Long): DataFrame = {
+    val cand = simhashNearDupPairs(docs, maxHamming).localCheckpoint()
+    val verified =
+      if (cand.count() <= gate) {
+        val candDocs = cand.select(col("doc_id_1").as("doc_id"))
+          .unionByName(cand.select(col("doc_id_2").as("doc_id")))
+          .distinct()
+        // candidate texts only — the corpus is scanned, never shuffled
+        val txts = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))
+        broadcast(cand)
+          .join(txts.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
+            "doc_id_1")
+          .join(txts.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
+            "doc_id_2")
+      } else cand
+        .join(docs.select(col("doc_id").as("doc_id_1"), col("text").as("t1")),
+          "doc_id_1")
+        .join(docs.select(col("doc_id").as("doc_id_2"), col("text").as("t2")),
+          "doc_id_2")
+    verified
       // threshold form: the DP short-circuits at O(len·maxDist) and
       // returns -1 above the bound (vs O(len²) for the unbounded form)
       .withColumn("edit_dist",
         levenshtein(col("t1"), col("t2"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0)
       .select(col("doc_id_1"), col("doc_id_2"), col("hamming"), col("edit_dist"))
+  }
 
   /** Benchmark decontamination — the eval-leakage scan every training
     * corpus needs: a train document is contaminated iff it shares ANY

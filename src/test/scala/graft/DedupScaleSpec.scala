@@ -135,6 +135,25 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
       s"expected only the near-identical pair, got ${got.toSeq}")
   }
 
+  test("r14 editDistancePairs attach gate: broadcast path and shuffled " +
+      "fallback emit identical rows; the gated plan broadcasts, the " +
+      "corpus attach does not ride a corpus shuffle") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val gated = Dedup.editDistancePairsGated(docs, 8, 6,
+      gate = Dedup.EditAttachBroadcastGate)
+    val fallback = Dedup.editDistancePairsGated(docs, 8, 6, gate = -1L)
+    assert(gated.exceptAll(fallback).count() == 0 &&
+      fallback.exceptAll(gated).count() == 0,
+      "gate branches must be row-identical")
+    // the gated static plan carries the explicit broadcasts (hint-driven,
+    // not estimator-driven — the sf10 cliff this gate closes)
+    val bhj = gated.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2,
+      s"expected broadcast semi + broadcast attach, got ${bhj.size}")
+  }
+
   test("bloomContaminatedDocs: identical answer to the exact semi-join, " +
       "prefilter visible in the plan, empty eval finds nothing") {
     import spark.implicits._
