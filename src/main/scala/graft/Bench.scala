@@ -149,11 +149,15 @@ object Bench {
     // pure compute (no IO, no shuffle), so drift of the per-pass canary
     // against the run's canary floor IS host slowdown. ~100 ms per pass,
     // outside every query timer.
-    def canaryOnce(): Double = {
+    // min-of-3 per sample: a single canary run carries GC/JIT jitter that
+    // trips the band on perfectly healthy passes (measured 0.15 vs 0.30 s
+    // single-shot scatter); the throttle windows this hunts are SUSTAINED
+    // ~1.4x slowdowns, which a min-of-3 cannot hide
+    def canaryOnce(): Double = (0 until 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(16000000L).selectExpr("sum(id * id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
-    }
+    }.min
     canaryOnce() // warm the canary's own codegen outside the series
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
 
