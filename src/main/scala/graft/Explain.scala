@@ -15,9 +15,23 @@ object Explain {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus, "graft-explain")
+    // dev pseudo-queries (Probe's A/B twins) explainable by their
+    // underscore names — currently just the r15 modularity twin
+    val extras: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "_jp_window" -> ((s, d) =>
+        graft.operators.Dedup.prefixJaccardPairsWindowed(
+          graft.sources.Tables.documents(s, d), 3, 3, 10)),
+      "_modularity_unshared" -> ((s, d) => {
+        val pairs = graft.operators.Graph.partCoPurchasePairs(
+          graft.sources.Tables.lineitem(s, d))
+        graft.operators.Graph.modularity(pairs,
+          graft.operators.Graph.labelPropagation(
+            graft.operators.Graph.symmetricEdges(pairs), rounds = 2))
+      }))
     names.split(",").foreach { q =>
       println(s"==== $q ====")
-      val df = SparkEntry.queries(q.trim)(spark, dir)
+      val df = SparkEntry.queries.getOrElse(q.trim, extras(q.trim))(spark, dir)
       if (exec) {
         // drive THIS QueryExecution (df.count() builds its own, leaving
         // the printed plan unexecuted — isFinalPlan stays false and the

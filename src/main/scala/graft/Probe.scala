@@ -167,6 +167,41 @@ object Probe {
       "_ivf_iters3" -> ((s, dir) =>
         graft.operators.Similarity.ivfRefinedCentroidRows(
           graft.sources.Tables.embeddings(s, dir), 8, 3)),
+      // r15 A/B twin: the PRE-r15 q_modularity shape (pair derivation
+      // materialized twice — once in LPA's edge checkpoint, once in
+      // modularity's) against the shared-checkpoint declared form
+      "_modularity_unshared" -> ((s, dir) => {
+        val pairs = graft.operators.Graph.partCoPurchasePairs(
+          graft.sources.Tables.lineitem(s, dir))
+        graft.operators.Graph.modularity(pairs,
+          graft.operators.Graph.labelPropagation(
+            graft.operators.Graph.symmetricEdges(pairs), rounds = 2))
+      }),
+      // r15 A/B twin: q_jaccard_prefix with the PRE-r15 window-ranked
+      // prefix derivation (vs the declared agg+slice form)
+      "_jp_window" -> ((s, dir) =>
+        graft.operators.Dedup.prefixJaccardPairsWindowed(
+          graft.sources.Tables.documents(s, dir), 3, 3, 10)),
+      // r15 skew census for q_minhash_lsh (r14 verdict #4): the LSH
+      // band-bucket population histogram — max/p99 bucket size and the
+      // pair volume the top bucket alone contributes. A hot bucket's
+      // C(k,2) expansion lands on ONE task in the candidate join.
+      "_lsh_bucket_hist" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sigs = graft.operators.Dedup.minhashSignatures(
+          graft.sources.Tables.documents(s, dir), 3)
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until graft.operators.Dedup.MinHashK / 2).map(b =>
+            col("sig")(2 * b) * lit(graft.functions.TextAnalysis.P) +
+              col("sig")(2 * b + 1)): _*)))
+          .toDF("doc_id", "band", "bucket")
+        bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_buckets"), max(col("k")).as("max_k"),
+            expr("percentile_approx(k, 0.99)").as("p99_k"),
+            sum(expr("k * (k - 1) div 2")).as("total_pairs"),
+            max(expr("k * (k - 1) div 2")).as("top_bucket_pairs"))
+      }),
       "_dd_hash" -> ((s, dir) =>
         graft.operators.Graph.partCoPurchasePairs(
           graft.sources.Tables.lineitem(s, dir))),

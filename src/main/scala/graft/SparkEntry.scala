@@ -118,6 +118,11 @@ object SparkEntry {
       TimeSeries.rangeScan(Tables.events(s, dir), RangeStart, RangeEnd)),
     "q_range_scan_limit" -> ((s, dir) =>
       TimeSeries.rangeScanLimit(Tables.events(s, dir), RangeStart, RangeEnd, LimitCap)),
+    // count/min/max over the range — the shape Snapshot.rangeStats
+    // answers from manifest zmap3 stats on a snapshot store (r15); this
+    // declared twin over the raw events table carries the oracle
+    "q_range_stats" -> ((s, dir) =>
+      TimeSeries.rangeStats(Tables.events(s, dir), RangeStart, RangeEnd)),
     "q_shard_prune" -> ((s, dir) =>
       TimeSeries.shardPrune(Tables.events(s, dir))),
     "q_downsample_1h" -> ((s, dir) =>
@@ -376,12 +381,13 @@ object SparkEntry {
     // community sizes after two synchronous LPA rounds (min-label ties
     // — deterministic, oracle-replayable; async LPA is not)
     // Newman modularity terms of the 2-round LPA communities
-    "q_modularity" -> ((s, dir) => {
-      val pairs = operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir))
-      operators.Graph.modularity(pairs,
-        operators.Graph.labelPropagation(
-          operators.Graph.symmetricEdges(pairs), rounds = 2))
-    }),
+    // r15: one shared pair checkpoint feeds both the LPA loop and the
+    // modularity pass (the old shape materialized the lineitem
+    // self-join + distinct twice — separate checkpoints, no reuse)
+    "q_modularity" -> ((s, dir) =>
+      operators.Graph.modularityOfLabelProp(
+        operators.Graph.partCoPurchasePairs(Tables.lineitem(s, dir)),
+        rounds = 2)),
     "q_label_prop" -> ((s, dir) =>
       operators.Graph.labelPropagation(
         operators.Graph.symmetricEdges(
@@ -1048,6 +1054,11 @@ object SparkEntry {
          |FROM events
          |WHERE ts BETWEEN TIMESTAMP '$RangeStart' AND TIMESTAMP '$RangeEnd'
          |ORDER BY ts_us, event_id LIMIT $LimitCap""".stripMargin,
+    "q_range_stats" ->
+      s"""SELECT count(*) AS n_points, min(value) AS min_value,
+         |       max(value) AS max_value
+         |FROM events
+         |WHERE ts BETWEEN TIMESTAMP '$RangeStart' AND TIMESTAMP '$RangeEnd'""".stripMargin,
     "q_shard_prune" ->
       """SELECT epoch_ms(ts) // 3600000 AS shard_hour,
         |       count(*) AS n_points,

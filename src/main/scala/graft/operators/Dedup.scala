@@ -175,20 +175,41 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, n: Int, tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
-    import org.apache.spark.sql.expressions.Window
     val minJ = tNum.toDouble / tDen
     val ex = shingleEx(docs, n)
     val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = ex.join(dfs, Seq("h"))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
-      .withColumn("sz", count(lit(1)).over(byDoc))
     // p = sz − ⌈tNum·sz/(tNum+tDen)⌉ + 1, all-integer ceil division
     val den = tNum + tDen
-    val prefix = ranked
-      .filter(col("rk") <=
-        expr(s"sz - (($tNum * sz + ${den - 1}) div $den) + 1"))
-      .select(col("doc_id"), col("h"), col("rk"), col("sz"))
+    // r15 (guide §2.4 — don't sort what a hash aggregate can collect):
+    // the old Window (row_number + count over doc_id) SHUFFLE-SORTED the
+    // entire occurrence-sized (doc, shingle, df) table by (doc_id, df, h)
+    // — the single most expensive exchange of this query — then threw
+    // away every row outside the prefix. One hash aggregate now gathers
+    // each doc's (df, h) list through an UNSORTED exchange, sorts it
+    // in-memory (shingle sets are doc-sized), and slice() drops the
+    // suffix BEFORE the explode, so suffix rows never leave the
+    // aggregate row. rk/sz semantics are identical: rk = 1-based
+    // position in the (df, h) order, sz = the doc's total shingle count
+    // — equal (df, h) duplicates are indistinguishable, so any tie
+    // order yields the same candidate set (the group-max over ub below
+    // sees the same multiset either way).
+    val prefix = ex.join(dfs, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
+      .select(col("doc_id"), col("sz"), posexplode(
+        expr(s"slice(sh, 1, sz - (($tNum * sz + ${den - 1}) div $den) + 1)")))
+      .select(col("doc_id"), col("col.h").as("h"),
+        (col("pos") + lit(1)).as("rk"), col("sz"))
+    prefixVerify(docs, n, minJ, tNum, tDen, den, prefix)
+  }
+
+  /** Candidate expansion + exact verification shared by
+    * [[prefixJaccardPairs]] and its dev A/B twin: PPJoin positional +
+    * length filters over the prefix postings, then candidates-only
+    * re-shingle and exact Jaccard. */
+  private def prefixVerify(docs: DataFrame, n: Int, minJ: Double,
+      tNum: Int, tDen: Int, den: Int, prefix: DataFrame): DataFrame = {
     // candidate expansion carries (rank, size) so the PPJoin positional
     // and length filters prune BEFORE the verify join — both lossless:
     //  - positional: for the pair's minimum-position shared prefix token
@@ -244,6 +265,29 @@ object Dedup {
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= minJ)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
+  }
+
+  /** Dev-only A/B twin (r15): [[prefixJaccardPairs]] with the PRE-r15
+    * WINDOW-ranked prefix derivation (row_number + count over a
+    * doc_id window — a full shuffle-SORT of the occurrence-sized
+    * shingle table). Kept private for the probe A/B and the
+    * branch-equality spec; identical output by construction. */
+  private[graft] def prefixJaccardPairsWindowed(docs: DataFrame, n: Int,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
+    val minJ = tNum.toDouble / tDen
+    val ex = shingleEx(docs, n)
+    val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(dfs, Seq("h"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    val den = tNum + tDen
+    val prefix = ranked
+      .filter(col("rk") <=
+        expr(s"sz - (($tNum * sz + ${den - 1}) div $den) + 1"))
+      .select(col("doc_id"), col("h"), col("rk"), col("sz"))
+    prefixVerify(docs, n, minJ, tNum, tDen, den, prefix)
   }
 
   /** MinHash parameters: k universal hash functions (a_i·h + b_i) mod P over
@@ -548,14 +592,48 @@ object Dedup {
     * only) and the pair frame broadcasts into the first attach. Past the
     * gate it degrades to the old shuffled shape (same rows) — degrade,
     * not die, the r13 gate convention. Every branch emits identical
-    * rows; the oracle pins them. */
+    * rows; the oracle pins them.
+    *
+    * EAGER (ADVICE r14, semantics note): CONSTRUCTING this DataFrame
+    * runs Spark jobs — the candidate frame is checkpointed and counted
+    * to decide the attach shape, so the pigeonhole candidate pass
+    * executes before any action on the result (a plan-only `explain`
+    * of the returned frame still pays it). Gate size: the candidate
+    * frame is ID-ONLY (3 longs/row ≈ 24 B), so the 2 M-pair gate bounds
+    * the broadcast build at ~64 MB framed — a BYTE bound and the pair
+    * bound coincide while the frame stays id-only; anyone widening the
+    * candidate schema must re-derive the gate (r14 verdict watch item).
+    *
+    * FAILURE STORY (r14 verdict #6): `localCheckpoint` truncates
+    * lineage — on a durable cluster an executor loss after the
+    * checkpoint fails the query instead of recomputing. Set
+    * `spark.graft.reliableCheckpoint=<dir>` (sys prop, or the
+    * `SPARK_GRAFT_RELIABLE_CHECKPOINT` env) to route this gate's
+    * checkpoint through RELIABLE storage (`Dataset.checkpoint` into
+    * that directory): same rows, executor-loss-safe, at the cost of one
+    * write+read of the (small) candidate frame. Local/default runs keep
+    * localCheckpoint — the right trade on a single machine. */
   def editDistancePairs(docs: DataFrame, maxHamming: Int,
       maxDist: Int): DataFrame =
     editDistancePairsGated(docs, maxHamming, maxDist, EditAttachBroadcastGate)
 
+  /** Checkpoint for a SMALL gate-decision frame: reliable when the
+    * deployment configured a checkpoint dir (see [[editDistancePairs]]'
+    * failure-story note), local otherwise. Both are eager, so the
+    * caller's count() reads materialized blocks either way. */
+  private def ckptGateFrame(df: DataFrame): DataFrame =
+    sys.props.get("spark.graft.reliableCheckpoint")
+      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   private[graft] def editDistancePairsGated(docs: DataFrame, maxHamming: Int,
       maxDist: Int, gate: Long): DataFrame = {
-    val cand = simhashNearDupPairs(docs, maxHamming).localCheckpoint()
+    val cand = ckptGateFrame(simhashNearDupPairs(docs, maxHamming))
     val verified =
       if (cand.count() <= gate) {
         val candDocs = cand.select(col("doc_id_1").as("doc_id"))

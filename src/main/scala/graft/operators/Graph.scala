@@ -1050,8 +1050,27 @@ object Graph {
     * Internal-edge counting joins labels onto both endpoints of the
     * pair list (node-sized label frame, one co-keyed shuffle each);
     * everything else is node- or community-sized. */
-  def modularity(pairsIn: DataFrame, labels: DataFrame): DataFrame = {
+  def modularity(pairsIn: DataFrame, labels: DataFrame): DataFrame =
+    modularityPinned(ckptEdges(pairsIn.select(col("u"), col("v"))), labels)
+
+  /** [[modularity]] of the `rounds`-step [[labelPropagation]] communities
+    * over the SAME pair set, sharing one checkpointed pair frame between
+    * the LPA loop and the modularity pass (r15). The previous declared
+    * q_modularity shape evaluated the (expensive) pair derivation TWICE —
+    * once inside labelPropagation's own edge checkpoint and once inside
+    * modularity's — because the two materializations are separate jobs
+    * that no ReusedExchange can bridge. Here the derivation runs once;
+    * LPA's src-partitioned edge frame is re-exchanged FROM the shared
+    * checkpoint (a scan + shuffle, not a recompute). Output is
+    * bit-identical: both operators are pure functions of the pair set
+    * (LPA's argmax and modularity's aggregates are partitioning-
+    * independent), pinned by the unchanged oracle. */
+  def modularityOfLabelProp(pairsIn: DataFrame, rounds: Int): DataFrame = {
     val pairs = ckptEdges(pairsIn.select(col("u"), col("v")))
+    modularityPinned(pairs, labelPropagation(symmetricEdges(pairs), rounds))
+  }
+
+  private def modularityPinned(pairs: DataFrame, labels: DataFrame): DataFrame = {
     val la = labels.select(col("node").as("u"), col("lab").as("lu"))
     val lb = labels.select(col("node").as("v"), col("lab").as("lv"))
     val internal = pairs.join(la, "u").join(lb, "v")

@@ -299,6 +299,16 @@ object Ingest {
       startMs: Long, endMs: Long, cap: Int = 10000): DataFrame =
     queryRange(readPoints(spark, path), startMs, endMs, cap)
 
+  /** Range aggregate over the store: count/min/max of `value` in the
+    * inclusive range — MANIFEST-ANSWERED on a snapshot store wherever
+    * the committed zmap3 stats cover the range ([[Snapshot.rangeStats]];
+    * a fully-covered range plans ZERO file scans), a plain pruned scan
+    * otherwise. Same answer either way — the stats path is exact by
+    * construction, with per-file fallback to scanning. */
+  def queryRangeStats(spark: SparkSession, path: String,
+      startMs: Long, endMs: Long): DataFrame =
+    Snapshot.rangeStats(spark, path, startMs, endMs)
+
   /** Overload over an already-opened store: the DataFrame carries its file
     * index, so repeated (hot) queries skip re-listing the store — the moral
     * equivalent of the reference keeping shard files open. */

@@ -884,6 +884,87 @@ object Snapshot {
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, LogicalRelation(rel))
   }
 
+  /** Manifest-stats range aggregate (r14 verdict #1 — the Iceberg/Delta
+    * metadata-only aggregate): `count(*) / min(value) / max(value)` over
+    * the INCLUSIVE timestamp range `[startMs, endMs]`, answered from the
+    * manifest's per-file `zmap3` stats wherever possible and scanning
+    * ONLY the files the stats cannot answer. A live file is
+    * metadata-answerable when ALL of:
+    *  - its recorded ts range lies FULLY inside the query range (a
+    *    boundary file needs row-level filtering);
+    *  - it carries the full r14 stat set (row count + value range) —
+    *    legacy `zmap`/stat-less files always scan;
+    *  - neither value bound is ±0.0: parquet footers order doubles by
+    *    `Double.compare` where −0.0 < +0.0, while Spark's min/max
+    *    aggregate compares primitively (−0.0 == 0.0, first-seen wins) —
+    *    a zero bound from metadata could differ from the scan answer in
+    *    SIGN. Scanning those rare files keeps the two paths
+    *    bit-identical. (NaN-polluted footers are already rejected at
+    *    stat collection, so a NaN-carrying file scans too — and Spark's
+    *    max-returns-NaN semantics survive through the scan side.)
+    * When EVERY overlapping file is metadata-answerable the result is a
+    * LocalRelation — zero file scans, O(live files) driver arithmetic
+    * (at 100 TB: an answer from the log instead of a full-store
+    * aggregate pass). Otherwise the scan side aggregates just the
+    * boundary/legacy files and the two partials combine exactly
+    * (count is a sum; min/max are associative; `least`/`greatest` skip
+    * the empty-scan NULL). Falls back to a plain directory scan on a
+    * manifest-free store. Output: one row
+    * (n_points BIGINT, min_value DOUBLE, max_value DOUBLE). */
+  def rangeStats(spark: SparkSession, root: String,
+      startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame = {
+    import graft.model.shardHourOf
+    def scanAgg(df: DataFrame): DataFrame =
+      df.filter(col("shard_hour").between(shardHourOf(startMs), shardHourOf(endMs)))
+        .filter(col("timestamp").between(startMs, endMs))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    val fs = fsFor(spark, root)
+    val st = loadState(fs, root)
+    if (st.gen < 0) return scanAgg(spark.read.parquet(root))
+    val (metaFiles, rest) = st.live.partition { f =>
+      st.zmaps.get(f).exists(z =>
+        z.tsMin >= startMs && z.tsMax <= endMs && z.rows.isDefined &&
+          z.value.exists { case (mn, mx) => mn != 0.0 && mx != 0.0 })
+    }
+    // stat-less files are never skipped; stat-carrying ones drop out when
+    // their recorded range provably misses the query range (conservative,
+    // same rule as ManifestFileIndex)
+    val scanFiles = rest.filter(f => st.zmaps.get(f)
+      .forall(z => z.tsMax >= startMs && z.tsMin <= endMs))
+    val nMeta = metaFiles.map(f => st.zmaps(f).rows.get).sum
+    val vMeta: Option[(Double, Double)] =
+      if (metaFiles.isEmpty) None
+      else Some((metaFiles.map(f => st.zmaps(f).value.get._1).min,
+        metaFiles.map(f => st.zmaps(f).value.get._2).max))
+    if (scanFiles.isEmpty) {
+      // metadata-only answer: a LocalRelation — NO file scan in the plan
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("n_points", LongType, nullable = false),
+        StructField("min_value", DoubleType, nullable = true),
+        StructField("max_value", DoubleType, nullable = true)))
+      val row = Row(nMeta,
+        vMeta.map(_._1).map(Double.box).orNull,
+        vMeta.map(_._2).map(Double.box).orNull)
+      spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+    } else {
+      val scanDf = planState(spark, root,
+        st.copy(live = scanFiles.toVector))
+      val s = scanAgg(scanDf)
+      vMeta match {
+        case None => s
+        case Some((mn, mx)) => s.select(
+          (col("n_points") + lit(nMeta)).as("n_points"),
+          least(col("min_value"), lit(mn)).as("min_value"),
+          greatest(col("max_value"), lit(mx)).as("max_value"))
+      }
+    }
+  }
+
   /** Snapshot read + a reader lease on the planned generation: vacuum
     * retains every file this plan can touch until the lease is closed
     * (or expires after its `leaseTtlMs`). For queries that may outlive

@@ -61,6 +61,20 @@ object TimeSeries {
     pruned.select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("value"))
   }
 
+  /** Range aggregate of the scan family (r15): count/min/max of `value`
+    * over the inclusive time range — the query SHAPE that
+    * [[graft.operators.Snapshot.rangeStats]] answers from manifest stats
+    * on a snapshot store. Here (over the raw events table) it is one
+    * pushed-filter scan into a partial+final agg; the declared query
+    * gives the shape oracle coverage, and the store-side spec pins the
+    * manifest path to this scan semantics. Reuses [[rangeScan]]'s
+    * filters so the ts/ts_ns pushdown behavior is identical. */
+  def rangeStats(events: DataFrame, startTs: String, endTs: String): DataFrame =
+    rangeScan(events, startTs, endTs)
+      .agg(count(lit(1)).as("n_points"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
   /** O5: ordered range scan with a row cap (reference BUFFER_CAPACITY,
     * api/main.py:85). Sorted on (ts, event_id) before limiting →
     * deterministic; Spark plans this as TakeOrderedAndProject (top-k per
@@ -1336,9 +1350,22 @@ object TimeSeries {
     // distinct plans (perf-only harm, but cheap to harden against)
     val memoKey = (plan.semanticHash(), plan.schema.catalogString,
       key, fraction, seed)
+    // ADVICE r14: never run the ~0.25 s probe JOB while holding a map
+    // lock — computeIfAbsent pins the key's bin for the job's duration,
+    // serializing unrelated dispatches that hash to the same bin. Plain
+    // get → run outside any lock → putIfAbsent: two racing dispatches of
+    // the SAME frame may both run the probe (stats are deterministic for
+    // a (plan, fraction, seed) key, so both compute the same triple and
+    // the first-put wins harmlessly), but no dispatch ever blocks behind
+    // another's Spark job. The size bound stays check-then-act (racy by
+    // design — it is defensive, entries are 3 doubles; a momentary
+    // overshoot is harmless and clear() keeps the map bounded).
+    val cached = probeStatsMemo.get(memoKey)
+    if (cached != null) return cached
+    val stats = sampledKeyDensityStats(df, key, fraction, seed)
     if (probeStatsMemo.size > ProbeMemoMax) probeStatsMemo.clear()
-    probeStatsMemo.computeIfAbsent(memoKey,
-      _ => sampledKeyDensityStats(df, key, fraction, seed))
+    probeStatsMemo.putIfAbsent(memoKey, stats)
+    stats
   }
 
   private[graft] def blockDispatch(events: DataFrame, key: String,

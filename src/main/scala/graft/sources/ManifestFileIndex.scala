@@ -15,7 +15,17 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
   * time (NaN compares false against everything — a NaN-polluted range
   * cannot prove a file skippable). */
 final case class FileZoneStats(tsMin: Long, tsMax: Long,
-    value: Option[(Double, Double)] = None, rows: Option[Long] = None)
+    value: Option[(Double, Double)] = None, rows: Option[Long] = None) {
+  // value⇒rows invariant (ADVICE r14): the manifest's zmap3 line carries
+  // (value range, rows) together — a value range WITHOUT a row count
+  // would silently degrade to a ts-only legacy line in zmapLines,
+  // dropping pruning power with no warning. statsOf always sets rows
+  // when it sets value; enforce it here so a future partial constructor
+  // fails loudly at build time instead.
+  require(value.isEmpty || rows.isDefined,
+    "FileZoneStats with a value range must carry a row count " +
+      "(zmap3 serializes them together; see Snapshot.zmapLines)")
+}
 
 /** A [[FileIndex]] served ENTIRELY from the snapshot-manifest log — the
   * Delta/Iceberg planning pattern (their logs record path + size for the

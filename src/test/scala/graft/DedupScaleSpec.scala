@@ -85,6 +85,21 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     assert(hot.head._4 == 1.0)
   }
 
+  test("r15 prefixJaccardPairs agg+slice form ≡ pre-r15 windowed form " +
+      "(real corpus and hot-boilerplate corpus)") {
+    import graft.sources.Tables
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val docs = Tables.documents(spark, sf0001)
+    assert(canon(Dedup.prefixJaccardPairs(docs, 3, 3, 10)) ==
+      canon(Dedup.prefixJaccardPairsWindowed(docs, 3, 3, 10)))
+    assert(canon(Dedup.prefixJaccardPairs(hotShingleCorpus, 3, 3, 10)) ==
+      canon(Dedup.prefixJaccardPairsWindowed(hotShingleCorpus, 3, 3, 10)))
+  }
+
   test("minhashEstimatorEval: one row per LSH candidate, estimator in " +
       "[0,1] with exact integer numerator, identical docs estimate 1.0") {
     import graft.sources.Tables
@@ -152,6 +167,18 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     }
     assert(bhj.size >= 2,
       s"expected broadcast semi + broadcast attach, got ${bhj.size}")
+  }
+
+  test("r15 reliable-checkpoint gate (spark.graft.reliableCheckpoint) " +
+      "emits the same rows as the localCheckpoint default") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val local = Dedup.editDistancePairs(docs, 8, 6).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_rck_").toString
+    sys.props("spark.graft.reliableCheckpoint") = dir
+    try {
+      val reliable = Dedup.editDistancePairs(docs, 8, 6).collect().toSet
+      assert(reliable == local, "reliable and local checkpoint paths diverged")
+    } finally sys.props.remove("spark.graft.reliableCheckpoint")
   }
 
   test("bloomContaminatedDocs: identical answer to the exact semi-join, " +
