@@ -254,6 +254,11 @@ object Probe {
       }.sorted
       println(f"PROBE $name%-24s median=${times(times.size / 2)}%.3f " +
         f"min=${times.head}%.3f max=${times.last}%.3f reps=$reps rows=$rows")
+      // tiny pseudo-query results (censuses, histograms) print their
+      // rows — outside every timer, dev-only diagnostics
+      if (name.startsWith("_") && rows >= 0 && rows <= 10)
+        fn(spark, sfDir).collect()
+          .foreach(r => println(s"PROBEROW $name $r"))
     }
     spark.stop()
   }
