@@ -22,6 +22,10 @@ object Explain {
       "_jp_window" -> ((s, d) =>
         graft.operators.Dedup.prefixJaccardPairsWindowed(
           graft.sources.Tables.documents(s, d), 3, 3, 10)),
+      "_degree_dist_joined" -> ((s, d) =>
+        graft.operators.Graph.degreeDistribution(
+          graft.operators.Graph.partCoPurchasePairsJoined(
+            graft.sources.Tables.lineitem(s, d)))),
       "_modularity_unshared" -> ((s, d) => {
         val pairs = graft.operators.Graph.partCoPurchasePairs(
           graft.sources.Tables.lineitem(s, d))

@@ -205,6 +205,23 @@ object Probe {
       "_dd_hash" -> ((s, dir) =>
         graft.operators.Graph.partCoPurchasePairs(
           graft.sources.Tables.lineitem(s, dir))),
+      // r15 A/B twins: the pre-r15 self-join forms of the co-purchase
+      // derivations (the declared operators now generate pairs in-row
+      // from one hash aggregate; _dd_hash above follows the operator)
+      "_pp_join" -> ((s, dir) =>
+        graft.operators.Graph.partCoPurchasePairsJoined(
+          graft.sources.Tables.lineitem(s, dir))),
+      "_pw_agg" -> ((s, dir) =>
+        graft.operators.Graph.coPurchaseWeights(
+          graft.sources.Tables.lineitem(s, dir))),
+      "_pw_join" -> ((s, dir) =>
+        graft.operators.Graph.coPurchaseWeightsJoined(
+          graft.sources.Tables.lineitem(s, dir))),
+      // full-query r15 A/B twin: q_degree_dist over the joined pair form
+      "_degree_dist_joined" -> ((s, dir) =>
+        graft.operators.Graph.degreeDistribution(
+          graft.operators.Graph.partCoPurchasePairsJoined(
+            graft.sources.Tables.lineitem(s, dir)))),
       "_dd_sort" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val li = graft.sources.Tables.lineitem(s, dir)

@@ -383,10 +383,30 @@ object Graph {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
 
   /** Undirected part co-purchase graph: distinct (u < v) part pairs
-    * that share at least one order. The per-order self-join is bounded
-    * by order size (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs per order), so the
-    * expansion is linear in |lineitem|, never quadratic in |part|. */
-  def partCoPurchasePairs(lineitem: DataFrame): DataFrame = {
+    * that share at least one order. Pairs are generated IN-ROW from
+    * each order's sorted part set (r15, guide §2.4): one hash aggregate
+    * replaces the l_orderkey self-join — same shuffled bytes, but no
+    * second sort pipeline and no 49-rows-per-order join expansion
+    * before the u < v filter. Bounded by order size (TPC-H ≤ 7 lines ⇒
+    * ≤ 21 pairs per order), so per-group state is a handful of longs
+    * and the expansion stays linear in |lineitem|, never quadratic in
+    * |part|. Identical pair set to the join form (collect_set dedups
+    * within the order exactly as u < v + distinct did; nulls drop on
+    * both paths) — pinned by the joined-twin equality spec and the
+    * unchanged oracles of the 7 queries built on it. A/B: 2.0× at
+    * sf0.1 (fixed sort cost dominates), even at sf1/sf10 (the pair
+    * distinct dominates both shapes). */
+  def partCoPurchasePairs(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"), explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .distinct()
+
+  /** Dev-only A/B twin: the pre-r15 self-join form of
+    * [[partCoPurchasePairs]] (kept for the probe A/B and the equality
+    * spec). */
+  private[graft] def partCoPurchasePairsJoined(lineitem: DataFrame): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
     a.join(b, Seq("k")).filter(col("u") < col("v"))
@@ -406,7 +426,25 @@ object Graph {
     * deterministically. Pair counting stays bounded: pairs per order are
     * C(order size, 2), so the shuffle is |orders|·C(size,2) — no
     * corpus² anywhere. */
-  def coPurchaseWeights(lineitem: DataFrame): DataFrame = {
+  def coPurchaseWeights(lineitem: DataFrame): DataFrame =
+    // r15: same in-row pair generation as partCoPurchasePairs, but over
+    // the sorted part LIST (duplicates kept — cnt counts occurrence
+    // pairs, occ(u)·occ(v) per order, exactly as the self-join did);
+    // the v > u filter drops the equal-value pairs the strict u < v
+    // join predicate never formed. Joined-twin equality spec + the
+    // unchanged q_sssp oracle pin the rewrite.
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"), explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .filter(col("v") > col("u"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      .select(col("u"), col("v"),
+        graft.model.floorDivCol(lit(1000000000000L), col("cnt")).as("w"))
+
+  /** Dev-only A/B twin: the pre-r15 self-join form of
+    * [[coPurchaseWeights]]. */
+  private[graft] def coPurchaseWeightsJoined(lineitem: DataFrame): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
     a.join(b, Seq("k")).filter(col("u") < col("v"))

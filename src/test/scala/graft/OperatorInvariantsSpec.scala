@@ -682,6 +682,34 @@ class OperatorInvariantsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.map(_._5).sum - 5.0 / 14.0) < 1e-15)
   }
 
+  test("r15 in-row co-purchase pair generation ≡ the self-join forms " +
+      "(real lineitem and a duplicate-heavy synthetic order)") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pset(graft.operators.Graph.partCoPurchasePairs(li)) ==
+      pset(graft.operators.Graph.partCoPurchasePairsJoined(li)))
+    def wset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(wset(graft.operators.Graph.coPurchaseWeights(li)) ==
+      wset(graft.operators.Graph.coPurchaseWeightsJoined(li)))
+    // duplicate partkeys within one order: the set form must not pair a
+    // part with itself, the list form must count occurrence pairs
+    // (occ(u)·occ(v)) exactly as the join did
+    val dup = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    assert(pset(graft.operators.Graph.partCoPurchasePairs(dup)) ==
+      Seq((10L, 20L), (10L, 30L), (20L, 30L)))
+    assert(wset(graft.operators.Graph.coPurchaseWeights(dup)) ==
+      wset(graft.operators.Graph.coPurchaseWeightsJoined(dup)))
+    val w = graft.operators.Graph.coPurchaseWeights(dup).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(w((10L, 20L)) == 1000000000000L / 2, "occ(10)=2 -> cnt 2")
+    assert(w((20L, 30L)) == 1000000000000L)
+  }
+
   test("IVF top-k: cluster assignment is shuffle-free (only the top-k exchanges)") {
     val df = SparkEntry.queries("q_ivf_topk")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
